@@ -1,0 +1,73 @@
+package graft.gen
+
+import java.io.File
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** On-disk deterministic fixtures, keyed by the driver's sf directory name.
+  *
+  * BASELINE.json `input_hint` mandates the transcripts schema with
+  * deterministic synthesis (no external data), so each gate query first
+  * ensures the synthetic parquet exists under `/root/repo/data/` and the
+  * DuckDB oracle reads the very same files via `read_parquet(...)` — both
+  * engines see identical rows by construction.
+  */
+object Fixtures {
+  val DataRoot: String = sys.env.getOrElse("GRAFT_DATA_DIR", "/root/repo/data")
+
+  def sfName(sfDir: String): String = Paths.get(sfDir).getFileName.toString
+
+  /** Scale mapping: ~25 turns/conv average (see TranscriptGen.nTurnsFor). */
+  def specFor(name: String): GenSpec = name match {
+    case "sf0.001" => GenSpec(nConvs = 100)
+    case "sf0.01"  => GenSpec(nConvs = 2000)
+    case "sf0.1"   => GenSpec(nConvs = 20000)
+    case _         => GenSpec(nConvs = 200)
+  }
+
+  /** Hot-key fixture: conv 0 carries ~half of all turns. */
+  def skewSpecFor(name: String): GenSpec = name match {
+    case "sf0.1" => GenSpec(nConvs = 2000, skewed = true)
+    case _       => GenSpec(nConvs = 400, skewed = true)
+  }
+
+  def transcriptsPath(name: String): String = s"$DataRoot/transcripts_$name"
+  def transcriptsSkewPath(name: String): String = s"$DataRoot/transcripts_skew_$name"
+
+  private def ensure(spark: SparkSession, path: String, spec: GenSpec): Unit =
+    synchronized {
+      if (!new File(path, "_SUCCESS").exists()) {
+        // TIMESTAMP_MICROS so DuckDB reads the same instants back.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        val files = math.max(4, spec.nConvs / 2000)
+        TranscriptGen.dataset(spark, spec).toDF()
+          // hash-partition by conv_id: the layout the engine wants (all turns
+          // of a conversation co-located), sorted for stable within-file order
+          .repartition(files, col("conv_id"))
+          .sortWithinPartitions("conv_id", "turn_idx")
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = sfName(sfDir)
+    val path = transcriptsPath(name)
+    ensure(spark, path, specFor(name))
+    spark.read.parquet(path)
+  }
+
+  def transcriptsSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = sfName(sfDir)
+    val path = transcriptsSkewPath(name)
+    ensure(spark, path, skewSpecFor(name))
+    spark.read.parquet(path)
+  }
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+}

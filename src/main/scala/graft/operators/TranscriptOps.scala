@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Defaults, RedactionParams}
+import graft.text.Redact
+
+/** Batch operators over the transcripts table (SURVEY.md §2).
+  *
+  * These are the exact (non-sketch) forms used by the correctness gate; the
+  * streaming engine (graft.stream) reuses the same semantics with state.
+  */
+object TranscriptOps {
+
+  /** P4 — per-turn base redaction projection (R1,R2,R3,R5): narrow map, all
+    * built-ins, stays in whole-stage codegen; no shuffle. */
+  def redactBase(tx: DataFrame, p: RedactionParams = RedactionParams()): DataFrame =
+    tx.select(
+      col("conv_id"), col("turn_idx"),
+      Redact.redactBaseCol(col("text"), col("role"), p).as("text_redacted"))
+
+  /** R4 detection, exact batch form: recurring normalized sentences per
+    * (conv_id, session). Two-phase by construction — the first aggregation
+    * keys include `turn_idx` (dedupe / partial phase, map-side combinable),
+    * the second drops it (final count) — so one hot conv_id cannot pin a
+    * single reducer with raw rows (SURVEY.md §4.2).
+    */
+  def detectRecurring(tx: DataFrame, p: RedactionParams = RedactionParams()): DataFrame = {
+    val s = Sessions.withSessionId(tx)
+    val sentences = s
+      .select(col("conv_id"), col("session_id"), col("turn_idx"),
+        explode(split(col("text"), "\\.")).as("piece"))
+      .select(col("conv_id"), col("session_id"), col("turn_idx"),
+        trim(regexp_replace(lower(col("piece")), "\\s+", " ")).as("sentence"))
+      .filter(length(col("sentence")) >= p.minSentenceLen)
+    sentences
+      // phase 1: dedupe (conv, session, sentence, turn) — partial/combine
+      .groupBy(col("conv_id"), col("session_id"), col("sentence"), col("turn_idx"))
+      .agg(count(lit(1)).as("hits_in_turn"))
+      // phase 2: distinct-turn count per sentence
+      .groupBy(col("conv_id"), col("session_id"), col("sentence"))
+      .agg(count(lit(1)).as("n_turns"))
+      .filter(col("n_turns") >= p.threshold)
+  }
+
+  /** A5 — per-role/per-tool tumbling window stats (1 minute). */
+  def windowStats(tx: DataFrame): DataFrame =
+    tx.groupBy(window(col("ts"), "1 minute"), col("role"), col("tool"))
+      .agg(
+        count(lit(1)).as("turn_count"),
+        sum(length(col("text"))).cast("long").as("char_sum"),
+        countDistinct(col("conv_id")).as("n_convs"))
+      .select(col("window.start").as("window_start"), col("role"), col("tool"),
+        col("turn_count"), col("char_sum"), col("n_convs"))
+
+  /** J1 (batch form) — pair each tool-call turn with its earliest response
+    * within the time bound. Equi keys (conv_id, tool) + range condition keep
+    * this a hash join with bounded probe, the same shape the streaming
+    * symmetric-hash join uses to bound state. */
+  def joinPairs(tx: DataFrame, boundSec: Long = Defaults.JoinWindowSec): DataFrame = {
+    val calls = tx
+      .filter(col("role") === "assistant" && col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx").as("call_turn_idx"),
+        col("tool"), col("ts").as("call_ts"))
+    val resps = tx
+      .filter(col("role") === "tool" && col("tool").isNotNull)
+      .select(col("conv_id").as("r_conv_id"), col("turn_idx").as("resp_turn_idx"),
+        col("tool").as("r_tool"), col("ts").as("resp_ts"))
+    calls.join(resps,
+        col("conv_id") === col("r_conv_id") &&
+          col("tool") === col("r_tool") &&
+          col("resp_turn_idx") > col("call_turn_idx") &&
+          col("resp_ts") >= col("call_ts") &&
+          col("resp_ts") <= col("call_ts") + expr(s"interval $boundSec seconds"))
+      .groupBy(col("conv_id"), col("call_turn_idx"), col("tool"))
+      .agg(min(col("resp_turn_idx")).as("resp_turn_idx"))
+  }
+
+  /** Per-conv session stats (count of sessions / turns). */
+  def sessionStats(tx: DataFrame): DataFrame =
+    Sessions.withSessionId(tx)
+      .groupBy(col("conv_id"))
+      .agg(countDistinct(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_turns"))
+
+  /** Salted two-phase aggregation over a hot-keyed input (SURVEY.md §4.2):
+    * phase 1 on (conv_id, salt) spreads one hot conv across `salts`
+    * reducers; phase 2 merges partials. Result must equal the plain
+    * GROUP BY — that equality is the oracle check. */
+  def skewAgg(tx: DataFrame, salts: Int = 32): DataFrame =
+    tx.groupBy(col("conv_id"), pmod(hash(col("turn_idx")), lit(salts)).as("salt"))
+      .agg(count(lit(1)).as("c"), sum(length(col("text"))).as("s"))
+      .groupBy(col("conv_id"))
+      .agg(sum(col("c")).as("n_turns"), sum(col("s")).cast("long").as("char_sum"))
+
+  /** Exact deduplication: md5-hash groups with >1 copy. */
+  def dedupExact(tx: DataFrame): DataFrame =
+    tx.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        min(col("conv_id")).as("first_conv"))
+      .filter(col("n_copies") > 1)
+}

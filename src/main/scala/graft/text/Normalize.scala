@@ -1,0 +1,66 @@
+package graft.text
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+/** Lossy-tolerant normalization (SURVEY.md §2.3 R6).
+  *
+  * Detection runs on a normalized view while redaction applies to the
+  * original text — the split the reference makes between
+  * `content.decode('utf-8', errors='ignore')` for matching and byte-level
+  * rewrites (/root/reference/mechanisms/watermark_processor.py:64,68).
+  *
+  * Semantics are deliberately restricted to constructs with byte-identical
+  * DuckDB equivalents (`trim(regexp_replace(lower(s), '\s+', ' ', 'g'))`)
+  * so the SQL oracle can mirror them:
+  *  - lowercase with Locale.ROOT (ASCII-stable);
+  *  - collapse whitespace runs to one space;
+  *  - strip leading/trailing *spaces only* (SQL `trim` semantics — NOT
+  *    `String.trim`, which would also strip control chars and diverge).
+  * Total: never throws on malformed/control-char input.
+  */
+object Normalize {
+  private val Ws = Pattern.compile("\\s+")
+
+  def normalize(s: String): String = {
+    if (s == null) return null
+    val collapsed = Ws.matcher(s.toLowerCase(Locale.ROOT)).replaceAll(" ")
+    stripSpaces(collapsed)
+  }
+
+  /** SQL-`trim`-equivalent: removes U+0020 only. */
+  def stripSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** '.'-delimited sentence spans (delimiter excluded), normalized.
+    * Keeps empty trailing pieces out; pure, total.
+    */
+  def normalizedSentences(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Nil
+    text.split("\\.", -1).toSeq.map(normalize).filter(_.nonEmpty)
+  }
+
+  /** Word tokens for shingling: maximal `[a-z0-9]+` runs of the normalized
+    * text (DuckDB mirror: `regexp_extract_all(lower(s), '[a-z0-9]+')`).
+    */
+  private val Tok = Pattern.compile("[a-z0-9]+")
+  def tokens(s: String): IndexedSeq[String] = {
+    if (s == null) return Vector.empty
+    val m = Tok.matcher(s.toLowerCase(Locale.ROOT))
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** k-token shingles joined by single spaces. */
+  def shingles(s: String, k: Int): IndexedSeq[String] = {
+    val t = tokens(s)
+    if (t.length < k) Vector.empty
+    else (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" "))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.text
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.RedactionParams
+
+/** The redaction operator family (SURVEY.md §2.3, R1–R5).
+  *
+  * Semantics are re-expressed from the reference's per-content-stream rewrites
+  * (/root/reference/mechanisms/watermark_processor.py:66-155), applied in the
+  * reference's fixed order R1 → R2 → R3 → (R4) → R5 — later mechanisms see
+  * earlier output (watermark_processor.py:66-155 operates on one mutable
+  * buffer).
+  *
+  * Every rule exists in two parity-tested forms:
+  *  - a pure Scala function (the single-threaded oracle — the spec; also used
+  *    inside `flatMapGroupsWithState`), total, never throws (R6 tolerance,
+  *    watermark_processor.py:64);
+  *  - a Catalyst [[Column]] expression built from codegen'd built-ins
+  *    (`replace` / `regexp_replace` / `when`) — the distributed fast path;
+  *    no UDF, stays inside whole-stage codegen.
+  */
+object Redact {
+
+  /** R3 — prefix-anchored variable-tail span: from the prefix to the nearest
+    * sentence boundary ('.', consumed if present). Mirrors the bounded
+    * forward-scan for end markers at watermark_processor.py:85-101, with
+    * '.' playing the role of the `Tj`/`ET`/`)` end markers.
+    */
+  def dateTailRegex(prefix: String): String = Pattern.quote(prefix) + "[^.]*\\.?"
+
+  /** R5 — marker-scoped span: the marker and the rest of its line. Mirrors
+    * the color-marker-scoped `BT..ET` block blanking at
+    * watermark_processor.py:137-155.
+    */
+  def toolTraceRegex(marker: String): String = Pattern.quote(marker) + "[^\n]*"
+
+  // ---- pure Scala (oracle / state-side) ------------------------------------
+
+  def r1Name(text: String, p: RedactionParams): String =
+    if (p.namePattern.isEmpty) text else text.replace(p.namePattern, "")
+
+  def r2Footer(text: String, p: RedactionParams): String =
+    if (p.footer.isEmpty) text else text.replace(p.footer, "")
+
+  def r3DateTail(text: String, p: RedactionParams): String =
+    if (p.datePrefix.isEmpty || !text.contains(p.datePrefix)) text
+    else
+      text.replaceAll(dateTailRegex(p.datePrefix), Matcher.quoteReplacement(p.placeholder))
+
+  def r5ToolTrace(text: String, role: String, p: RedactionParams): String =
+    if (role != "tool" || !text.contains(p.toolMarker)) text
+    else
+      text.replaceAll(toolTraceRegex(p.toolMarker), Matcher.quoteReplacement(p.toolPlaceholder))
+
+  /** R1+R2+R3+R5 (everything except the sketch-learned R4). Total. */
+  def redactBase(text: String, role: String, p: RedactionParams): String = {
+    if (text == null) return null
+    r5ToolTrace(r3DateTail(r2Footer(r1Name(text, p), p), p), role, p)
+  }
+
+  /** R4 — remove sentences whose normalized form is in the learned set
+    * (sketch-detected recurring boilerplate; the generalization of the
+    * reference's hex n-gram pass, watermark_processor.py:103-135). Sentence
+    * granularity = '.'-delimited spans; the delimiter is preserved (the
+    * reference keeps `()` / `BT ET` delimiters at :98,154).
+    */
+  def r4Learned(text: String, learned: Set[String], p: RedactionParams): String = {
+    if (text == null || learned.isEmpty || text.indexOf('.') < 0) return text
+    val parts = text.split("\\.", -1)
+    var changed = false
+    var i = 0
+    while (i < parts.length) {
+      val n = Normalize.normalize(parts(i))
+      if (n.length >= p.minSentenceLen && learned.contains(n)) {
+        parts(i) = " " + p.learnedPlaceholder
+        changed = true
+      }
+      i += 1
+    }
+    if (changed) parts.mkString(".") else text
+  }
+
+  /** Full redaction R1→R2→R3→R4→R5 given an already-learned pattern set. */
+  def redactFull(text: String, role: String, learned: Set[String], p: RedactionParams): String = {
+    if (text == null) return null
+    r5ToolTrace(
+      r4Learned(r3DateTail(r2Footer(r1Name(text, p), p), p), learned, p),
+      role, p)
+  }
+
+  // ---- Catalyst column expressions (distributed fast path) ------------------
+
+  /** Column form of [[redactBase]] — identical semantics, pure built-ins. */
+  def redactBaseCol(text: Column, role: Column, p: RedactionParams): Column = {
+    val s1 =
+      if (p.namePattern.isEmpty) text
+      else replace(text, lit(p.namePattern), lit(""))
+    val s2 =
+      if (p.footer.isEmpty) s1
+      else replace(s1, lit(p.footer), lit(""))
+    val s3 =
+      if (p.datePrefix.isEmpty) s2
+      else regexp_replace(s2, dateTailRegex(p.datePrefix), Matcher.quoteReplacement(p.placeholder))
+    when(role === lit("tool"),
+      regexp_replace(s3, toolTraceRegex(p.toolMarker), Matcher.quoteReplacement(p.toolPlaceholder)))
+      .otherwise(s3)
+  }
+}
