@@ -1,24 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.bench.StreamBench
+import graft.gen.Fixtures
+
+/** Per-round benchmark main: times every SparkEntry query (noop sink forces
+  * full computation — `count()` would let Catalyst skip projections) plus
+  * the end-to-end streaming redaction pipeline. Prints ONE JSON line.
+  */
 object Bench {
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // fixtures materialize outside the timed region
+    Fixtures.transcripts(spark, sfDir)
+    Fixtures.transcriptsSkew(spark, sfDir)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // end-to-end streaming redaction (sessions + CMS + exactly-once sink)
+    val stream = StreamBench.run(spark, sfDir)
+
+    val qs = (results :+ ("stream_redact" -> stream.sec))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + stream.sec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stream_turns":${stream.turns},"stream_turns_per_sec":${stream.turnsPerSec},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,77 @@
+package graft.gen
+
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Defaults
+import graft.stream.Pipeline
+
+/** Epoch-slice fixtures for streaming tests (FIXTURES.md §5): the fixture
+  * table split into K time-ordered parquet files — one file ≈ one
+  * micro-batch under `maxFilesPerTrigger=1` — plus a final far-future
+  * "flush" slice that pushes the event-time watermark past all real data so
+  * tail sessions and windows close deterministically.
+  */
+object StreamFixtures {
+
+  /** Writes `slice-0000.parquet .. slice-<k+1>.parquet` (last = flush) into
+    * `dir` with strictly increasing mtimes (file-source processing order).
+    * Returns the number of slices written. Idempotent per directory. */
+  def writeSlices(spark: SparkSession, spec: GenSpec, dir: String, k: Int,
+                  gapSec: Long = Defaults.SessionGapSec): Int = synchronized {
+    val root = Paths.get(dir)
+    if (Files.exists(root.resolve("_DONE"))) {
+      return Files.list(root).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    import spark.implicits._
+    val all = TranscriptGen.dataset(spark, spec).toDF()
+      .withColumn("slice",
+        ntile(k).over(Window.orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+      .cache()
+    val maxTsMs = all.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    try {
+      (1 to k).foreach { i =>
+        val tmp = root.resolve(s".tmp-slice-$i")
+        all.filter(col("slice") === i).drop("slice")
+          .sort("ts", "conv_id", "turn_idx")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        publishSingle(tmp, root, f"slice-${i - 1}%04d.parquet", i - 1)
+      }
+      // Two flush slices, each its own micro-batch: the watermark is
+      // computed from data seen in *previous* batches, so flush #1 advances
+      // event time past every session gap and flush #2's batch is where the
+      // advanced watermark actually fires timeouts / closes windows.
+      // (Trigger.AvailableNow does not run trailing no-data batches.)
+      (0 until 2).foreach { j =>
+        val flushTs = maxTsMs + (gapSec + 3600L * (j + 1)) * 1000L
+        val tmp = root.resolve(s".tmp-flush$j")
+        Seq(Pipeline.flushTurn(flushTs)).toDS().toDF()
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        publishSingle(tmp, root, f"slice-${k + j}%04d.parquet", k + j)
+      }
+      Files.write(root.resolve("_DONE"), Array.emptyByteArray)
+      k + 2
+    } finally all.unpersist()
+  }
+
+  private def publishSingle(tmpDir: Path, root: Path, name: String, seq: Int): Unit = {
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet in $tmpDir"))
+    val dst = root.resolve(name)
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    // strictly increasing mtimes → deterministic file-source order
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000000000L + seq * 60000L))
+    Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+  }
+}

@@ -26,8 +26,11 @@ object TranscriptOps {
     * the second drops it (final count) — so one hot conv_id cannot pin a
     * single reducer with raw rows (SURVEY.md §4.2).
     */
-  def detectRecurring(tx: DataFrame, p: RedactionParams = RedactionParams()): DataFrame = {
-    val s = Sessions.withSessionId(tx)
+  def detectRecurring(tx: DataFrame, p: RedactionParams = RedactionParams()): DataFrame =
+    detectFrom(Sessions.withSessionId(tx), p)
+
+  /** Detection over an already-sessionized frame. */
+  private def detectFrom(s: DataFrame, p: RedactionParams): DataFrame = {
     val sentences = s
       .select(col("conv_id"), col("session_id"), col("turn_idx"),
         explode(split(col("text"), "\\.")).as("piece"))
@@ -42,6 +45,26 @@ object TranscriptOps {
       .groupBy(col("conv_id"), col("session_id"), col("sentence"))
       .agg(count(lit(1)).as("n_turns"))
       .filter(col("n_turns") >= p.threshold)
+  }
+
+  /** Full batch redaction R1→R2→R3→R4→R5: exact per-(conv, session)
+    * detection, learned sets joined back (left — most sessions learn
+    * nothing), then one pure redaction pass. The R4 application needs
+    * set-membership per sentence, which built-ins can't express — the one
+    * place a Scala UDF is warranted (SURVEY.md §7.3). */
+  def redactFull(tx: DataFrame, p: RedactionParams = RedactionParams()): DataFrame = {
+    val s = Sessions.withSessionId(tx)
+    val learnedSets = detectFrom(s, p)
+      .groupBy(col("conv_id"), col("session_id"))
+      .agg(collect_list(col("sentence")).as("learned"))
+    val applyFull = udf { (text: String, role: String, learned: Seq[String]) =>
+      Redact.redactFull(text, role,
+        if (learned == null) Set.empty[String] else learned.toSet, p)
+    }
+    s.join(learnedSets, Seq("conv_id", "session_id"), "left")
+      .select(col("conv_id"), col("turn_idx"), col("session_id"), col("role"),
+        col("tool"), col("ts"),
+        applyFull(col("text"), col("role"), col("learned")).as("text_redacted"))
   }
 
   /** A5 — per-role/per-tool tumbling window stats (1 minute). */
@@ -75,6 +98,27 @@ object TranscriptOps {
           col("resp_ts") <= col("call_ts") + expr(s"interval $boundSec seconds"))
       .groupBy(col("conv_id"), col("call_turn_idx"), col("tool"))
       .agg(min(col("resp_turn_idx")).as("resp_turn_idx"))
+  }
+
+  /** J1 without the earliest-response dedup — the exact row set the
+    * streaming symmetric-hash join emits (parity target for tests). */
+  def joinPairsRaw(tx: DataFrame, boundSec: Long = Defaults.JoinWindowSec): DataFrame = {
+    val calls = tx
+      .filter(col("role") === "assistant" && col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx").as("call_turn_idx"),
+        col("tool"), col("ts").as("call_ts"))
+    val resps = tx
+      .filter(col("role") === "tool" && col("tool").isNotNull)
+      .select(col("conv_id").as("r_conv_id"), col("turn_idx").as("resp_turn_idx"),
+        col("tool").as("r_tool"), col("ts").as("resp_ts"))
+    calls.join(resps,
+        col("conv_id") === col("r_conv_id") &&
+          col("tool") === col("r_tool") &&
+          col("resp_turn_idx") > col("call_turn_idx") &&
+          col("resp_ts") >= col("call_ts") &&
+          col("resp_ts") <= col("call_ts") + expr(s"interval $boundSec seconds"))
+      .select(col("conv_id"), col("call_turn_idx"), col("tool"),
+        col("resp_turn_idx"), col("call_ts"), col("resp_ts"))
   }
 
   /** Per-conv session stats (count of sessions / turns). */

@@ -1,0 +1,213 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.core.{Defaults, RedactionParams, Turn}
+import graft.sketch.CountMin
+import graft.table.IcebergLite
+import graft.text.{Normalize, Redact}
+
+/** A buffered turn inside session state (text retained until session close —
+  * the reference holds the whole document open before writing any output,
+  * watermark_processor.py:50-166, which fixes detection-state causality:
+  * patterns learned anywhere in a session redact every turn of it). */
+final case class BufTurn(turn_idx: Int, role: String, text: String,
+                         tool: String, tsMs: Long)
+
+/** Per-conv_id session-window state: current session's buffer + count-min
+  * sketch over its normalized sentences. */
+final case class ConvState(sessionSeq: Long, lastTsMs: Long,
+                           buf: List[BufTurn], sk: CountMin)
+
+/** Output row of the redaction stream. `session_id` and the deterministic
+  * lineage the sink appends replace the reference's wall-clock provenance
+  * stamp (watermark_processor.py:178-186). */
+final case class RedactedTurn(conv_id: String, turn_idx: Int, session_id: Long,
+                              role: String, tool: String, ts: Timestamp,
+                              text_redacted: String, was_redacted: Boolean)
+
+/** The streaming redaction engine (SURVEY.md §2.8, §7.1.6).
+  *
+  * Source → watermark on `ts` → `flatMapGroupsWithState` keyed by `conv_id`
+  * (session windows via event-time timeout; CMS learns recurring sentences;
+  * whole session redacted on close) → exactly-once [[IcebergLite]] sink via
+  * `foreachBatch` idempotent epoch commits.
+  */
+object Pipeline {
+
+  /** Sentinel conversation id used by test/bench drivers to push the
+    * watermark past all real data so tail sessions flush. Filtered before
+    * every stateful operator (the filter sits after the watermark node, so
+    * the sentinel still advances event time). */
+  val FlushConvId = "__flush__"
+
+  def flushTurn(tsMs: Long): Turn =
+    Turn(FlushConvId, 0, "system", "", null, new Timestamp(tsMs))
+
+  /** Drop sentinel rows WITHOUT losing their watermark contribution.
+    *
+    * Subtle: a plain `conv_id =!= flush` predicate is pushed below the
+    * `EventTimeWatermark` node by `PushPredicateThroughNonJoin` (it doesn't
+    * reference the event-time attribute), so the sentinel row would be
+    * pruned at the scan and never advance the watermark. Folding a `ts`
+    * reference into one non-splittable OR keeps the filter above the
+    * watermark node: the sentinel is seen by the watermark tracker, then
+    * dropped before any stateful operator. */
+  private def dropFlush(df: Dataset[Turn]): Dataset[Turn] =
+    df.filter(col("conv_id") =!= FlushConvId || col("ts").isNull)
+
+  // ---- stateful session redaction -----------------------------------------
+
+  private def emptyState = ConvState(0L, Long.MinValue, Nil, CountMin.empty())
+
+  private def addTurn(st: ConvState, t: Turn, p: RedactionParams): ConvState = {
+    val sentences = Normalize.normalizedSentences(t.text)
+      .filter(_.length >= p.minSentenceLen).distinct
+    sentences.foreach(st.sk.add(_)) // once per turn: distinct-turn counting
+    ConvState(st.sessionSeq, t.ts.getTime,
+      BufTurn(t.turn_idx, t.role, t.text, t.tool, t.ts.getTime) :: st.buf, st.sk)
+  }
+
+  private def closeSession(convId: String, st: ConvState,
+                           p: RedactionParams): Seq[RedactedTurn] = {
+    val learned = st.buf.iterator
+      .flatMap(b => Normalize.normalizedSentences(b.text))
+      .filter(_.length >= p.minSentenceLen)
+      .distinct
+      .filter(s => st.sk.estimate(s) >= p.threshold)
+      .toSet
+    st.buf.sortBy(_.turn_idx).map { b =>
+      val red = Redact.redactFull(b.text, b.role, learned, p)
+      RedactedTurn(convId, b.turn_idx, st.sessionSeq, b.role, b.tool,
+        new Timestamp(b.tsMs), red, red != b.text)
+    }
+  }
+
+  /** The `flatMapGroupsWithState` update function. Pure given (state, input,
+    * params) — no wall clock (event-time timeout only), so replay from a
+    * checkpoint is deterministic. */
+  def updateConv(p: RedactionParams, gapMs: Long)(
+      convId: String, turns: Iterator[Turn],
+      state: GroupState[ConvState]): Iterator[RedactedTurn] = {
+    if (state.hasTimedOut) {
+      val out = closeSession(convId, state.get, p)
+      state.remove()
+      return out.iterator
+    }
+    val sorted = turns.toIndexedSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+    var st = state.getOption.getOrElse(emptyState)
+    val out = Seq.newBuilder[RedactedTurn]
+    sorted.foreach { t =>
+      if (st.buf.nonEmpty && t.ts.getTime - st.lastTsMs > gapMs) {
+        // in-stream gap: close the session immediately (exact batch parity,
+        // not dependent on timeout granularity)
+        out ++= closeSession(convId, st, p)
+        st = ConvState(st.sessionSeq + 1, Long.MinValue, Nil, CountMin.empty())
+      }
+      st = addTurn(st, t, p)
+    }
+    if (st.buf.nonEmpty) {
+      state.update(st)
+      // fire once the event-time watermark passes end-of-gap
+      val target = st.lastTsMs + gapMs
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(target, wm + 1))
+    } else state.remove()
+    out.result().iterator
+  }
+
+  /** Streaming redaction: watermarked source → session state → redacted turns. */
+  def redactedStream(turns: Dataset[Turn],
+                     p: RedactionParams = RedactionParams(),
+                     gapSec: Long = Defaults.SessionGapSec,
+                     watermarkDelay: String = "10 seconds"): Dataset[RedactedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    dropFlush(turns.withWatermark("ts", watermarkDelay))
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, RedactedTurn](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        updateConv(p, gapSec * 1000L))
+  }
+
+  /** A5 streaming form: per-role/per-tool tumbling window stats. */
+  def windowStatsStream(turns: Dataset[Turn],
+                        watermarkDelay: String = "10 seconds"): DataFrame =
+    dropFlush(turns.withWatermark("ts", watermarkDelay))
+      .groupBy(window(col("ts"), "1 minute"), col("role"), col("tool"))
+      .agg(count(lit(1)).as("turn_count"),
+        sum(length(col("text"))).cast("long").as("char_sum"),
+        approx_count_distinct(col("conv_id")).as("approx_convs"))
+      .select(col("window.start").as("window_start"), col("role"), col("tool"),
+        col("turn_count"), col("char_sum"), col("approx_convs"))
+
+  /** J1 streaming form: symmetric-hash stream-stream inner join pairing
+    * tool calls with responses; watermarks + the time-range predicate bound
+    * both state stores. */
+  def joinPairsStream(turns: Dataset[Turn],
+                      boundSec: Long = Defaults.JoinWindowSec,
+                      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val base = turns.filter(col("conv_id") =!= FlushConvId)
+    val calls = base
+      .filter(col("role") === "assistant" && col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx").as("call_turn_idx"),
+        col("tool"), col("ts").as("call_ts"))
+      .withWatermark("call_ts", watermarkDelay)
+    val resps = base
+      .filter(col("role") === "tool" && col("tool").isNotNull)
+      .select(col("conv_id").as("r_conv_id"), col("turn_idx").as("resp_turn_idx"),
+        col("tool").as("r_tool"), col("ts").as("resp_ts"))
+      .withWatermark("resp_ts", watermarkDelay)
+    // Only equi keys + the event-time range live in the join condition so
+    // Spark can derive state-cleanup bounds for both sides (a non-time
+    // predicate inside the condition defeats StreamingJoinHelper's
+    // constraint extraction → unbounded state). The turn_idx ordering is a
+    // plain post-join filter.
+    calls.join(resps,
+      col("conv_id") === col("r_conv_id") &&
+        col("tool") === col("r_tool") &&
+        col("resp_ts") >= col("call_ts") &&
+        col("resp_ts") <= col("call_ts") + expr(s"interval $boundSec seconds"),
+      "inner")
+      .filter(col("resp_turn_idx") > col("call_turn_idx"))
+      .select(col("conv_id"), col("call_turn_idx"), col("tool"),
+        col("resp_turn_idx"), col("call_ts"), col("resp_ts"))
+  }
+
+  // ---- end-to-end query ----------------------------------------------------
+
+  /** Run the redaction stream from a file source into an [[IcebergLite]]
+    * table with exactly-once epoch commits. Resumable from `checkpoint`. */
+  def runRedactionToTable(spark: SparkSession, sourceDir: String,
+                          tableRoot: String, checkpoint: String,
+                          p: RedactionParams = RedactionParams(),
+                          numBuckets: Int = 8,
+                          maxFilesPerTrigger: Int = 1,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val table = new IcebergLite(tableRoot)
+    table.create("conv_id string, turn_idx int, session_id bigint, role string, " +
+      "tool string, ts timestamp, text_redacted string, was_redacted boolean",
+      numBuckets)
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Turn]].schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .as[Turn]
+    val red = redactedStream(src, p)
+    red.writeStream
+      .queryName("redaction-to-table")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: Dataset[RedactedTurn], epochId: Long) =>
+        table.commitEpoch(df.toDF(), "redaction-to-table", epochId, numBuckets)
+        ()
+      }
+      .start()
+  }
+}

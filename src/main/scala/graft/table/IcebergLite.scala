@@ -1,0 +1,217 @@
+package graft.table
+
+import java.io.File
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.{ArrayList => JArrayList, HashMap => JHashMap, List => JList, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal Iceberg-style table format, built from scratch (no Iceberg jar in
+  * the sandbox — SURVEY.md §7.0): immutable parquet data files + a JSON
+  * snapshot log with atomic, **idempotent** epoch commits.
+  *
+  * This is the scale-up of the reference's atomic save protocol
+  * (/root/reference/mechanisms/watermark_processor.py:46-47,166-175):
+  * write to a temp location, publish atomically, clean up — with the failure
+  * contract of :188-195 (staged-but-unpublished output is invisible and
+  * retryable). Exactly-once is achieved the standard way for
+  * `foreachBatch` sinks: commits are keyed by `(queryId, epochId)`; a
+  * replayed epoch finds its snapshot already present and becomes a no-op.
+  *
+  * Layout:
+  * {{{
+  *   root/
+  *     metadata/table.json            // schema + partition spec (create-once)
+  *     metadata/snap-<epoch>.json     // one per committed epoch: manifest of
+  *                                    // data files + per-partition lineage
+  *     data/part-<epoch>-<idx>.parquet
+  *     _staging/ep-<epoch>/           // transient; never visible to readers
+  * }}}
+  *
+  * Determinism: data files are named `part-<epoch>-<idx>` (no UUIDs, no wall
+  * clock — fixing the reference's `int(time.time())` naming at :47), rows are
+  * hash-partitioned by `conv_id` and sorted by `(conv_id, turn_idx)` within
+  * each file, so replaying an epoch reproduces byte-identical files.
+  *
+  * At 10^12-turn scale: one snapshot JSON per epoch is the analogue of an
+  * Iceberg manifest list; readers prune by the per-file min/max `ts` and
+  * `conv_id` stats recorded in the manifest (data-file pruning — the
+  * analogue of the reference's extension predicate at listing time, :235).
+  */
+final class IcebergLite(val root: String) {
+  private val mapper = new ObjectMapper()
+  private def metaDir = Paths.get(root, "metadata")
+  private def dataDir = Paths.get(root, "data")
+  private def stagingDir(epochId: Long) = Paths.get(root, "_staging", s"ep-$epochId")
+  private def snapPath(epochId: Long) = metaDir.resolve(f"snap-$epochId%012d.json")
+
+  /** Create-if-absent (S6; mirrors os.makedirs + error contract at :223-232). */
+  def create(schemaDdl: String, numBuckets: Int): Unit = synchronized {
+    Files.createDirectories(metaDir)
+    Files.createDirectories(dataDir)
+    val t = metaDir.resolve("table.json")
+    if (!Files.exists(t)) {
+      val m = new JHashMap[String, Object]()
+      m.put("formatVersion", Integer.valueOf(1))
+      m.put("schema", schemaDdl)
+      m.put("partitionSpec", s"bucket(conv_id, $numBuckets)")
+      atomicWrite(t, mapper.writeValueAsBytes(m))
+    }
+  }
+
+  def isCommitted(epochId: Long): Boolean = Files.exists(snapPath(epochId))
+
+  /** Full idempotent commit: stage → publish files → write snapshot.
+    * Returns false if the epoch was already committed (replay no-op). */
+  def commitEpoch(df: DataFrame, queryId: String, epochId: Long,
+                  numBuckets: Int): Boolean = {
+    if (isCommitted(epochId)) return false
+    val files = stageAndPublish(df, epochId, numBuckets)
+    writeSnapshot(queryId, epochId, files)
+    true
+  }
+
+  /** Steps 1–2: write deterministic data files and move them into `data/`.
+    * Publicly split from [[writeSnapshot]] so kill/resume tests can crash in
+    * the staged-but-uncommitted window (the :188-195 failure point). */
+  def stageAndPublish(df: DataFrame, epochId: Long, numBuckets: Int): Seq[DataFileMeta] = {
+    val staging = stagingDir(epochId)
+    deleteRecursively(staging)
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    df.repartition(numBuckets, col("conv_id"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .withColumn("epoch_id", lit(epochId)) // S9 lineage — deterministic,
+      .withColumn("partition_id", spark_partition_id()) // unlike time.time()
+      .write.mode("overwrite").parquet(staging.toString)
+
+    val staged = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    Files.createDirectories(dataDir)
+    staged.zipWithIndex.map { case (src, idx) =>
+      val name = f"part-$epochId%06d-$idx%05d.parquet"
+      val dst = dataDir.resolve(name)
+      // REPLACE: a retried epoch rewrites identical bytes (determinism)
+      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      footerStats(dst, epochId, idx, s"data/$name")
+    }
+  }
+
+  /** Step 3: atomically publish the snapshot (manifest + lineage). */
+  def writeSnapshot(queryId: String, epochId: Long, files: Seq[DataFileMeta]): Unit = {
+    val snap = new JHashMap[String, Object]()
+    snap.put("queryId", queryId)
+    snap.put("epochId", java.lang.Long.valueOf(epochId))
+    val list: JList[Object] = new JArrayList[Object]()
+    files.foreach { f =>
+      val m = new JHashMap[String, Object]()
+      m.put("path", f.path)
+      m.put("partitionId", Integer.valueOf(f.partitionId))
+      m.put("rowCount", java.lang.Long.valueOf(f.rowCount))
+      m.put("minTs", java.lang.Long.valueOf(f.minTsMicros))
+      m.put("maxTs", java.lang.Long.valueOf(f.maxTsMicros))
+      list.add(m)
+    }
+    snap.put("files", list)
+    atomicWrite(snapPath(epochId), mapper.writeValueAsBytes(snap))
+  }
+
+  def snapshots: Seq[SnapshotMeta] = {
+    if (!Files.exists(metaDir)) return Nil
+    Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val n = mapper.readTree(Files.readAllBytes(p))
+        val files = n.get("files").elements().asScala.map { f =>
+          DataFileMeta(f.get("path").asText(), f.get("partitionId").asInt(),
+            f.get("rowCount").asLong(), f.get("minTs").asLong(), f.get("maxTs").asLong())
+        }.toSeq
+        SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(), files)
+      }
+  }
+
+  /** Committed view: union of files listed in snapshots — staged or orphaned
+    * files are invisible (the exactly-once reader contract). */
+  def read(spark: SparkSession): DataFrame = readSince(spark, Long.MinValue)
+
+  /** Incremental scan: only epochs after `afterEpochId` (streaming-source
+    * delta read over the snapshot log). */
+  def readSince(spark: SparkSession, afterEpochId: Long): DataFrame = {
+    val files = snapshots.filter(_.epochId > afterEpochId)
+      .flatMap(_.files).map(f => s"$root/${f.path}")
+    if (files.isEmpty)
+      spark.read.schema("conv_id string").parquet() // empty frame w/ no files
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Row-count per partition across epochs — per-partition lineage metrics
+    * (progress accounting analogue, watermark_processor.py:162-163,257-258). */
+  def partitionMetrics: Map[Int, Long] =
+    snapshots.flatMap(_.files).groupBy(_.partitionId)
+      .map { case (p, fs) => p -> fs.map(_.rowCount).sum }
+
+  // ---- internals -----------------------------------------------------------
+
+  private def footerStats(p: Path, epochId: Long, idx: Int, rel: String): DataFileMeta = {
+    val in = HadoopInputFile.fromPath(new HPath(p.toUri), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val md = reader.getFooter
+      var rows = 0L
+      var minTs = Long.MaxValue
+      var maxTs = Long.MinValue
+      md.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.find(_.getPath.toDotString == "ts").foreach { c =>
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty) {
+            st.genericGetMin match {
+              case l: java.lang.Long =>
+                if (l < minTs) minTs = l
+              case _ =>
+            }
+            st.genericGetMax match {
+              case l: java.lang.Long =>
+                if (l > maxTs) maxTs = l
+              case _ =>
+            }
+          }
+        }
+      }
+      if (minTs == Long.MaxValue) { minTs = 0L; maxTs = 0L }
+      DataFileMeta(rel, idx, rows, minTs, maxTs)
+    } finally reader.close()
+  }
+
+  private def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+    Files.write(tmp, bytes)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // lost the race to an identical concurrent/replayed commit — fine
+      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}
+
+final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
+                              minTsMicros: Long, maxTsMicros: Long)
+final case class SnapshotMeta(queryId: String, epochId: Long, files: Seq[DataFileMeta])
