@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.gen.Fixtures
 import graft.operators.{DocumentOps, TranscriptOps}
+import graft.ops.{Dedup, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,13 +40,34 @@ object SparkEntry {
     "q9_quality" -> ((s, dir) =>
       DocumentOps.quality(Fixtures.documents(s, dir))),
     "q10_lang_id" -> ((s, dir) =>
-      DocumentOps.langId(Fixtures.documents(s, dir)))
+      DocumentOps.langId(Fixtures.documents(s, dir))),
+    "q11_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Fixtures.docs(s, dir))),
+    "q12_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Fixtures.docs(s, dir))),
+    "q13_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Fixtures.docs(s, dir))),
+    "q14_embed_dup" -> ((s, dir) =>
+      Similarity.embedDupPairs(Fixtures.embs(s, dir))),
+    "q15_ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(Fixtures.embeddings(s, dir), "vec_id", "embedding")),
+    "q16_docs_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Fixtures.docs(s, dir))),
+    "q17_media_stats" -> ((s, dir) => {
+      import graft.ops.MultiModal
+      val media = Fixtures.media(s, dir)
+      implicit val enc = org.apache.spark.sql.Encoders.product[MultiModal.MediaRow]
+      MultiModal.kindStats(MultiModal.extractFeatures(media.as[MultiModal.MediaRow]))
+        .select("kind", "n_items", "total_bytes")
+    })
   )
 
   // The driver verifies at sf0.01, so oracle SQL references the sf0.01
   // synthetic parquet by absolute path (same files Spark read).
   private val T = "read_parquet('/root/repo/data/transcripts_sf0.01/*.parquet')"
   private val TSkew = "read_parquet('/root/repo/data/transcripts_skew_sf0.01/*.parquet')"
+  private val D = "read_parquet('/root/repo/data/docs_sf0.01/*.parquet')"
+  private val E = "read_parquet('/root/repo/data/emb_sf0.01/*.parquet')"
 
   // Shared CTE: gap-based sessionization (mirror of operators.Sessions).
   private def sessionCte(src: String): String =
@@ -84,7 +106,9 @@ object SparkEntry {
          |FROM x WHERE length(sentence) >= 24
          |GROUP BY 1, 2, 3 HAVING count(DISTINCT turn_idx) >= 3""".stripMargin,
     "q3_window_stats" ->
-      s"""SELECT date_trunc('minute', ts) AS window_start, role, tool,
+      s"""SELECT strftime(CAST(date_trunc('minute', ts) AS TIMESTAMP),
+         |                '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       role, tool,
          |       count(*) AS turn_count,
          |       CAST(sum(length(text)) AS BIGINT) AS char_sum,
          |       count(DISTINCT conv_id) AS n_convs
@@ -141,6 +165,60 @@ object SparkEntry {
         |       WHEN hits_es = greatest(hits_en, hits_fr, hits_de, hits_es) AND greatest(hits_en, hits_fr, hits_de, hits_es) > 0 THEN 'es'
         |       ELSE 'und' END AS lang_guess,
         |  hits_en, hits_fr, hits_de, hits_es
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+    // q12/q13 (MinHash-LSH, SimHash) are hash-randomized candidate
+    // generators — not SQL-expressible; they get the driver's rows-only
+    // check and are parity-tested against exact Jaccard in scalatest.
+    "q11_jaccard_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM $D),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+         |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT it.doc_a, it.doc_b, it.inter, sa.n AS size_a, sb.n AS size_b
+         |FROM it JOIN sz sa ON sa.doc_id = it.doc_a JOIN sz sb ON sb.doc_id = it.doc_b
+         |WHERE 10 * it.inter >= 8 * (sa.n + sb.n - it.inter)""".stripMargin,
+    "q14_embed_dup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(vec, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM $E),
+         |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+         |d AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         CAST(list_sum(list_transform(range(1, 33), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+         |         a.n2 AS na2, b.n2 AS nb2
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, dot FROM d
+         |WHERE dot > 0 AND 10000 * dot * dot >= 8100 * na2 * nb2""".stripMargin,
+    "q15_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |e AS (
+        |  SELECT vec_id AS nid,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS nv
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT q.qid, e.nid,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * e.nv[i])) AS BIGINT) AS dot
+        |  FROM q, e WHERE e.nid <> q.qid)
+        |SELECT qid, nid, dot, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT qid, nid, dot,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+        |  FROM d)
+        |WHERE rank <= 10""".stripMargin,
+    "q16_docs_dedup_exact" ->
+      s"""SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
+         |FROM $D GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q17_media_stats" ->
+      """SELECT kind, count(*) AS n_items,
+        |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes
+        |FROM read_parquet('/root/repo/data/media_sf0.01/*.parquet')
+        |GROUP BY 1""".stripMargin
   )
 }

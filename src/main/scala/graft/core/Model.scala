@@ -39,7 +39,13 @@ final case class RedactionParams(
     // sketch-learned (R4) knobs
     minSentenceLen: Int = Defaults.MinSentenceLen,
     threshold: Int = Defaults.Threshold,
-    learnedPlaceholder: String = Defaults.LearnedPlaceholder
+    learnedPlaceholder: String = Defaults.LearnedPlaceholder,
+    // CMS shape: sized for per-session sentence cardinality (~10^2-10^3).
+    // Width trades state-store I/O (the dominant streaming cost) against
+    // overestimate probability; 1024x4 keeps P(false-learn) negligible at
+    // session scale while cutting state bytes 2x vs the old 2048x4.
+    sketchDepth: Int = 4,
+    sketchWidth: Int = 1024
 ) {
   /** Effective footer literal; "" disables the branch (watermark_processor.py:72). */
   def footer: String = if (useFooter) footerPattern else ""

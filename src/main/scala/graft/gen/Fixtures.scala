@@ -70,4 +70,63 @@ object Fixtures {
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // -- synthetic corpora with planted duplicates (dedup/similarity ops) ------
+
+  def docsPath(name: String): String = s"$DataRoot/docs_$name"
+  def embPath(name: String): String = s"$DataRoot/emb_$name"
+
+  def nDocsFor(name: String): Int = name match {
+    case "sf0.001" => 500
+    case "sf0.01"  => 2000
+    case "sf0.1"   => 20000
+    case _         => 500
+  }
+
+  def nVecsFor(name: String): Int = name match {
+    case "sf0.001" => 500
+    case "sf0.01"  => 1000
+    case "sf0.1"   => 10000
+    case _         => 500
+  }
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = sfName(sfDir)
+    val path = docsPath(name)
+    synchronized {
+      if (!new File(path, "_SUCCESS").exists())
+        DocGen.dataset(spark, nDocsFor(name))
+          .repartition(4).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  def mediaPath(name: String): String = s"$DataRoot/media_$name"
+
+  def nMediaFor(name: String): Int = name match {
+    case "sf0.1" => 10000
+    case _       => 2000
+  }
+
+  def media(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = sfName(sfDir)
+    val path = mediaPath(name)
+    synchronized {
+      if (!new File(path, "_SUCCESS").exists())
+        graft.ops.MultiModal.dataset(spark, nMediaFor(name))
+          .toDF().repartition(4).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  def embs(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = sfName(sfDir)
+    val path = embPath(name)
+    synchronized {
+      if (!new File(path, "_SUCCESS").exists())
+        EmbGen.dataset(spark, nVecsFor(name))
+          .repartition(4).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 }

@@ -34,18 +34,21 @@ object StreamFixtures {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     import spark.implicits._
     val all = TranscriptGen.dataset(spark, spec).toDF()
-      .withColumn("slice",
-        ntile(k).over(Window.orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
-      .cache()
     val maxTsMs = all.agg(max(col("ts"))).head().getTimestamp(0).getTime
     try {
-      (1 to k).foreach { i =>
-        val tmp = root.resolve(s".tmp-slice-$i")
-        all.filter(col("slice") === i).drop("slice")
-          .sort("ts", "conv_id", "turn_idx")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        publishSingle(tmp, root, f"slice-${i - 1}%04d.parquet", i - 1)
+      // one distributed pass: range-partition by event time → k ts-ordered
+      // partitions, each published as one slice file (≈ one micro-batch)
+      val tmp = root.resolve(".tmp-slices")
+      all.repartitionByRange(k, col("ts"), col("conv_id"), col("turn_idx"))
+        .sortWithinPartitions("ts", "conv_id", "turn_idx")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val parts = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (part, i) =>
+        publish(part, root, f"slice-$i%04d.parquet", i)
       }
+      deleteRecursively(tmp)
       // Two flush slices, each its own micro-batch: the watermark is
       // computed from data seen in *previous* batches, so flush #1 advances
       // event time past every session gap and flush #2's batch is where the
@@ -53,25 +56,32 @@ object StreamFixtures {
       // (Trigger.AvailableNow does not run trailing no-data batches.)
       (0 until 2).foreach { j =>
         val flushTs = maxTsMs + (gapSec + 3600L * (j + 1)) * 1000L
-        val tmp = root.resolve(s".tmp-flush$j")
+        val tmpF = root.resolve(s".tmp-flush$j")
         Seq(Pipeline.flushTurn(flushTs)).toDS().toDF()
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        publishSingle(tmp, root, f"slice-${k + j}%04d.parquet", k + j)
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpF.toString)
+        val part = Files.list(tmpF).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet in $tmpF"))
+        publish(part, root, f"slice-${k + j}%04d.parquet", k + j)
+        deleteRecursively(tmpF)
       }
       Files.write(root.resolve("_DONE"), Array.emptyByteArray)
       k + 2
-    } finally all.unpersist()
+    } catch {
+      case e: Throwable => deleteRecursively(root); throw e
+    }
   }
 
-  private def publishSingle(tmpDir: Path, root: Path, name: String, seq: Int): Unit = {
-    val part = Files.list(tmpDir).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no parquet in $tmpDir"))
+  private def publish(part: Path, root: Path, name: String, seq: Int): Unit = {
     val dst = root.resolve(name)
     Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
     // strictly increasing mtimes → deterministic file-source order
     Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000000000L + seq * 60000L))
-    Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.delete)
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
 }

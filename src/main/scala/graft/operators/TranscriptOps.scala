@@ -74,7 +74,12 @@ object TranscriptOps {
         count(lit(1)).as("turn_count"),
         sum(length(col("text"))).cast("long").as("char_sum"),
         countDistinct(col("conv_id")).as("n_convs"))
-      .select(col("window.start").as("window_start"), col("role"), col("tool"),
+      .select(
+        // string form: timestamp objects round-trip differently through
+        // parquet/pandas/duckdb (tz-aware vs naive) and break value-level
+        // comparison; the rendered UTC instant is unambiguous
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("role"), col("tool"),
         col("turn_count"), col("char_sum"), col("n_convs"))
 
   /** J1 (batch form) — pair each tool-call turn with its earliest response

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.gen.Mix
+
+/** Embedding similarity search (training-data pipeline surface).
+  *
+  * All oracle-facing similarity math is integer-exact: vectors are quantized
+  * to `round(x·1000)` longs and compared via integer dot products, so Spark
+  * and the DuckDB oracle agree bit-for-bit (`cos ≥ t` becomes
+  * `100·dot² ≥ (100t²)·|a|²·|b|² ∧ dot > 0` — no float drift, no sqrt).
+  */
+object Similarity {
+
+  /** Quantized vector: array<long> of round(x·1000). The cast to double
+    * BEFORE scaling matters — float·int would round differently. */
+  def quantCol(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force exact top-k by quantized dot product for the first
+    * `nQueries` vectors — the ANN baseline. One broadcast of the (small)
+    * query side; no shuffle on the corpus until the per-query top-k, which
+    * is a windowed rank over qid partitions. */
+  def annTopK(embs: DataFrame, idCol: String, vecCol: String,
+              nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val q = embs.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), quantCol(col(vecCol)).as("qv"))
+    val d = embs.select(col(idCol).as("nid"), quantCol(col(vecCol)).as("nv"))
+    val scored = d.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), dotCol(col("qv"), col("nv")).as("dot"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dot"), col("rank"))
+  }
+
+  /** Exact embedding near-dup pairs at cosine ≥ pct/100 (integer form).
+    * All-pairs nested-loop — correct baseline; [[embedDupLsh]] is the
+    * scale path. */
+  def embedDupPairs(embs: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "vec", pct: Int = 90): DataFrame = {
+    val v = embs.select(col(idCol).as("vec_id"), quantCol(col(vecCol)).as("q"))
+      .withColumn("n2", dotCol(col("q"), col("q")))
+    val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dotCol(col("a.q"), col("b.q")).as("dot"),
+        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+    pairs.filter(col("dot") > 0 &&
+        lit(10000L) * col("dot") * col("dot") >=
+          lit(pct.toLong * pct.toLong) * col("na2") * col("nb2"))
+      .select(col("vec_a"), col("vec_b"), col("dot"))
+  }
+
+  /** Random-hyperplane LSH near-dup (the 100-TB path): `tables` independent
+    * sign-sketches of `bits` hyperplanes each; candidates from bucket
+    * equi-joins, then the same exact integer verification. For cos ≈ 0.99
+    * pairs, P(miss) ≈ (1−(1−θ/π)^bits)^tables ≈ 1e-4 at 4×4. */
+  def embedDupLsh(embs: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "vec", pct: Int = 90,
+                  tables: Int = 4, bits: Int = 4, dim: Int = 32): DataFrame = {
+    // deterministic hyperplanes
+    val planes: Array[Array[Double]] = Array.tabulate(tables * bits) { p =>
+      Array.tabulate(dim)(i => Mix.mix(0x91a9e5L, p.toLong, i.toLong).toDouble / Long.MaxValue)
+    }
+    val bc = embs.sparkSession.sparkContext.broadcast(planes)
+    val sketch = udf { (vec: Seq[Float]) =>
+      val ps = bc.value
+      (0 until tables).map { t =>
+        var h = 0
+        (0 until bits).foreach { b =>
+          val pl = ps(t * bits + b)
+          var s = 0.0
+          var i = 0
+          while (i < vec.length) { s += vec(i) * pl(i); i += 1 }
+          if (s > 0) h |= (1 << b)
+        }
+        (t, h)
+      }
+    }
+    val v = embs.select(col(idCol).as("vec_id"), quantCol(col(vecCol)).as("q"),
+        explode(sketch(col(vecCol))).as("tb"))
+      .select(col("vec_id"), col("q"), col("tb._1").as("t"), col("tb._2").as("h"))
+    val cand = v.as("a").join(v.as("b"),
+        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.q").as("qa"), col("b.q").as("qb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .select(col("vec_a"), col("vec_b"),
+        dotCol(col("qa"), col("qb")).as("dot"),
+        dotCol(col("qa"), col("qa")).as("na2"),
+        dotCol(col("qb"), col("qb")).as("nb2"))
+      .filter(col("dot") > 0 &&
+        lit(10000L) * col("dot") * col("dot") >=
+          lit(pct.toLong * pct.toLong) * col("na2") * col("nb2"))
+      .select(col("vec_a"), col("vec_b"), col("dot"))
+  }
+}

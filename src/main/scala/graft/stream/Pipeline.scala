@@ -19,9 +19,12 @@ final case class BufTurn(turn_idx: Int, role: String, text: String,
                          tool: String, tsMs: Long)
 
 /** Per-conv_id session-window state: current session's buffer + count-min
-  * sketch over its normalized sentences. */
+  * sketch over its normalized sentences. The sketch is stored SPARSELY
+  * ((index, value) pairs) because state-store bytes are the dominant
+  * streaming cost; it is rebuilt dense inside the update function. */
 final case class ConvState(sessionSeq: Long, lastTsMs: Long,
-                           buf: List[BufTurn], sk: CountMin)
+                           buf: List[BufTurn],
+                           skIdx: Array[Long], skVal: Array[Long], skTotal: Long)
 
 /** Output row of the redaction stream. `session_id` and the deterministic
   * lineage the sink appends replace the reference's wall-clock provenance
@@ -62,27 +65,41 @@ object Pipeline {
 
   // ---- stateful session redaction -----------------------------------------
 
-  private def emptyState = ConvState(0L, Long.MinValue, Nil, CountMin.empty())
+  /** Dense working form of [[ConvState]] used inside one update call. */
+  private final class Live(var sessionSeq: Long, var lastTsMs: Long,
+                           var buf: List[BufTurn], var sk: CountMin)
 
-  private def addTurn(st: ConvState, t: Turn, p: RedactionParams): ConvState = {
-    val sentences = Normalize.normalizedSentences(t.text)
-      .filter(_.length >= p.minSentenceLen).distinct
-    sentences.foreach(st.sk.add(_)) // once per turn: distinct-turn counting
-    ConvState(st.sessionSeq, t.ts.getTime,
-      BufTurn(t.turn_idx, t.role, t.text, t.tool, t.ts.getTime) :: st.buf, st.sk)
+  private def load(st: ConvState, p: RedactionParams): Live =
+    new Live(st.sessionSeq, st.lastTsMs, st.buf,
+      CountMin.fromSparse(p.sketchDepth, p.sketchWidth, st.skIdx, st.skVal, st.skTotal))
+
+  private def store(l: Live): ConvState = {
+    val (idx, vals) = CountMin.toSparse(l.sk)
+    ConvState(l.sessionSeq, l.lastTsMs, l.buf, idx, vals, l.sk.total)
   }
 
-  private def closeSession(convId: String, st: ConvState,
+  private def emptyLive(p: RedactionParams) =
+    new Live(0L, Long.MinValue, Nil, CountMin.empty(p.sketchDepth, p.sketchWidth))
+
+  private def addTurn(l: Live, t: Turn, p: RedactionParams): Unit = {
+    val sentences = Normalize.normalizedSentences(t.text)
+      .filter(_.length >= p.minSentenceLen).distinct
+    sentences.foreach(l.sk.add(_)) // once per turn: distinct-turn counting
+    l.lastTsMs = t.ts.getTime
+    l.buf = BufTurn(t.turn_idx, t.role, t.text, t.tool, t.ts.getTime) :: l.buf
+  }
+
+  private def closeSession(convId: String, l: Live,
                            p: RedactionParams): Seq[RedactedTurn] = {
-    val learned = st.buf.iterator
+    val learned = l.buf.iterator
       .flatMap(b => Normalize.normalizedSentences(b.text))
       .filter(_.length >= p.minSentenceLen)
       .distinct
-      .filter(s => st.sk.estimate(s) >= p.threshold)
+      .filter(s => l.sk.estimate(s) >= p.threshold)
       .toSet
-    st.buf.sortBy(_.turn_idx).map { b =>
+    l.buf.sortBy(_.turn_idx).map { b =>
       val red = Redact.redactFull(b.text, b.role, learned, p)
-      RedactedTurn(convId, b.turn_idx, st.sessionSeq, b.role, b.tool,
+      RedactedTurn(convId, b.turn_idx, l.sessionSeq, b.role, b.tool,
         new Timestamp(b.tsMs), red, red != b.text)
     }
   }
@@ -94,26 +111,28 @@ object Pipeline {
       convId: String, turns: Iterator[Turn],
       state: GroupState[ConvState]): Iterator[RedactedTurn] = {
     if (state.hasTimedOut) {
-      val out = closeSession(convId, state.get, p)
+      val out = closeSession(convId, load(state.get, p), p)
       state.remove()
       return out.iterator
     }
     val sorted = turns.toIndexedSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
-    var st = state.getOption.getOrElse(emptyState)
+    val l = state.getOption.map(load(_, p)).getOrElse(emptyLive(p))
     val out = Seq.newBuilder[RedactedTurn]
     sorted.foreach { t =>
-      if (st.buf.nonEmpty && t.ts.getTime - st.lastTsMs > gapMs) {
+      if (l.buf.nonEmpty && t.ts.getTime - l.lastTsMs > gapMs) {
         // in-stream gap: close the session immediately (exact batch parity,
         // not dependent on timeout granularity)
-        out ++= closeSession(convId, st, p)
-        st = ConvState(st.sessionSeq + 1, Long.MinValue, Nil, CountMin.empty())
+        out ++= closeSession(convId, l, p)
+        l.sessionSeq += 1
+        l.buf = Nil
+        l.sk = CountMin.empty(p.sketchDepth, p.sketchWidth)
       }
-      st = addTurn(st, t, p)
+      addTurn(l, t, p)
     }
-    if (st.buf.nonEmpty) {
-      state.update(st)
+    if (l.buf.nonEmpty) {
+      state.update(store(l))
       // fire once the event-time watermark passes end-of-gap
-      val target = st.lastTsMs + gapMs
+      val target = l.lastTsMs + gapMs
       val wm = state.getCurrentWatermarkMs()
       state.setTimeoutTimestamp(math.max(target, wm + 1))
     } else state.remove()
@@ -142,7 +161,9 @@ object Pipeline {
       .agg(count(lit(1)).as("turn_count"),
         sum(length(col("text"))).cast("long").as("char_sum"),
         approx_count_distinct(col("conv_id")).as("approx_convs"))
-      .select(col("window.start").as("window_start"), col("role"), col("tool"),
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("role"), col("tool"),
         col("turn_count"), col("char_sum"), col("approx_convs"))
 
   /** J1 streaming form: symmetric-hash stream-stream inner join pairing
@@ -198,7 +219,7 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .as[Turn]
-    val red = redactedStream(src, p)
+    val red = Metrics.observed(redactedStream(src, p))
     red.writeStream
       .queryName("redaction-to-table")
       .outputMode(OutputMode.Append())

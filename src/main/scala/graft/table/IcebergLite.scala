@@ -97,14 +97,20 @@ final class IcebergLite(val root: String) {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
     Files.createDirectories(dataDir)
-    staged.zipWithIndex.map { case (src, idx) =>
+    val published = staged.zipWithIndex.map { case (src, idx) =>
       val name = f"part-$epochId%06d-$idx%05d.parquet"
       val dst = dataDir.resolve(name)
       // REPLACE: a retried epoch rewrites identical bytes (determinism)
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
-      footerStats(dst, epochId, idx, s"data/$name")
+      (dst, idx, s"data/$name")
     }
+    // footer reads are independent — do them in parallel, the driver-side
+    // serial loop was measurable at one-file-per-bucket epoch sizes
+    import scala.collection.parallel.CollectionConverters._
+    published.par.map { case (dst, idx, rel) =>
+      footerStats(dst, epochId, idx, rel)
+    }.toIndexedSeq.seq.sortBy(_.partitionId)
   }
 
   /** Step 3: atomically publish the snapshot (manifest + lineage). */
@@ -153,6 +159,25 @@ final class IcebergLite(val root: String) {
     if (files.isEmpty)
       spark.read.schema("conv_id string").parquet() // empty frame w/ no files
     else spark.read.parquet(files: _*)
+  }
+
+  /** Manifest-pruned file selection for an event-time range: only data
+    * files whose [minTs, maxTs] stats overlap the range are touched — the
+    * Iceberg-manifest analogue of the reference's listing-time predicate
+    * (watermark_processor.py:235). At 10^12 rows this is the difference
+    * between scanning a day and scanning the table. */
+  def filesForRange(minTsMicros: Long, maxTsMicros: Long): Seq[String] =
+    snapshots.flatMap(_.files)
+      .filter(f => f.maxTsMicros >= minTsMicros && f.minTsMicros <= maxTsMicros)
+      .map(f => s"$root/${f.path}")
+
+  /** Pruned scan: manifest file pruning + a residual row-level filter. */
+  def readRange(spark: SparkSession, minTsMicros: Long, maxTsMicros: Long): DataFrame = {
+    val files = filesForRange(minTsMicros, maxTsMicros)
+    if (files.isEmpty) return spark.read.schema("conv_id string").parquet()
+    spark.read.parquet(files: _*)
+      .filter(col("ts") >= lit(new java.sql.Timestamp(minTsMicros / 1000L)) &&
+        col("ts") <= lit(new java.sql.Timestamp(maxTsMicros / 1000L)))
   }
 
   /** Row-count per partition across epochs — per-partition lineage metrics

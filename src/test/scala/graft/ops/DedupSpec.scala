@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.gen.{DocGen, EmbGen}
+
+class DedupSpec extends SparkSpec {
+  lazy val docs = DocGen.dataset(spark, nDocs = 300).cache()
+  lazy val embs = EmbGen.dataset(spark, nVecs = 300).cache()
+
+  def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactJaccard = pairSet(Dedup.ngramJaccardPairs(docs), "doc_a", "doc_b")
+
+  test("planted near-dups and exact dups are found by n-gram Jaccard") {
+    // every exact dup (13k+5 -> anchor) must be a pair at J=1.0
+    val exactDupPairs = (0L until 300L)
+      .filter(i => i % 13 == 5 && i - i % 13 != i)
+      .map(i => (i - i % 13, i)).toSet
+    assert(exactDupPairs.subsetOf(exactJaccard),
+      s"missing exact dups: ${exactDupPairs -- exactJaccard}")
+    // near-dups (7k+3, 2 token substitutions) should essentially all be found
+    val nearDupPairs = (0L until 300L)
+      .filter(i => i % 7 == 3 && i - i % 7 != i)
+      .map(i => (i - i % 7, i)).toSet
+    val found = nearDupPairs.intersect(exactJaccard)
+    assert(found.size >= (nearDupPairs.size * 9) / 10,
+      s"jaccard recall too low: ${found.size}/${nearDupPairs.size}")
+  }
+
+  test("MinHash+LSH pairs == exact Jaccard pairs (verified candidates)") {
+    val lsh = pairSet(Dedup.minhashLshPairs(docs), "doc_a", "doc_b")
+    assert(lsh === exactJaccard)
+  }
+
+  test("SimHash finds exact dups with hamming 0 and no random-pair flood") {
+    val sh = Dedup.simhashPairs(docs, maxHam = 3)
+    val pairs = sh.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val exactDupPairs = (0L until 300L)
+      .filter(i => i % 13 == 5 && i - i % 13 != i)
+      .map(i => (i - i % 13, i))
+    exactDupPairs.foreach { p =>
+      assert(pairs.get(p).contains(0L), s"exact dup $p not at hamming 0")
+    }
+    // unrelated docs shouldn't collapse: pair count stays near dup count
+    assert(pairs.size < 120, s"simhash produced ${pairs.size} pairs — flood")
+  }
+
+  test("embedding near-dup: LSH path == exact all-pairs path, dups planted") {
+    val exact = pairSet(Similarity.embedDupPairs(embs), "vec_a", "vec_b")
+    val planted = (0L until 300L)
+      .filter(i => i % 7 == 3 && i - i % 7 != i)
+      .map(i => (i - i % 7, i)).toSet
+    assert(planted.subsetOf(exact), s"missing planted: ${planted -- exact}")
+    val lsh = pairSet(Similarity.embedDupLsh(embs), "vec_a", "vec_b")
+    assert(lsh === exact)
+  }
+
+  test("ANN top-k: self excluded, k rows per query, planted near-dup is rank 1") {
+    val ann = Similarity.annTopK(embs, "vec_id", "vec", nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(ann.count(_._1 == 0L) === 5)
+    assert(!ann.exists(t => t._1 == t._2), "self in neighbors")
+    // vec 3 is a near-dup of vec 0 → must be each other's top neighbor
+    assert(ann.filter(_._1 == 3L).minBy(_._3)._2 === 0L)
+    assert(ann.filter(_._1 == 0L).minBy(_._3)._2 === 3L)
+  }
+}

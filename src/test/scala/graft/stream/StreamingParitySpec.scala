@@ -64,12 +64,12 @@ class StreamingParitySpec extends SparkSpec {
 
     val streamed = spark.table("wstats")
       .select("window_start", "role", "tool", "turn_count", "char_sum")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2)) ->
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         (r.getLong(3), r.getLong(4))).toMap
 
     val batch = TranscriptOps.windowStats(spark.createDataset(turns).toDF())
       .select("window_start", "role", "tool", "turn_count", "char_sum")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2)) ->
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         (r.getLong(3), r.getLong(4))).toMap
 
     assert(streamed === batch)
