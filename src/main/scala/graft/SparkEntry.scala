@@ -53,6 +53,8 @@ object SparkEntry {
       Similarity.annTopK(Fixtures.embeddings(s, dir), "vec_id", "embedding")),
     "q16_docs_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Fixtures.docs(s, dir))),
+    "q18_point_lookup" -> ((s, dir) =>
+      TranscriptOps.conversation(Fixtures.transcripts(s, dir), "conv-000042")),
     "q17_media_stats" -> ((s, dir) => {
       import graft.ops.MultiModal
       val media = Fixtures.media(s, dir)
@@ -215,6 +217,18 @@ object SparkEntry {
     "q16_docs_dedup_exact" ->
       s"""SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
          |FROM $D GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q18_point_lookup" ->
+      s"""SELECT conv_id, turn_idx, role, tool,
+         |  CASE WHEN role = 'tool'
+         |       THEN regexp_replace(s3, 'TRACE:[^\\n]*', '[TOOL-TRACE]', 'g')
+         |       ELSE s3 END AS text_redacted
+         |FROM (
+         |  SELECT conv_id, turn_idx, role, tool,
+         |    regexp_replace(
+         |      replace(replace(text, 'Jean Dupont', ''), 'DOCUMENT NON APPLICABLE', ''),
+         |      'Document non tenu[^.]*\\.?', '[REDACTED]', 'g') AS s3
+         |  FROM $T WHERE conv_id = 'conv-000042')
+         |ORDER BY turn_idx""".stripMargin,
     "q17_media_stats" ->
       """SELECT kind, count(*) AS n_items,
         |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes

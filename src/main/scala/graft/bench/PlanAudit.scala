@@ -1,0 +1,89 @@
+package graft.bench
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkEntry
+
+/** Physical-plan audit: for each gate query, capture the formatted plan and
+  * check the plan properties that matter at 100 TB — filter pushdown into
+  * the parquet scan, column pruning (ReadSchema), explicit broadcasts where
+  * a small side exists, whole-stage codegen coverage, no cartesian products
+  * outside the intentionally-all-pairs baselines. Writes PLANS.md.
+  */
+object PlanAudit {
+
+  final case class Check(name: String, ok: Boolean, detail: String)
+
+  def audit(name: String, df: DataFrame): (String, Seq[Check]) = {
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val checks = Seq.newBuilder[Check]
+    def has(s: String) = plan.contains(s)
+
+    name match {
+      case "q1_redact" =>
+        checks += Check("no shuffle (narrow per-turn map)", !has("Exchange"),
+          "redaction is a projection; any Exchange would be a bug")
+        checks += Check("whole-stage codegen", has("codegen id"), "")
+        checks += Check("column pruning", !has("ReadSchema: struct<conv_id:string,turn_idx:int,role:string,text:string,tool:string,ts:timestamp"),
+          "ts/tool must be pruned from the scan")
+      case "q18_point_lookup" =>
+        checks += Check("conv_id pushed to scan", has("PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv-000042)]")
+          || has("EqualTo(conv_id,conv-000042)"), "point predicate must reach parquet")
+      case "q4_join_pairs" =>
+        checks += Check("equi-join (no cartesian)", !has("CartesianProduct"),
+          "conv_id+tool equi keys must drive the join")
+      case "q11_jaccard_pairs" =>
+        checks += Check("size joins broadcast", has("BroadcastHashJoin") || has("BroadcastExchange"),
+          "per-doc size side is explicitly broadcast")
+        checks += Check("candidate join is equi on shingle", !has("CartesianProduct"), "")
+      case "q15_ann_topk" =>
+        checks += Check("query side broadcast", has("BroadcastNestedLoopJoin") || has("BroadcastExchange"),
+          "small query set must broadcast, corpus streams")
+      case "q6_skew_agg" =>
+        checks += Check("two aggregation phases",
+          "HashAggregate".r.findAllIn(plan).size >= 3,
+          "salted partial + final (each with its own partial/merge pair)")
+      case _ => ()
+    }
+    (plan, checks.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val audited = Seq("q1_redact", "q18_point_lookup", "q4_join_pairs",
+      "q11_jaccard_pairs", "q15_ann_topk", "q6_skew_agg", "q2_detect",
+      "q3_window_stats")
+    val out = new StringBuilder
+    out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
+    out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"
+    out ++= "pruning, broadcastability, codegen coverage, no accidental\n"
+    out ++= "cartesian products. Regenerate: `sbt \"runMain graft.bench.PlanAudit\"`.\n"
+    var failures = 0
+    audited.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val (plan, checks) = audit(q, df)
+      out ++= s"\n## $q\n\n"
+      checks.foreach { c =>
+        if (!c.ok) failures += 1
+        out ++= s"- ${if (c.ok) "PASS" else "FAIL"}: ${c.name}" +
+          (if (c.detail.nonEmpty) s" — ${c.detail}" else "") + "\n"
+        println(s"[plan] $q ${if (c.ok) "PASS" else "FAIL"} ${c.name}")
+      }
+      val excerpt = plan.linesIterator.take(40).mkString("\n")
+      out ++= s"\n```\n$excerpt\n```\n"
+    }
+    Files.write(Paths.get("/root/repo/PLANS.md"), out.toString.getBytes("UTF-8"))
+    println(s"[plan] total failures: $failures")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -86,7 +86,9 @@ object Fixtures {
   def nVecsFor(name: String): Int = name match {
     case "sf0.001" => 500
     case "sf0.01"  => 1000
-    case "sf0.1"   => 10000
+    // all-pairs baseline is O(n^2·dim); 4k keeps the exact query honest at
+    // bench scale while the LSH path is the actual scale story
+    case "sf0.1"   => 4000
     case _         => 500
   }
 

@@ -143,6 +143,16 @@ object TranscriptOps {
       .groupBy(col("conv_id"))
       .agg(sum(col("c")).as("n_turns"), sum(col("s")).cast("long").as("char_sum"))
 
+  /** S2 — point lookup of one conversation in stable turn order; the
+    * conv_id predicate pushes down to the parquet scan (and at full scale
+    * prunes `bucket(conv_id)` partitions before any I/O). */
+  def conversation(tx: DataFrame, convId: String,
+                   p: RedactionParams = RedactionParams()): DataFrame =
+    tx.filter(col("conv_id") === convId)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        Redact.redactBaseCol(col("text"), col("role"), p).as("text_redacted"))
+      .orderBy(col("turn_idx"))
+
   /** Exact deduplication: md5-hash groups with >1 copy. */
   def dedupExact(tx: DataFrame): DataFrame =
     tx.groupBy(md5(col("text")).as("text_hash"))

@@ -139,20 +139,110 @@ final class IcebergLite(val root: String) {
       .toSeq.sortBy(_.getFileName.toString)
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
-        val files = n.get("files").elements().asScala.map { f =>
-          DataFileMeta(f.get("path").asText(), f.get("partitionId").asInt(),
-            f.get("rowCount").asLong(), f.get("minTs").asLong(), f.get("maxTs").asLong())
-        }.toSeq
-        SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(), files)
+        SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(),
+          parseFiles(n))
       }
   }
 
-  /** Committed view: union of files listed in snapshots — staged or orphaned
-    * files are invisible (the exactly-once reader contract). */
-  def read(spark: SparkSession): DataFrame = readSince(spark, Long.MinValue)
+  private def parseFiles(n: com.fasterxml.jackson.databind.JsonNode): Seq[DataFileMeta] =
+    n.get("files").elements().asScala.map { f =>
+      DataFileMeta(f.get("path").asText(), f.get("partitionId").asInt(),
+        f.get("rowCount").asLong(), f.get("minTs").asLong(), f.get("maxTs").asLong())
+    }.toSeq
+
+  // ---- compaction (S8 — the analogue of save(garbage=4, deflate=True):
+  // rewrite accumulated small per-epoch files into one bucketed set) --------
+
+  def compactions: Seq[CompactionMeta] = {
+    if (!Files.exists(metaDir)) return Nil
+    Files.list(metaDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("compact-"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val n = mapper.readTree(Files.readAllBytes(p))
+        CompactionMeta(n.get("gen").asLong(),
+          n.get("replaces").elements().asScala.map(_.asLong()).toSeq,
+          parseFiles(n))
+      }
+  }
+
+  /** Effective file set: compacted generations supersede the epochs they
+    * replace; later epochs remain incremental. */
+  def effectiveFiles: Seq[DataFileMeta] = {
+    val comps = compactions
+    val replaced = comps.flatMap(_.replaces).toSet
+    comps.flatMap(_.files) ++
+      snapshots.filterNot(s => replaced.contains(s.epochId)).flatMap(_.files)
+  }
+
+  /** Rewrite all currently-committed epochs into `numBuckets` files (one
+    * compaction generation). Readers atomically switch when the compaction
+    * manifest lands; the old files stay on disk (time-travel / in-flight
+    * readers) until a separate GC. Incremental `readSince` callers must
+    * already be past the replaced epochs. */
+  def compact(spark: SparkSession, numBuckets: Int,
+              sortCols: Seq[String] = Seq("conv_id", "turn_idx")): Long = {
+    val replaced = {
+      val comps = compactions.flatMap(_.replaces).toSet
+      snapshots.map(_.epochId).filterNot(comps.contains)
+    }
+    if (replaced.isEmpty) return -1L
+    val gen = compactions.map(_.gen).foldLeft(-1L)(math.max) + 1
+    val staging = Paths.get(root, "_staging", s"compact-$gen")
+    deleteRecursively(staging)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    read(spark)
+      .repartition(numBuckets, col("conv_id"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val published = staged.zipWithIndex.map { case (src, idx) =>
+      val name = f"part-c$gen%04d-$idx%05d.parquet"
+      val dst = dataDir.resolve(name)
+      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      (dst, idx, s"data/$name")
+    }
+    import scala.collection.parallel.CollectionConverters._
+    val files = published.par.map { case (dst, idx, rel) =>
+      footerStats(dst, gen, idx, rel)
+    }.toIndexedSeq.seq.sortBy(_.partitionId)
+
+    val m = new JHashMap[String, Object]()
+    m.put("gen", java.lang.Long.valueOf(gen))
+    val rl: JList[Object] = new JArrayList[Object]()
+    replaced.foreach(e => rl.add(java.lang.Long.valueOf(e)))
+    m.put("replaces", rl)
+    val fl: JList[Object] = new JArrayList[Object]()
+    files.foreach { f =>
+      val fm = new JHashMap[String, Object]()
+      fm.put("path", f.path)
+      fm.put("partitionId", Integer.valueOf(f.partitionId))
+      fm.put("rowCount", java.lang.Long.valueOf(f.rowCount))
+      fm.put("minTs", java.lang.Long.valueOf(f.minTsMicros))
+      fm.put("maxTs", java.lang.Long.valueOf(f.maxTsMicros))
+      fl.add(fm)
+    }
+    m.put("files", fl)
+    atomicWrite(metaDir.resolve(f"compact-$gen%06d.json"), mapper.writeValueAsBytes(m))
+    deleteRecursively(staging)
+    gen
+  }
+
+  /** Committed view: union of effective files — staged or orphaned files
+    * are invisible (the exactly-once reader contract). */
+  def read(spark: SparkSession): DataFrame = {
+    val files = effectiveFiles.map(f => s"$root/${f.path}")
+    if (files.isEmpty)
+      spark.read.schema("conv_id string").parquet() // empty frame w/ no files
+    else spark.read.parquet(files: _*)
+  }
 
   /** Incremental scan: only epochs after `afterEpochId` (streaming-source
-    * delta read over the snapshot log). */
+    * delta read over the snapshot log). Exact only for `afterEpochId` at or
+    * past the last compacted epoch. */
   def readSince(spark: SparkSession, afterEpochId: Long): DataFrame = {
     val files = snapshots.filter(_.epochId > afterEpochId)
       .flatMap(_.files).map(f => s"$root/${f.path}")
@@ -167,7 +257,7 @@ final class IcebergLite(val root: String) {
     * (watermark_processor.py:235). At 10^12 rows this is the difference
     * between scanning a day and scanning the table. */
   def filesForRange(minTsMicros: Long, maxTsMicros: Long): Seq[String] =
-    snapshots.flatMap(_.files)
+    effectiveFiles
       .filter(f => f.maxTsMicros >= minTsMicros && f.minTsMicros <= maxTsMicros)
       .map(f => s"$root/${f.path}")
 
@@ -183,7 +273,7 @@ final class IcebergLite(val root: String) {
   /** Row-count per partition across epochs — per-partition lineage metrics
     * (progress accounting analogue, watermark_processor.py:162-163,257-258). */
   def partitionMetrics: Map[Int, Long] =
-    snapshots.flatMap(_.files).groupBy(_.partitionId)
+    effectiveFiles.groupBy(_.partitionId)
       .map { case (p, fs) => p -> fs.map(_.rowCount).sum }
 
   // ---- internals -----------------------------------------------------------
@@ -240,3 +330,4 @@ final class IcebergLite(val root: String) {
 final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
                               minTsMicros: Long, maxTsMicros: Long)
 final case class SnapshotMeta(queryId: String, epochId: Long, files: Seq[DataFileMeta])
+final case class CompactionMeta(gen: Long, replaces: Seq[Long], files: Seq[DataFileMeta])

@@ -44,6 +44,33 @@ class TableSpec extends SparkSpec {
     assert(table.snapshots.map(_.epochId) === Seq(0L, 1L, 2L))
   }
 
+  test("compaction rewrites epochs, preserves rows, keeps pruning + metrics") {
+    val table = mkTable(tmpDir("t-compact"))
+    val before = table.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    val gen = table.compact(spark, numBuckets = 2)
+    assert(gen === 0L)
+    assert(table.effectiveFiles.size === 2, "3x2 epoch files -> 2 compacted")
+    val after = table.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    assert(after.length === before.length)
+    // per-row equality on the business columns (lineage columns differ by
+    // design: the compacted files carry the compaction generation)
+    before.zip(after).foreach { case (b, a) =>
+      assert(b.getString(0) === a.getString(0))
+      assert(b.getInt(1) === a.getInt(1))
+      assert(b.getTimestamp(2) === a.getTimestamp(2))
+    }
+    assert(table.partitionMetrics.values.sum === before.length.toLong)
+    // a second compact with nothing new is a no-op
+    assert(table.compact(spark, 2) === -1L)
+    // new epochs after compaction remain incremental
+    import spark.implicits._
+    val df = Seq(("conv-zzz", 1, new Timestamp(1767250000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(table.commitEpoch(df, "q", 9L, 2))
+    assert(table.read(spark).count() === before.length + 1L)
+    assert(table.readSince(spark, 2L).count() === 1L)
+  }
+
   test("empty epoch commits a snapshot with no files (S4 empty-input guard)") {
     import spark.implicits._
     val table = new IcebergLite(tmpDir("t-empty"))
