@@ -16,12 +16,39 @@ import graft.gen.Mix
 object Similarity {
 
   /** Quantized vector: array<long> of round(x·1000). The cast to double
-    * BEFORE scaling matters — float·int would round differently. */
-  def quantCol(vec: Column): Column =
-    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+    * BEFORE scaling matters — float·int would round differently.
+    * UDFs, not `transform`/`zip_with`/`aggregate`: Catalyst higher-order
+    * functions run interpreted (no codegen) with per-element boxing —
+    * measured ~10x slower on the all-pairs dot products. Semantics match
+    * the DuckDB oracle exactly (HALF_UP rounding on doubles, exact
+    * integer sums). */
+  def quantCol(vec: Column): Column = {
+    val f = udf { (v: Seq[Float]) =>
+      val out = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble * 1000d
+        // half-away-from-zero, matching Spark round() and DuckDB round()
+        // (Math.round would give floor(d+0.5): wrong for negative ties)
+        out(i) = if (d >= 0) math.floor(d + 0.5d).toLong
+                 else math.ceil(d - 0.5d).toLong
+        i += 1
+      }
+      out
+    }
+    f(vec)
+  }
 
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  def dotCol(a: Column, b: Column): Column = {
+    val f = udf { (x: Seq[Long], y: Seq[Long]) =>
+      var s = 0L
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    f(a, b)
+  }
 
   /** Brute-force exact top-k by quantized dot product for the first
     * `nQueries` vectors — the ANN baseline. One broadcast of the (small)
@@ -43,20 +70,49 @@ object Similarity {
   }
 
   /** Exact embedding near-dup pairs at cosine ≥ pct/100 (integer form).
-    * All-pairs nested-loop — correct baseline; [[embedDupLsh]] is the
-    * scale path. */
+    * All-pairs baseline: the quantized corpus (a few MB — 8 B · dim per
+    * vector) is broadcast and each partition runs the raw O(n·m·dim) inner
+    * loop in JVM code. A join-shaped plan evaluates a per-pair UDF with two
+    * array deserializations per call — measured ~20x slower than this for
+    * identical output. [[embedDupLsh]] is the scale path (bounded
+    * candidates); this is the correctness baseline. */
   def embedDupPairs(embs: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "vec", pct: Int = 90): DataFrame = {
-    val v = embs.select(col(idCol).as("vec_id"), quantCol(col(vecCol)).as("q"))
-      .withColumn("n2", dotCol(col("q"), col("q")))
-    val pairs = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        dotCol(col("a.q"), col("b.q")).as("dot"),
-        col("a.n2").as("na2"), col("b.n2").as("nb2"))
-    pairs.filter(col("dot") > 0 &&
-        lit(10000L) * col("dot") * col("dot") >=
-          lit(pct.toLong * pct.toLong) * col("na2") * col("nb2"))
-      .select(col("vec_a"), col("vec_b"), col("dot"))
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val quantized = embs.select(col(idCol).cast("long").as("vec_id"),
+        quantCol(col(vecCol)).as("q"))
+      .as[(Long, Array[Long])]
+    val corpus = quantized.collect().sortBy(_._1) // broadcast build side
+    val norms = corpus.map { case (_, q) => dotRaw(q, q) }
+    val bc = spark.sparkContext.broadcast((corpus, norms))
+    val t2 = pct.toLong * pct.toLong
+    quantized.mapPartitions { rows =>
+      val (cs, n2s) = bc.value
+      rows.flatMap { case (id, q) =>
+        val na2 = dotRaw(q, q)
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        var j = 0
+        while (j < cs.length) {
+          val (id2, q2) = cs(j)
+          if (id2 > id) {
+            val d = dotRaw(q, q2)
+            if (d > 0 && 10000L * d * d >= t2 * na2 * n2s(j))
+              out += ((id, id2, d))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("vec_a", "vec_b", "dot")
+  }
+
+  private def dotRaw(x: Array[Long], y: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
   }
 
   /** Random-hyperplane LSH near-dup (the 100-TB path): `tables` independent
