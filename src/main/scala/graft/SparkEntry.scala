@@ -55,6 +55,10 @@ object SparkEntry {
       Dedup.exactGroups(Fixtures.docs(s, dir))),
     "q18_point_lookup" -> ((s, dir) =>
       TranscriptOps.conversation(Fixtures.transcripts(s, dir), "conv-000042")),
+    "q19_sliding_stats" -> ((s, dir) =>
+      TranscriptOps.slidingWindowStats(Fixtures.transcripts(s, dir))),
+    "q20_session_bounds" -> ((s, dir) =>
+      TranscriptOps.sessionBounds(Fixtures.transcripts(s, dir))),
     "q17_media_stats" -> ((s, dir) => {
       import graft.ops.MultiModal
       val media = Fixtures.media(s, dir)
@@ -229,6 +233,23 @@ object SparkEntry {
          |      'Document non tenu[^.]*\\.?', '[REDACTED]', 'g') AS s3
          |  FROM $T WHERE conv_id = 'conv-000042')
          |ORDER BY turn_idx""".stripMargin,
+    "q19_sliding_stats" ->
+      s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, role,
+         |       count(*) AS turn_count,
+         |       CAST(sum(length(text)) AS BIGINT) AS char_sum
+         |FROM (
+         |  SELECT role, text,
+         |         unnest([CAST(date_trunc('minute', ts) AS TIMESTAMP),
+         |                 CAST(date_trunc('minute', ts) AS TIMESTAMP) - INTERVAL 1 MINUTE]) AS ws
+         |  FROM $T)
+         |GROUP BY 1, 2""".stripMargin,
+    "q20_session_bounds" ->
+      s"""${sessionCte(T)}
+         |SELECT conv_id,
+         |       strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |       strftime(CAST(max(ts) AS TIMESTAMP) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+         |       count(*) AS n_turns
+         |FROM s GROUP BY conv_id, session_id""".stripMargin,
     "q17_media_stats" ->
       """SELECT kind, count(*) AS n_items,
         |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes

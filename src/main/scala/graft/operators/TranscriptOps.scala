@@ -82,6 +82,28 @@ object TranscriptOps {
         col("role"), col("tool"),
         col("turn_count"), col("char_sum"), col("n_convs"))
 
+  /** A5 (sliding form) — per-role stats over 2-minute windows sliding by
+    * 1 minute; every turn contributes to exactly two windows. */
+  def slidingWindowStats(tx: DataFrame): DataFrame =
+    tx.groupBy(window(col("ts"), "2 minutes", "1 minute"), col("role"))
+      .agg(count(lit(1)).as("turn_count"),
+        sum(length(col("text"))).cast("long").as("char_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("role"), col("turn_count"), col("char_sum"))
+
+  /** Session-window bounds via Spark's native `session_window` (gap-merged
+    * event-time windows): start = first ts, end = last ts + gap. The same
+    * semantics the custom flatMapGroupsWithState path implements — two
+    * independent implementations cross-checked by the oracle. */
+  def sessionBounds(tx: DataFrame, gapSec: Long = Defaults.SessionGapSec): DataFrame =
+    tx.groupBy(session_window(col("ts"), s"$gapSec seconds").as("sw"), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("conv_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_turns"))
+
   /** J1 (batch form) — pair each tool-call turn with its earliest response
     * within the time bound. Equi keys (conv_id, tool) + range condition keep
     * this a hash join with bounded probe, the same shape the streaming
