@@ -97,6 +97,40 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming native session_window agg == batch sessionBounds") {
+    import spark.implicits._
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[graft.core.Turn]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(sliceDir).as[graft.core.Turn]
+    val out = src
+      .withWatermark("ts", "10 seconds")
+      .filter(org.apache.spark.sql.functions.col("conv_id") =!= Pipeline.FlushConvId ||
+        org.apache.spark.sql.functions.col("ts").isNull)
+      .groupBy(
+        org.apache.spark.sql.functions.session_window(
+          org.apache.spark.sql.functions.col("ts"), "1800 seconds").as("sw"),
+        org.apache.spark.sql.functions.col("conv_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_turns"))
+      .select(
+        org.apache.spark.sql.functions.col("conv_id"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        org.apache.spark.sql.functions.col("n_turns"))
+    val q = out.writeStream.format("memory").queryName("swagg")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("swagg").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = TranscriptOps.sessionBounds(spark.createDataset(turns).toDF())
+      .select("conv_id", "session_start", "n_turns").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("late data beyond watermark is dropped and observable") {
     // construct: in-order slices, then a late turn older than the watermark
     import spark.implicits._
