@@ -61,7 +61,7 @@ object PlanAudit {
 
     val audited = Seq("q1_redact", "q18_point_lookup", "q4_join_pairs",
       "q11_jaccard_pairs", "q15_ann_topk", "q6_skew_agg", "q2_detect",
-      "q3_window_stats")
+      "q3_window_stats", "q19_sliding_stats", "q20_session_bounds")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"
