@@ -66,24 +66,27 @@ object StreamBench {
     // of core count — the single-node analogue of an under-partitioned
     // 100 TB table
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
-    val t0 = System.nanoTime()
-    val benchParams = graft.core.RedactionParams(
-      sketchDepth = sys.env.getOrElse("GRAFT_SK_DEPTH", "4").toInt,
-      sketchWidth = sys.env.getOrElse("GRAFT_SK_WIDTH", "1024").toInt)
-    val q = Pipeline.runRedactionToTable(spark, slices, tableRoot, cp,
-      p = benchParams, numBuckets = buckets, maxFilesPerTrigger = 1)
-    q.awaitTermination()
-    val sec = (System.nanoTime() - t0) / 1e9
-    if (sys.env.contains("GRAFT_BENCH_VERBOSE")) {
-      q.recentProgress.foreach(pr => System.err.println("[benchjson] " + pr.json))
-    }
-    val turns = new IcebergLite(tableRoot).partitionMetrics.values.sum
-    // clean up bench artifacts (tmp dir)
     try {
-      import scala.jdk.CollectionConverters._
-      Files.walk(work).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-    } catch { case _: Throwable => }
-    StreamResult(turns, sec)
+      val t0 = System.nanoTime()
+      val benchParams = graft.core.RedactionParams(
+        sketchDepth = sys.env.getOrElse("GRAFT_SK_DEPTH", "4").toInt,
+        sketchWidth = sys.env.getOrElse("GRAFT_SK_WIDTH", "1024").toInt)
+      val q = Pipeline.runRedactionToTable(spark, slices, tableRoot, cp,
+        p = benchParams, numBuckets = buckets, maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("GRAFT_BENCH_VERBOSE")) {
+        q.recentProgress.foreach(pr => System.err.println("[benchjson] " + pr.json))
+      }
+      val turns = new IcebergLite(tableRoot).partitionMetrics.values.sum
+      StreamResult(turns, sec)
+    } finally {
+      // tmpfs artifacts must not outlive the run, even on failure
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(work).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      } catch { case _: Throwable => }
+    }
   }
 }
