@@ -76,14 +76,16 @@ object SparkEntry {
   private val E = "read_parquet('/root/repo/data/emb_sf0.01/*.parquet')"
 
   // Shared CTE: gap-based sessionization (mirror of operators.Sessions).
+  // Gap in MICROseconds (epoch_us), matching Sessions.withSessionId and the
+  // streaming path — whole-second epoch() would diverge on sub-second ts.
   private def sessionCte(src: String): String =
     s"""WITH g AS (
        |  SELECT conv_id, turn_idx, text, ts,
-       |         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap
+       |         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap
        |  FROM $src
        |), s AS (
        |  SELECT conv_id, turn_idx, text, ts,
-       |         CAST(sum(CASE WHEN gap IS NULL OR gap <= 1800 THEN 0 ELSE 1 END)
+       |         CAST(sum(CASE WHEN gap IS NULL OR gap <= 1800000000 THEN 0 ELSE 1 END)
        |              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS session_id
        |  FROM g
        |)""".stripMargin

@@ -18,11 +18,21 @@ import graft.core.Defaults
   * event-time timeout (graft.stream) — both are parity-tested.
   */
 object Sessions {
-  /** Adds `session_id` (0-based per conv_id, bigint). */
+  /** Adds `session_id` (0-based per conv_id, bigint).
+    *
+    * The gap is compared in MICROseconds (`unix_micros`), matching the
+    * millisecond comparison of the streaming path (`Pipeline.updateConv`)
+    * and the Scala oracle — `unix_timestamp` would truncate to whole
+    * seconds and break three-way parity for sub-second timestamps. The lag
+    * is materialized once into a column so the Window node evaluates a
+    * single lag expression (not one per reference). */
   def withSessionId(df: DataFrame, gapSec: Long = Defaults.SessionGapSec): DataFrame = {
     val byTurn = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byTurn))
-    val isNew = when(gap.isNull || gap <= gapSec, 0L).otherwise(1L)
-    df.withColumn("session_id", sum(isNew).over(byTurn))
+    df.withColumn("_prev_us", lag(unix_micros(col("ts")), 1).over(byTurn))
+      .withColumn("session_id",
+        sum(when(col("_prev_us").isNull ||
+          unix_micros(col("ts")) - col("_prev_us") <= gapSec * 1000000L, 0L)
+          .otherwise(1L)).over(byTurn))
+      .drop("_prev_us")
   }
 }

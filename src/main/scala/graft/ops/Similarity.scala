@@ -86,7 +86,6 @@ object Similarity {
     val corpus = quantized.collect().sortBy(_._1) // broadcast build side
     val norms = corpus.map { case (_, q) => dotRaw(q, q) }
     val bc = spark.sparkContext.broadcast((corpus, norms))
-    val t2 = pct.toLong * pct.toLong
     quantized.mapPartitions { rows =>
       val (cs, n2s) = bc.value
       rows.flatMap { case (id, q) =>
@@ -97,14 +96,32 @@ object Similarity {
           val (id2, q2) = cs(j)
           if (id2 > id) {
             val d = dotRaw(q, q2)
-            if (d > 0 && 10000L * d * d >= t2 * na2 * n2s(j))
-              out += ((id, id2, d))
+            if (cosGe(d, na2, n2s(j), pct)) out += ((id, id2, d))
           }
           j += 1
         }
         out.result()
       }
     }.toDF("vec_a", "vec_b", "dot")
+  }
+
+  /** Quantized squared-norm bound below which the Long fast path of
+    * [[cosGe]] cannot overflow: |dot| ≤ √(na2·nb2) ≤ 3e7 ⇒ 10⁴·dot² ≤ 9e18
+    * < Long.MaxValue, and pct²·na2·nb2 ≤ 10⁴·9e14 = 9e18. Unit-norm dim-32
+    * vectors quantized at ×1000 sit near 1e6 — 30× inside the bound. */
+  val SafeNorm2 = 30000000L
+
+  /** Exact integer test `cos(a,b) ≥ pct/100 ∧ dot > 0` on quantized vectors:
+    * 10⁴·dot² ≥ pct²·|a|²·|b|². Falls back to BigInt when either squared
+    * norm exceeds [[SafeNorm2]] — for non-unit-norm inputs the Long product
+    * silently wraps and flips the comparison. */
+  def cosGe(dot: Long, na2: Long, nb2: Long, pct: Int): Boolean = {
+    if (dot <= 0) return false
+    val t2 = pct.toLong * pct
+    if (na2 <= SafeNorm2 && nb2 <= SafeNorm2)
+      10000L * dot * dot >= t2 * na2 * nb2
+    else
+      BigInt(10000) * BigInt(dot) * BigInt(dot) >= BigInt(t2) * BigInt(na2) * BigInt(nb2)
   }
 
   private def dotRaw(x: Array[Long], y: Array[Long]): Long = {
@@ -150,14 +167,15 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.q").as("qa"), col("b.q").as("qb"))
       .dropDuplicates("vec_a", "vec_b")
+    // overflow-guarded exact verification (shared with embedDupPairs); a
+    // Column-arithmetic form would wrap on non-unit-norm inputs
+    val ok = udf { (d: Long, na2: Long, nb2: Long) => cosGe(d, na2, nb2, pct) }
     cand
       .select(col("vec_a"), col("vec_b"),
         dotCol(col("qa"), col("qb")).as("dot"),
         dotCol(col("qa"), col("qa")).as("na2"),
         dotCol(col("qb"), col("qb")).as("nb2"))
-      .filter(col("dot") > 0 &&
-        lit(10000L) * col("dot") * col("dot") >=
-          lit(pct.toLong * pct.toLong) * col("na2") * col("nb2"))
+      .filter(ok(col("dot"), col("na2"), col("nb2")))
       .select(col("vec_a"), col("vec_b"), col("dot"))
   }
 }

@@ -70,10 +70,24 @@ final class IcebergLite(val root: String) {
   def isCommitted(epochId: Long): Boolean = Files.exists(snapPath(epochId))
 
   /** Full idempotent commit: stage → publish files → write snapshot.
-    * Returns false if the epoch was already committed (replay no-op). */
+    * Returns false if the epoch was already committed (replay no-op).
+    *
+    * The commit key is `(queryId, epochId)`: a replay of the SAME query's
+    * epoch is a silent no-op, but a DIFFERENT query (fresh checkpoint, batch
+    * ids restarting at 0) writing to this table fails loudly instead of
+    * silently dropping its data under an alien epoch id. */
   def commitEpoch(df: DataFrame, queryId: String, epochId: Long,
                   numBuckets: Int): Boolean = {
-    if (isCommitted(epochId)) return false
+    if (isCommitted(epochId)) {
+      val stored = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
+        .get("queryId").asText()
+      if (stored != queryId)
+        throw new IllegalStateException(
+          s"epoch $epochId of table $root already committed by query " +
+            s"'$stored'; refusing idempotent no-op for different query " +
+            s"'$queryId' (would silently drop its data)")
+      return false
+    }
     val files = stageAndPublish(df, epochId, numBuckets)
     writeSnapshot(queryId, epochId, files)
     true
@@ -166,20 +180,29 @@ final class IcebergLite(val root: String) {
       }
   }
 
-  /** Effective file set: compacted generations supersede the epochs they
-    * replace; later epochs remain incremental. */
+  /** Effective file set: the LATEST compaction generation plus epochs not
+    * replaced by any generation.
+    *
+    * Each [[compact]] call reads the full effective view (earlier
+    * generations included) and rewrites it, so generation N strictly
+    * supersedes generations < N — including all earlier generations' files
+    * would double-count every previously-compacted row on the second
+    * compaction. */
   def effectiveFiles: Seq[DataFileMeta] = {
     val comps = compactions
     val replaced = comps.flatMap(_.replaces).toSet
-    comps.flatMap(_.files) ++
+    val latestGen = if (comps.isEmpty) Nil else comps.maxBy(_.gen).files
+    latestGen ++
       snapshots.filterNot(s => replaced.contains(s.epochId)).flatMap(_.files)
   }
 
-  /** Rewrite all currently-committed epochs into `numBuckets` files (one
-    * compaction generation). Readers atomically switch when the compaction
-    * manifest lands; the old files stay on disk (time-travel / in-flight
-    * readers) until a separate GC. Incremental `readSince` callers must
-    * already be past the replaced epochs. */
+  /** Rewrite the full effective view (previous generation + un-replaced
+    * epochs) into `numBuckets` files — one new compaction generation that
+    * supersedes ALL earlier generations and the epochs it lists in
+    * `replaces`. Readers atomically switch when the compaction manifest
+    * lands; the old files stay on disk (time-travel / in-flight readers)
+    * until [[gc]]. Incremental `readSince` callers must already be past the
+    * replaced epochs. */
   def compact(spark: SparkSession, numBuckets: Int,
               sortCols: Seq[String] = Seq("conv_id", "turn_idx")): Long = {
     val replaced = {
@@ -261,13 +284,45 @@ final class IcebergLite(val root: String) {
       .filter(f => f.maxTsMicros >= minTsMicros && f.minTsMicros <= maxTsMicros)
       .map(f => s"$root/${f.path}")
 
-  /** Pruned scan: manifest file pruning + a residual row-level filter. */
+  /** Pruned scan: manifest file pruning + a residual row-level filter.
+    * Bounds are built with [[org.apache.spark.sql.functions.timestamp_micros]]
+    * — a millisecond `Timestamp` constructor would truncate the bounds and
+    * silently include/exclude rows in the final partial millisecond of the
+    * range with TIMESTAMP_MICROS data (manifest pruning is already exact). */
   def readRange(spark: SparkSession, minTsMicros: Long, maxTsMicros: Long): DataFrame = {
     val files = filesForRange(minTsMicros, maxTsMicros)
     if (files.isEmpty) return spark.read.schema("conv_id string").parquet()
     spark.read.parquet(files: _*)
-      .filter(col("ts") >= lit(new java.sql.Timestamp(minTsMicros / 1000L)) &&
-        col("ts") <= lit(new java.sql.Timestamp(maxTsMicros / 1000L)))
+      .filter(col("ts") >= timestamp_micros(lit(minTsMicros)) &&
+        col("ts") <= timestamp_micros(lit(maxTsMicros)))
+  }
+
+  /** GC of superseded data files (completes the compaction story — the
+    * analogue of the reference deleting its temp file after the atomic
+    * publish, watermark_processor.py:173-175): deletes files of compaction
+    * generations older than the latest and of epochs replaced by any
+    * generation. Metadata (snapshots/compaction manifests) is retained.
+    *
+    * Safety: only files that some compaction manifest has already
+    * superseded are touched — never staged files, never files of a
+    * published-but-uncommitted epoch — so a crashed/replayed writer is
+    * unaffected and the call is idempotent. Callers must ensure no
+    * in-flight reader still holds a pre-compaction file list and that
+    * incremental (`readSince` / streaming-source) consumers are past the
+    * replaced epochs. Returns the deleted relative paths. */
+  def gc(): Seq[String] = {
+    val comps = compactions
+    if (comps.isEmpty) return Nil
+    val latest = comps.maxBy(_.gen).gen
+    val replacedEpochs = comps.flatMap(_.replaces).toSet
+    val doomed =
+      comps.filter(_.gen < latest).flatMap(_.files.map(_.path)) ++
+        snapshots.filter(s => replacedEpochs.contains(s.epochId))
+          .flatMap(_.files.map(_.path))
+    doomed.distinct.flatMap { rel =>
+      val p = Paths.get(root, rel)
+      if (Files.deleteIfExists(p)) Some(rel) else None
+    }
   }
 
   /** Row-count per partition across epochs — per-partition lineage metrics

@@ -71,6 +71,76 @@ class TableSpec extends SparkSpec {
     assert(table.readSince(spark, 2L).count() === 1L)
   }
 
+  test("second compaction does not duplicate earlier generations' rows") {
+    import spark.implicits._
+    val table = mkTable(tmpDir("t-compact2"))
+    assert(table.compact(spark, 2) === 0L)
+    val df = Seq(("conv-zzz", 1, new Timestamp(1767250000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(table.commitEpoch(df, "q", 9L, 2))
+    assert(table.read(spark).count() === 151L)
+    assert(table.compact(spark, 2) === 1L)
+    // generation 1 supersedes generation 0 entirely; the union of both
+    // would return 301 rows (every gen-0 row twice)
+    assert(table.read(spark).count() === 151L)
+    assert(table.effectiveFiles.size === 2)
+    assert(table.partitionMetrics.values.sum === 151L)
+  }
+
+  test("gc removes superseded files; reads byte-identical, replay still safe") {
+    import spark.implicits._
+    val table = mkTable(tmpDir("t-gc"))
+    assert(table.gc().isEmpty) // nothing compacted yet -> nothing to gc
+    assert(table.compact(spark, 2) === 0L)
+    val before = table.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    val deleted = table.gc()
+    assert(deleted.size === 6, s"3 epochs x 2 buckets superseded, got $deleted")
+    val after = table.read(spark).orderBy("conv_id", "turn_idx", "ts").collect()
+    assert(after.toSeq === before.toSeq) // compacted files untouched
+    // replay of a replaced epoch remains an idempotent no-op (snapshot kept)
+    val df = (0 until 50).map { i =>
+      (f"conv-$i%03d", i, new Timestamp((1767225600L + i) * 1000L))
+    }.toDF("conv_id", "turn_idx", "ts")
+    assert(!table.commitEpoch(df, "q", 0L, 2))
+    assert(table.read(spark).count() === 150L)
+    assert(table.gc().isEmpty) // idempotent
+  }
+
+  test("commitEpoch fails loudly when a different query reuses an epoch id") {
+    import spark.implicits._
+    val table = mkTable(tmpDir("t-qid"))
+    val df = Seq(("conv-x", 0, new Timestamp(1767225600L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    // same query replaying epoch 0: silent no-op
+    assert(!table.commitEpoch(df, "q", 0L, 2))
+    // a DIFFERENT query's epoch 0 must not be silently swallowed
+    intercept[IllegalStateException] {
+      table.commitEpoch(df, "another-query", 0L, 2)
+    }
+  }
+
+  test("readRange keeps microsecond precision in the residual filter") {
+    import spark.implicits._
+    val table = new IcebergLite(tmpDir("t-micros"))
+    table.create("conv_id string, turn_idx int, ts timestamp", 1)
+    def tsMicros(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val baseUs = 1767225600L * 1000000L
+    // three rows inside the SAME millisecond, one microsecond apart
+    val df = Seq(
+      ("c", 0, tsMicros(baseUs + 100)),
+      ("c", 1, tsMicros(baseUs + 101)),
+      ("c", 2, tsMicros(baseUs + 102))
+    ).toDF("conv_id", "turn_idx", "ts")
+    assert(table.commitEpoch(df, "q", 0L, 1))
+    // a millisecond-truncated bound would return 0 or 3 rows, never 2
+    assert(table.readRange(spark, baseUs + 100, baseUs + 101).count() === 2L)
+    assert(table.readRange(spark, baseUs + 102, baseUs + 102).count() === 1L)
+  }
+
   test("empty epoch commits a snapshot with no files (S4 empty-input guard)") {
     import spark.implicits._
     val table = new IcebergLite(tmpDir("t-empty"))
