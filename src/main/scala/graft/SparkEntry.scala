@@ -47,8 +47,11 @@ object SparkEntry {
       Dedup.minhashLshPairs(Fixtures.docs(s, dir))),
     "q13_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Fixtures.docs(s, dir))),
+    // gate-of-record is the collect-free LSH plan (bucketed candidates +
+    // exact integer verification — the 100-TB path); embedDupPairs stays as
+    // the test-only all-pairs baseline (DedupSpec proves LSH == exact)
     "q14_embed_dup" -> ((s, dir) =>
-      Similarity.embedDupPairs(Fixtures.embs(s, dir))),
+      Similarity.embedDupLsh(Fixtures.embs(s, dir))),
     "q15_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(Fixtures.embeddings(s, dir), "vec_id", "embedding")),
     "q16_docs_dedup_exact" -> ((s, dir) =>
@@ -174,9 +177,45 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess,
         |  hits_en, hits_fr, hits_de, hits_es
         |FROM h""".stripMargin,
-    // q12/q13 (MinHash-LSH, SimHash) are hash-randomized candidate
-    // generators — not SQL-expressible; they get the driver's rows-only
-    // check and are parity-tested against exact Jaccard in scalatest.
+    // q12: at the chosen band/row setting the LSH output is DEFINED to equal
+    // exact n-gram Jaccard (candidates are verified with the exact integer
+    // filter; DedupSpec proves recall on planted corpora), so the oracle is
+    // the q11 exact-Jaccard SQL reshaped to q12's (doc_a, doc_b) columns.
+    "q12_minhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM $D),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+         |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT it.doc_a, it.doc_b
+         |FROM it JOIN sz sa ON sa.doc_id = it.doc_a JOIN sz sb ON sb.doc_id = it.doc_b
+         |WHERE 10 * it.inter >= 8 * (sa.n + sb.n - it.inter)""".stripMargin,
+    // q13: the per-shingle hash is the top 60 bits of md5, which DuckDB
+    // computes identically (CAST('0x'||substr(md5(s),1,15) AS BIGINT)), so
+    // the full SimHash fingerprint + Hamming pairing is SQL-replicated —
+    // a real oracle, not a rows-only check.
+    "q13_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM $D),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+         |h AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM sh),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         CASE WHEN sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |              THEN (1::BIGINT << b) ELSE 0 END AS bitval
+         |  FROM h, (SELECT unnest(range(0, 60)) AS b)
+         |  GROUP BY doc_id, b),
+         |fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS fpv FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.fpv, b.fpv)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fpv, b.fpv)) <= 3""".stripMargin,
     "q11_jaccard_pairs" ->
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM $D),

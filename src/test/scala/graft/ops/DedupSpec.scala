@@ -33,6 +33,37 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exactJaccard)
   }
 
+  test("md5Hash60 equals the top-60-bit hex-prefix form the oracle computes") {
+    // DuckDB: CAST('0x' || substr(md5('hello world'),1,15) AS BIGINT)
+    assert(Dedup.md5Hash60("hello world") ===
+      java.lang.Long.parseLong("5eb63bbbe01eeed", 16))
+    val probe = Seq("", "a", "the quick pipeline", "stream data model")
+    probe.foreach { s =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 15)
+      assert(Dedup.md5Hash60(s) === java.lang.Long.parseLong(hex, 16), s"for '$s'")
+    }
+  }
+
+  test("hot-shingle cap changes the candidate join, never the output") {
+    import spark.implicits._
+    // 40 docs all sharing one ubiquitous boilerplate 5-gram; docs 2k/2k+1
+    // are near-dups of each other via rare content shingles
+    val boiler = "this content is provided for information only"
+    val rows = (0 until 40).map { i =>
+      val pairBase = i / 2
+      val tail = if (i % 2 == 0) s"alpha$pairBase" else s"omega$pairBase"
+      // 60 shared body tokens -> one differing tail token keeps J ≈ 0.86
+      val body = (0 until 60).map(j => s"tok${pairBase}x$j").mkString(" ")
+      (i.toLong, s"$boiler $body $tail")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val uncapped = pairSet(
+      Dedup.ngramJaccardPairs(df, maxShingleDf = Int.MaxValue), "doc_a", "doc_b")
+    val capped = pairSet(Dedup.ngramJaccardPairs(df, maxShingleDf = 8), "doc_a", "doc_b")
+    assert(uncapped.nonEmpty, "fixture should contain near-dup pairs")
+    assert(capped === uncapped)
+  }
+
   test("SimHash finds exact dups with hamming 0 and no random-pair flood") {
     val sh = Dedup.simhashPairs(docs, maxHam = 3)
     val pairs = sh.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
