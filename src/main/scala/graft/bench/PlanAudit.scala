@@ -36,12 +36,26 @@ object PlanAudit {
         checks += Check("equi-join (no cartesian)", !has("CartesianProduct"),
           "conv_id+tool equi keys must drive the join")
       case "q11_jaccard_pairs" =>
-        checks += Check("size joins broadcast", has("BroadcastHashJoin") || has("BroadcastExchange"),
-          "per-doc size side is explicitly broadcast")
-        checks += Check("candidate join is equi on shingle", !has("CartesianProduct"), "")
+        checks += Check("verify-side doc joins broadcastable", has("BroadcastHashJoin") || has("BroadcastExchange"),
+          "candidate pairs join back to doc texts; small side broadcasts")
+        checks += Check("candidate join is equi on (df-capped) shingle", !has("CartesianProduct"), "")
       case "q15_ann_topk" =>
-        checks += Check("query side broadcast", has("BroadcastNestedLoopJoin") || has("BroadcastExchange"),
-          "small query set must broadcast, corpus streams")
+        checks += Check("no BroadcastNestedLoopJoin over the corpus",
+          !has("BroadcastNestedLoopJoin") && !has("CartesianProduct"),
+          "scoring is a UDF projection against the broadcast query params — no join node")
+        checks += Check("partial top-k pushdown (WindowGroupLimit)",
+          has("WindowGroupLimit"),
+          "rank<=k runs Partial before the exchange: shuffle = partitions x queries x k rows, not the scored corpus")
+      case "q12_minhash_pairs" =>
+        checks += Check("candidate join is equi on (band, bandHash)",
+          !has("CartesianProduct") && !has("BroadcastNestedLoopJoin"), "")
+      case "q13_simhash_pairs" =>
+        checks += Check("candidate join is equi on (segment, bits)",
+          !has("CartesianProduct") && !has("BroadcastNestedLoopJoin"), "")
+      case "q14_embed_dup" =>
+        checks += Check("collect-free LSH candidates (equi-join, no all-pairs)",
+          !has("CartesianProduct") && !has("BroadcastNestedLoopJoin"),
+          "hyperplane-sketch bucket equi-join generates candidates; exact verify only on candidates")
       case "q6_skew_agg" =>
         checks += Check("two aggregation phases",
           "HashAggregate".r.findAllIn(plan).size >= 3,
@@ -60,7 +74,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("WARN")
 
     val audited = Seq("q1_redact", "q18_point_lookup", "q4_join_pairs",
-      "q11_jaccard_pairs", "q15_ann_topk", "q6_skew_agg", "q2_detect",
+      "q11_jaccard_pairs", "q12_minhash_pairs", "q13_simhash_pairs",
+      "q14_embed_dup", "q15_ann_topk", "q6_skew_agg", "q2_detect",
       "q3_window_stats", "q19_sliding_stats", "q20_session_bounds")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"

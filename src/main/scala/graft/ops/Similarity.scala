@@ -50,18 +50,46 @@ object Similarity {
     f(a, b)
   }
 
-  /** Brute-force exact top-k by quantized dot product for the first
-    * `nQueries` vectors — the ANN baseline. One broadcast of the (small)
-    * query side; no shuffle on the corpus until the per-query top-k, which
-    * is a windowed rank over qid partitions. */
+  /** Exact distributed top-k by quantized dot product for the first
+    * `nQueries` vectors.
+    *
+    * Scale shape (the plan that survives 100×):
+    *  - the query set is a JOB PARAMETER (nQueries vectors), not data — it
+    *    is collected once and broadcast, like any literal parameter; the
+    *    corpus is never collected;
+    *  - scoring is a single narrow projection over the corpus (UDF +
+    *    explode): each corpus partition emits (qid, nid, dot) rows with no
+    *    join node at all — the round-1 BroadcastNestedLoopJoin is gone;
+    *  - the per-query top-k rank filter is pushed down by Spark as a
+    *    two-phase WindowGroupLimit (Partial before the exchange, Final
+    *    after), so the shuffle carries only partitions × nQueries × k rows,
+    *    not the full scored corpus.
+    *
+    * Deliberately NOT hyperplane-LSH candidate pruning: for exact top-k
+    * over a near-orthogonal corpus (random embeddings, 10th-best cosine
+    * ≈ 0.4) the bucket-collision probability needed to keep recall at 1.0
+    * forces the candidate set to ≈ the whole corpus — the LSH machinery
+    * only prunes in high-similarity regimes, where [[embedDupLsh]] is the
+    * operator to use. See PLANS.md (q15) for the numbers. */
   def annTopK(embs: DataFrame, idCol: String, vecCol: String,
               nQueries: Int = 10, k: Int = 10): DataFrame = {
-    val q = embs.filter(col(idCol) < nQueries)
-      .select(col(idCol).as("qid"), quantCol(col(vecCol)).as("qv"))
-    val d = embs.select(col(idCol).as("nid"), quantCol(col(vecCol)).as("nv"))
-    val scored = d.join(broadcast(q), col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), dotCol(col("qv"), col("nv")).as("dot"))
-    scored
+    val spark = embs.sparkSession
+    val queries: Array[(Long, Array[Long])] = embs.filter(col(idCol) < nQueries)
+      .select(col(idCol).cast("long"), quantCol(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+    val scoreAll = udf { (nid: Long, nv: Seq[Long]) =>
+      val nva = nv.toArray
+      bc.value.iterator.filter(_._1 != nid)
+        .map { case (qid, qv) => (qid, dotRaw(qv, nva)) }
+        .toSeq
+    }
+    embs
+      .select(col(idCol).cast("long").as("nid"), quantCol(col(vecCol)).as("nv"))
+      .select(col("nid"), explode(scoreAll(col("nid"), col("nv"))).as("s"))
+      .select(col("s._1").as("qid"), col("nid"), col("s._2").as("dot"))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("dot").desc, col("nid"))).cast("long"))
