@@ -62,6 +62,10 @@ object SparkEntry {
       TranscriptOps.slidingWindowStats(Fixtures.transcripts(s, dir))),
     "q20_session_bounds" -> ((s, dir) =>
       TranscriptOps.sessionBounds(Fixtures.transcripts(s, dir))),
+    "q21_dead_letter" -> ((s, dir) =>
+      graft.operators.Validation.deadLetterTop10(Fixtures.transcripts(s, dir))),
+    "q22_shingle_detect" -> ((s, dir) =>
+      TranscriptOps.detectRecurringShingles(Fixtures.transcripts(s, dir))),
     "q17_media_stats" -> ((s, dir) => {
       import graft.ops.MultiModal
       val media = Fixtures.media(s, dir)
@@ -291,6 +295,33 @@ object SparkEntry {
          |       strftime(CAST(max(ts) AS TIMESTAMP) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
          |       count(*) AS n_turns
          |FROM s GROUP BY conv_id, session_id""".stripMargin,
+    // q21: dead-letter summary — the reference's failed-file list, top 10
+    // (watermark_processor.py:243,275); ORDER BY the unique (conv_id,
+    // turn_idx) key so LIMIT picks the identical set on both engines.
+    "q21_dead_letter" ->
+      s"""SELECT conv_id, turn_idx, role, reason, text_len FROM (
+         |  SELECT conv_id, turn_idx, role,
+         |    CASE WHEN text IS NOT NULL AND length(text) > 8192 THEN 'text_overflow'
+         |         WHEN ts IS NULL THEN 'null_ts'
+         |         WHEN role NOT IN ('user','assistant','system','tool') THEN 'bad_role'
+         |         ELSE NULL END AS reason,
+         |    CAST(length(text) AS BIGINT) AS text_len
+         |  FROM $T)
+         |WHERE reason IS NOT NULL ORDER BY conv_id, turn_idx LIMIT 10""".stripMargin,
+    // q22: R4b shingle-granular detection — recurring k=3 token shingles per
+    // (conv, session); catches variable-tail patterns (W8) that the
+    // sentence-level q2 provably misses.
+    "q22_shingle_detect" ->
+      s"""${sessionCte(T)},
+         |toks AS (
+         |  SELECT conv_id, session_id, turn_idx,
+         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM s),
+         |x AS (
+         |  SELECT DISTINCT conv_id, session_id, turn_idx,
+         |         array_to_string(t[i:i+2], ' ') AS shingle
+         |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i))
+         |SELECT conv_id, session_id, shingle, count(DISTINCT turn_idx) AS n_turns
+         |FROM x GROUP BY 1, 2, 3 HAVING count(DISTINCT turn_idx) >= 3""".stripMargin,
     "q17_media_stats" ->
       """SELECT kind, count(*) AS n_items,
         |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes

@@ -36,16 +36,27 @@ final case class RedactionParams(
     placeholder: String = Defaults.Placeholder,
     toolMarker: String = Defaults.ToolMarker,
     toolPlaceholder: String = Defaults.ToolPlaceholder,
-    // sketch-learned (R4) knobs
+    // sketch-learned (R4, sentence-granular) knobs
     minSentenceLen: Int = Defaults.MinSentenceLen,
     threshold: Int = Defaults.Threshold,
     learnedPlaceholder: String = Defaults.LearnedPlaceholder,
-    // CMS shape: sized for per-session sentence cardinality (~10^2-10^3).
-    // Width trades state-store I/O (the dominant streaming cost) against
-    // overestimate probability; 1024x4 keeps P(false-learn) negligible at
-    // session scale while cutting state bytes 2x vs the old 2048x4.
+    // sketch-learned (R4b, shingle-granular) knobs: k-token shingles whose
+    // within-session distinct-turn count reaches the threshold mark a
+    // recurring pattern even when its sentence-level normalization varies
+    // (variable date tails etc. — the reference's multi-offset n-gram pass,
+    // watermark_processor.py:104-109); consecutive hot shingles extend to a
+    // token-boundary span, replaced as one unit (the R3-style bounded span
+    // extension).
+    shingleK: Int = Defaults.ShingleK,
+    shingleThreshold: Int = Defaults.Threshold,
+    shinglePlaceholder: String = Defaults.ShinglePlaceholder,
+    // CMS shape: sized for per-session sentence+shingle cardinality
+    // (~10^2-10^3 distinct keys). The sketch is stored SPARSELY, so width
+    // costs no state bytes — only collision probability: at width 8192 and
+    // ~10^3 keys, P(a below-threshold key reads ≥ threshold) ≈ (10^3/8192)^4
+    // ≈ 2e-4 per key.
     sketchDepth: Int = 4,
-    sketchWidth: Int = 1024
+    sketchWidth: Int = 8192
 ) {
   /** Effective footer literal; "" disables the branch (watermark_processor.py:72). */
   def footer: String = if (useFooter) footerPattern else ""
@@ -70,6 +81,13 @@ object Defaults {
   val MinSentenceLen = 24 // normalized chars; below this, never "learned"
   val Threshold = 3 // distinct turns within a conv_id session
   val LearnedPlaceholder = "[BOILERPLATE]"
+  // W8 — shingle-learned recurring span with a variable tail inside the
+  // sentence (R4b; sentence-level normalization never recurs, shingles do)
+  val ShingleK = 3
+  val ShinglePlaceholder = "[RECURRING]"
+  // P6 — input-validation bounds (dead-letter quarantine, A3/E2)
+  val MaxTextLen = 8192
+  val ValidRoles: Seq[String] = Seq("user", "assistant", "system", "tool")
 
   val SessionGapSec = 1800L // session window inactivity gap
   val JoinWindowSec = 60L // tool-call -> response pairing bound

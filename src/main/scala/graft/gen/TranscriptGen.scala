@@ -102,6 +102,7 @@ object TranscriptGen {
     val n = nTurnsFor(convId, spec)
     val hasTools = draw(seed, convId, 2L, 2) == 0
     val w4mode = draw(seed, convId, 4L, 10) // <3 planted, ==3 decoy-once
+    val w8mode = draw(seed, convId, 11L, 10) // <3 planted
     val boiler = boilerplate(seed, convId)
     val out = new scala.collection.mutable.ArrayBuffer[Turn](n)
     var tsSec = BaseEpochSec + convId * 7L
@@ -149,12 +150,29 @@ object TranscriptGen {
           // W4: recurring boilerplate sentence (to be *learned* by the sketch)
           val w4here = (w4mode < 3 && idx % 3 == 0) || (w4mode == 3 && idx == 4)
           if (w4here) sb.append(' ').append(boiler).append('.')
+          // W8: recurring fixed HEAD + variable date tail INSIDE the same
+          // sentence — its sentence-level normalization never recurs, so
+          // only shingle-level learning (R4b) catches it; the reference's
+          // multi-offset n-gram matching is exactly this case
+          // (watermark_processor.py:104-109, "quelle que soit la date")
+          val w8here = w8mode < 3 && idx % 3 == 1
+          if (w8here) {
+            val mm = 1 + draw(seed, convId, 8100L + idx, 9)
+            val dd = draw(seed, convId, 8200L + idx, 9)
+            sb.append(" verification automatique du registre effectuee le ")
+              .append(s"2026-0$mm-1$dd sans anomalie.")
+          }
           // W2: footer literal appended across many turns
           if (draw(seed, convId, 5000L + idx, 7) == 0)
             sb.append(' ').append(Defaults.FooterPattern)
           // W6: malformed control-char junk; must never break anything
           if (draw(seed, convId, 7000L + idx, 29) == 0)
             sb.append(" junk")
+          // W7: pathologically oversized payload (~1/5000 turns) — the
+          // validation operator (P6) quarantines these to the dead-letter
+          // table; all other queries treat them as ordinary rows
+          if (draw(seed, convId, 9500L + idx, 4999) == 0)
+            sb.append(' ').append(words(seed, convId, 9600L + idx, 2200))
           sb.toString
         }
 

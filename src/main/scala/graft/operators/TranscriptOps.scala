@@ -47,24 +47,58 @@ object TranscriptOps {
       .filter(col("n_turns") >= p.threshold)
   }
 
-  /** Full batch redaction R1→R2→R3→R4→R5: exact per-(conv, session)
-    * detection, learned sets joined back (left — most sessions learn
-    * nothing), then one pure redaction pass. The R4 application needs
-    * set-membership per sentence, which built-ins can't express — the one
-    * place a Scala UDF is warranted (SURVEY.md §7.3). */
+  /** R4b detection, exact batch form: k-token shingles recurring in ≥
+    * shingleThreshold distinct turns of a (conv_id, session). Same
+    * two-phase shape as [[detectRecurring]] — the first groupBy keys
+    * include `turn_idx` (map-side combinable dedupe), the second counts
+    * distinct turns — so hot conversations never pin one reducer. This is
+    * the exact form of what the streaming CMS estimates, and catches
+    * recurring patterns whose sentence-level normalization varies (a date
+    * tail inside the sentence) that [[detectRecurring]] provably misses. */
+  def detectRecurringShingles(tx: DataFrame,
+                              p: RedactionParams = RedactionParams()): DataFrame =
+    detectShinglesFrom(Sessions.withSessionId(tx), p)
+
+  private def detectShinglesFrom(s: DataFrame, p: RedactionParams): DataFrame = {
+    val shingleUdf = udf { (text: String) =>
+      graft.text.Normalize.shingles(text, p.shingleK).distinct
+    }
+    s.select(col("conv_id"), col("session_id"), col("turn_idx"),
+        explode(shingleUdf(col("text"))).as("shingle"))
+      .groupBy(col("conv_id"), col("session_id"), col("shingle"), col("turn_idx"))
+      .agg(count(lit(1)).as("hits_in_turn"))
+      .groupBy(col("conv_id"), col("session_id"), col("shingle"))
+      .agg(count(lit(1)).as("n_turns"))
+      .filter(col("n_turns") >= p.shingleThreshold)
+  }
+
+  /** Full batch redaction R1→R2→R3→R4→R4b→R5: exact per-(conv, session)
+    * detection at both granularities, learned sets joined back (left — most
+    * sessions learn nothing), then one pure redaction pass. The R4/R4b
+    * application needs set-membership per sentence/shingle, which built-ins
+    * can't express — the one place a Scala UDF is warranted (SURVEY.md §7.3). */
   def redactFull(tx: DataFrame, p: RedactionParams = RedactionParams()): DataFrame = {
     val s = Sessions.withSessionId(tx)
     val learnedSets = detectFrom(s, p)
       .groupBy(col("conv_id"), col("session_id"))
       .agg(collect_list(col("sentence")).as("learned"))
-    val applyFull = udf { (text: String, role: String, learned: Seq[String]) =>
+    val shingleSets = detectShinglesFrom(s, p)
+      .groupBy(col("conv_id"), col("session_id"))
+      .agg(collect_list(col("shingle")).as("learned_sh"))
+    val applyFull = udf { (text: String, role: String,
+                           learned: Seq[String], learnedSh: Seq[String]) =>
+      val hot =
+        if (learnedSh == null) Set.empty[String] else learnedSh.toSet
       Redact.redactFull(text, role,
-        if (learned == null) Set.empty[String] else learned.toSet, p)
+        if (learned == null) Set.empty[String] else learned.toSet,
+        hot.contains(_), p)
     }
     s.join(learnedSets, Seq("conv_id", "session_id"), "left")
+      .join(shingleSets, Seq("conv_id", "session_id"), "left")
       .select(col("conv_id"), col("turn_idx"), col("session_id"), col("role"),
         col("tool"), col("ts"),
-        applyFull(col("text"), col("role"), col("learned")).as("text_redacted"))
+        applyFull(col("text"), col("role"), col("learned"), col("learned_sh"))
+          .as("text_redacted"))
   }
 
   /** A5 — per-role/per-tool tumbling window stats (1 minute). */

@@ -81,10 +81,19 @@ object Pipeline {
   private def emptyLive(p: RedactionParams) =
     new Live(0L, Long.MinValue, Nil, CountMin.empty(p.sketchDepth, p.sketchWidth))
 
+  /** CMS key namespaces: one sketch holds both granularities; prefixes keep
+    * a short sentence from cross-counting with an equal shingle string. */
+  private final val SentKey = "s:"
+  private final val ShKey = "g:"
+
   private def addTurn(l: Live, t: Turn, p: RedactionParams): Unit = {
     val sentences = Normalize.normalizedSentences(t.text)
       .filter(_.length >= p.minSentenceLen).distinct
-    sentences.foreach(l.sk.add(_)) // once per turn: distinct-turn counting
+    sentences.foreach(s => l.sk.add(SentKey + s)) // once per turn: distinct-turn counting
+    // R4b: k-token shingles of the normalized text (north star: "count-min
+    // frequency sketch over normalized text shingles"), distinct per turn
+    Normalize.shingles(t.text, p.shingleK).distinct
+      .foreach(s => l.sk.add(ShKey + s))
     l.lastTsMs = t.ts.getTime
     l.buf = BufTurn(t.turn_idx, t.role, t.text, t.tool, t.ts.getTime) :: l.buf
   }
@@ -95,10 +104,12 @@ object Pipeline {
       .flatMap(b => Normalize.normalizedSentences(b.text))
       .filter(_.length >= p.minSentenceLen)
       .distinct
-      .filter(s => l.sk.estimate(s) >= p.threshold)
+      .filter(s => l.sk.estimate(SentKey + s) >= p.threshold)
       .toSet
+    val hotShingle: String => Boolean =
+      s => l.sk.estimate(ShKey + s) >= p.shingleThreshold
     l.buf.sortBy(_.turn_idx).map { b =>
-      val red = Redact.redactFull(b.text, b.role, learned, p)
+      val red = Redact.redactFull(b.text, b.role, learned, hotShingle, p)
       RedactedTurn(convId, b.turn_idx, l.sessionSeq, b.role, b.tool,
         new Timestamp(b.tsMs), red, red != b.text)
     }
@@ -219,7 +230,12 @@ object Pipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .as[Turn]
-    val red = Metrics.observed(redactedStream(src, p))
+    // P6/E2: invalid rows never enter session state — they are quarantined
+    // by runDeadLetterToTable (continue-and-report, like the reference's
+    // per-file failure list). Column predicate: codegen'd, scan-pushable.
+    val checked = src.where(graft.operators.Validation.invalidReason.isNull ||
+      col("conv_id") === FlushConvId).as[Turn]
+    val red = Metrics.observed(redactedStream(checked, p))
     red.writeStream
       .queryName("redaction-to-table")
       .outputMode(OutputMode.Append())
@@ -227,6 +243,35 @@ object Pipeline {
       .trigger(trigger)
       .foreachBatch { (df: Dataset[RedactedTurn], epochId: Long) =>
         table.commitEpoch(df.toDF(), "redaction-to-table", epochId, numBuckets)
+        ()
+      }
+      .start()
+  }
+
+  /** Companion quarantine query (A3/E2 dead-letter rows, not just counts):
+    * streams the SAME source, keeps only invalid rows (predicate pushed to
+    * the scan — at 100 TB this reads statistics, not the table) and commits
+    * them exactly-once to a side table with their reason. */
+  def runDeadLetterToTable(spark: SparkSession, sourceDir: String,
+                           tableRoot: String, checkpoint: String,
+                           numBuckets: Int = 4,
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val table = new IcebergLite(tableRoot)
+    table.create("conv_id string, turn_idx int, role string, tool string, " +
+      "ts timestamp, text string, reason string", numBuckets)
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Turn]].schema)
+      .parquet(sourceDir)
+    val dead = graft.operators.Validation.deadLetter(
+      src.where(col("conv_id") =!= FlushConvId))
+    dead.writeStream
+      .queryName("dead-letter-to-table")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        table.commitEpoch(df.toDF(), "dead-letter-to-table", epochId, numBuckets)
         ()
       }
       .start()

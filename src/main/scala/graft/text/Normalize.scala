@@ -63,4 +63,19 @@ object Normalize {
     if (t.length < k) Vector.empty
     else (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" "))
   }
+
+  /** Token character spans `[start, end)` in the ORIGINAL text: maximal
+    * `[A-Za-z0-9]+` runs. This is the offset map that lets detection run on
+    * the normalized view while redaction splices the original (R6 — the
+    * reference decodes lossily for matching but rewrites the raw bytes,
+    * watermark_processor.py:64,68). For ASCII input the spans coincide with
+    * [[tokens]] of the lowercased text, token for token. */
+  private val TokAny = Pattern.compile("[A-Za-z0-9]+")
+  def tokenSpans(s: String): IndexedSeq[(Int, Int)] = {
+    if (s == null) return Vector.empty
+    val m = TokAny.matcher(s)
+    val out = Vector.newBuilder[(Int, Int)]
+    while (m.find()) out += ((m.start, m.end))
+    out.result()
+  }
 }

@@ -44,6 +44,17 @@ object Oracle {
       .collect { case (s, hits) if hits.map(_._2).distinct.size >= p.threshold => s }
       .toSet
 
+  /** Exact hot-shingle set of one session: k-token shingles occurring in ≥
+    * shingleThreshold distinct turns (R4b — the exact form of what the
+    * streaming CMS estimates). */
+  def hotShinglesOf(session: Seq[Turn], p: RedactionParams): Set[String] =
+    session
+      .flatMap(t => Normalize.shingles(t.text, p.shingleK).distinct
+        .map(_ -> t.turn_idx))
+      .groupBy(_._1)
+      .collect { case (s, hits) if hits.map(_._2).distinct.size >= p.shingleThreshold => s }
+      .toSet
+
   /** Full golden output for a set of turns (any order). */
   def redactAll(turns: Seq[Turn],
                 p: RedactionParams = RedactionParams(),
@@ -51,8 +62,9 @@ object Oracle {
     turns.groupBy(_.conv_id).toSeq.sortBy(_._1).flatMap { case (cid, ts) =>
       sessionize(ts, gapSec).zipWithIndex.flatMap { case (session, sid) =>
         val learned = learnedOf(session, p)
+        val hotSh = hotShinglesOf(session, p)
         session.map { t =>
-          val red = Redact.redactFull(t.text, t.role, learned, p)
+          val red = Redact.redactFull(t.text, t.role, learned, hotSh.contains(_), p)
           RedactedTurn(cid, t.turn_idx, sid.toLong, t.role, t.tool,
             new Timestamp(t.ts.getTime), red, red != t.text)
         }

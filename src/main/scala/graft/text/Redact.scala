@@ -84,13 +84,71 @@ object Redact {
     if (changed) parts.mkString(".") else text
   }
 
-  /** Full redaction R1→R2→R3→R4→R5 given an already-learned pattern set. */
-  def redactFull(text: String, role: String, learned: Set[String], p: RedactionParams): String = {
+  /** R4b — shingle-learned span redaction with bounded extension: find the
+    * k-token shingles of the text whose lowercased form `isHot` (i.e. the
+    * session sketch counted them in ≥ shingleThreshold distinct turns),
+    * merge runs of CONSECUTIVE hot shingles, and replace each run's covering
+    * character span — from the first token's start to the last token's end,
+    * token boundaries only — with the placeholder. This is the analogue of
+    * the reference's multi-offset hex n-gram pass with bounded span
+    * extraction (watermark_processor.py:103-135): a recurring pattern whose
+    * sentence-level normalization varies (a date tail inside the sentence)
+    * is still caught, and only the recurring span is blanked, not the tail.
+    */
+  def r4Shingles(text: String, isHot: String => Boolean, p: RedactionParams): String = {
+    if (text == null) return null
+    val k = p.shingleK
+    val spans = Normalize.tokenSpans(text)
+    if (spans.length < k) return text
+    val toks = spans.map(s =>
+      text.substring(s._1, s._2).toLowerCase(java.util.Locale.ROOT))
+    val nSh = spans.length - k + 1
+    var any = false
+    val hot = new Array[Boolean](nSh)
+    var i = 0
+    while (i < nSh) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      hot(i) = isHot(sb.toString)
+      if (hot(i)) any = true
+      i += 1
+    }
+    if (!any) return text
+    val out = new java.lang.StringBuilder
+    var pos = 0
+    i = 0
+    while (i < nSh) {
+      if (hot(i)) {
+        var j = i
+        while (j + 1 < nSh && hot(j + 1)) j += 1
+        val startChar = spans(i)._1
+        val endChar = spans(j + k - 1)._2
+        out.append(text, pos, startChar).append(p.shinglePlaceholder)
+        pos = endChar
+        i = j + k // next shingle fully after the replaced run
+      } else i += 1
+    }
+    out.append(text, pos, text.length)
+    out.toString
+  }
+
+  /** Full redaction R1→R2→R3→R4→R4b→R5 given the learned sentence set and
+    * the hot-shingle predicate (exact set membership for the batch/oracle
+    * forms; a CMS threshold test in streaming state). */
+  def redactFull(text: String, role: String, learned: Set[String],
+                 hotShingle: String => Boolean, p: RedactionParams): String = {
     if (text == null) return null
     r5ToolTrace(
-      r4Learned(r3DateTail(r2Footer(r1Name(text, p), p), p), learned, p),
+      r4Shingles(
+        r4Learned(r3DateTail(r2Footer(r1Name(text, p), p), p), learned, p),
+        hotShingle, p),
       role, p)
   }
+
+  /** Sentence-level-only form (no shingle learning). */
+  def redactFull(text: String, role: String, learned: Set[String], p: RedactionParams): String =
+    redactFull(text, role, learned, (_: String) => false, p)
 
   // ---- Catalyst column expressions (distributed fast path) ------------------
 
