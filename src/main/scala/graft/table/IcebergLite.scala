@@ -69,6 +69,13 @@ final class IcebergLite(val root: String) {
 
   def isCommitted(epochId: Long): Boolean = Files.exists(snapPath(epochId))
 
+  /** Declared business schema (DDL string from table.json). Data files
+    * additionally carry the sink's lineage columns
+    * `(epoch_id bigint, partition_id int)` — see [[stageAndPublish]]. */
+  def schemaDdl: String =
+    mapper.readTree(Files.readAllBytes(metaDir.resolve("table.json")))
+      .get("schema").asText()
+
   /** Full idempotent commit: stage → publish files → write snapshot.
     * Returns false if the epoch was already committed (replay no-op).
     *
