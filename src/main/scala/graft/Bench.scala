@@ -44,6 +44,9 @@ object Bench {
     val total = results.map(_._2).sum + stream.sec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""stream_turns":${stream.turns},"stream_turns_per_sec":${stream.turnsPerSec},""" +
+      s""""stream_bench_root":"${stream.benchRoot}","stream_fs":"${stream.fsType}",""" +
+      s""""stream_reduced_io":${stream.reducedIo},""" +
+      s""""stream_batches":${stream.batchesJson},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,7 +15,9 @@ object OneBench {
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val r = StreamBench.run(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), numBuckets = 32)
-    println(s"RESULT turns=${r.turns} sec=${r.sec} tps=${r.turnsPerSec}")
+    println(s"RESULT turns=${r.turns} sec=${r.sec} tps=${r.turnsPerSec} " +
+      s"root=${r.benchRoot} fs=${r.fsType}")
+    println("BATCHES " + r.batchesJson)
     s.stop()
   }
 }

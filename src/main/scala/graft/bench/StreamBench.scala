@@ -2,14 +2,30 @@ package graft.bench
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 import graft.gen.{Fixtures, GenSpec, StreamFixtures}
 import graft.stream.Pipeline
 import graft.table.IcebergLite
 
-final case class StreamResult(turns: Long, sec: Double) {
+/** Per-batch profile extracted from StreamingQueryProgress — emitted into
+  * the bench JSON so a throughput number is ATTRIBUTABLE: which batches were
+  * slow, and whether the time went to state commits vs the sink vs planning. */
+final case class BatchProf(batchId: Long, inputRows: Long, totalMs: Long,
+                           addBatchMs: Long, stateCommitMs: Long,
+                           stateRows: Long, stateBytes: Long) {
+  def json: String =
+    s"""{"id":$batchId,"rows":$inputRows,"ms":$totalMs,"addBatchMs":$addBatchMs,""" +
+      s""""stateCommitMs":$stateCommitMs,"stateRows":$stateRows,"stateBytes":$stateBytes}"""
+}
+
+final case class StreamResult(turns: Long, sec: Double, benchRoot: String,
+                              fsType: String, batches: Seq[BatchProf],
+                              reducedIo: Boolean = false) {
   def turnsPerSec: Double = if (sec > 0) turns / sec else 0.0
+  def batchesJson: String = batches.map(_.json).mkString("[", ",", "]")
 }
 
 /** End-to-end streaming benchmark: epoch slices → session-window CMS
@@ -44,6 +60,25 @@ object StreamBench {
     d
   }
 
+  /** State/checkpoint/sink root for a bench run. Preference order:
+    * `GRAFT_BENCH_ROOT` env override → /dev/shm (tmpfs) → java.io.tmpdir.
+    * On a real cluster state I/O is node-local NVMe and scales with node
+    * count; on a single-disk sandbox, 32 concurrent state-commit fsyncs
+    * contend on one device and would measure the disk, not the engine.
+    * RAM-backed dirs restore the per-node-I/O model. Whatever is chosen is
+    * REPORTED (root + fs type) in the result so a slow run is attributable
+    * instead of a silent 10x. */
+  def pickBenchRoot(): (java.nio.file.Path, String) = {
+    val p = sys.env.get("GRAFT_BENCH_ROOT").map(Paths.get(_))
+      .orElse(Some(Paths.get("/dev/shm")).filter(Files.isDirectory(_)))
+      .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
+    Files.createDirectories(p)
+    val fs =
+      try Files.getFileStore(p).`type`()
+      catch { case _: Throwable => "unknown" }
+    (p, fs)
+  }
+
   def run(spark: SparkSession, sfDir: String, numBuckets: Int = 0,
           slicesOverride: String = null): StreamResult = {
     val slices =
@@ -51,13 +86,19 @@ object StreamBench {
     val buckets =
       if (numBuckets > 0) numBuckets
       else spark.sparkContext.defaultParallelism
-    // Bench state/checkpoint/sink live on tmpfs: on a real cluster state
-    // I/O is node-local NVMe and scales with node count; on this single-disk
-    // sandbox, 32 concurrent state-commit fsyncs contend on one ext4 device
-    // (measured ~10x slower per partition than at 8) and would measure the
-    // disk, not the engine. RAM-backed dirs restore the per-node-I/O model.
-    val benchRoot = Paths.get(
-      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else sys.props("java.io.tmpdir"))
+    val (benchRoot, fsType) = pickBenchRoot()
+    // On a non-tmpfs root, size the state-commit fan-out to the device:
+    // 32 concurrent per-partition commit streams on one disk were measured
+    // ~10x slower per partition than 8 (BENCH.md round 1). Reported in the
+    // result so the driver-run JSON attributes the configuration.
+    val reducedIo = fsType != "tmpfs" && fsType != "unknown"
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if (reducedIo) {
+      System.err.println(s"[streambench] WARNING: bench root $benchRoot is " +
+        s"$fsType, not tmpfs — reducing state/commit fan-out to 8 partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+    val effBuckets = if (reducedIo) math.min(buckets, 8) else buckets
     val work = Files.createTempDirectory(benchRoot, "streambench")
     val tableRoot = work.resolve("table").toString
     val cp = work.resolve("cp").toString
@@ -66,24 +107,36 @@ object StreamBench {
     // of core count — the single-node analogue of an under-partitioned
     // 100 TB table
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    // no mid-run state snapshot rewrites; deltas are enough for one bench run
+    spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     try {
       val t0 = System.nanoTime()
       val benchParams = graft.core.RedactionParams(
         sketchDepth = sys.env.getOrElse("GRAFT_SK_DEPTH", "4").toInt,
-        sketchWidth = sys.env.getOrElse("GRAFT_SK_WIDTH", "1024").toInt)
+        sketchWidth = sys.env.getOrElse("GRAFT_SK_WIDTH", "8192").toInt)
       val q = Pipeline.runRedactionToTable(spark, slices, tableRoot, cp,
-        p = benchParams, numBuckets = buckets, maxFilesPerTrigger = 1)
+        p = benchParams, numBuckets = effBuckets, maxFilesPerTrigger = 1)
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      if (sys.env.contains("GRAFT_BENCH_VERBOSE")) {
-        q.recentProgress.foreach(pr => System.err.println("[benchjson] " + pr.json))
+      val batches = q.recentProgress.toSeq.map { pr =>
+        val d = pr.durationMs.asScala
+        val st = pr.stateOperators.headOption
+        BatchProf(
+          pr.batchId,
+          pr.numInputRows,
+          d.getOrElse("triggerExecution", java.lang.Long.valueOf(0L)).longValue(),
+          d.getOrElse("addBatch", java.lang.Long.valueOf(0L)).longValue(),
+          st.map(_.commitTimeMs).getOrElse(0L),
+          st.map(_.numRowsTotal).getOrElse(0L),
+          st.map(_.memoryUsedBytes).getOrElse(0L))
       }
       val turns = new IcebergLite(tableRoot).partitionMetrics.values.sum
-      StreamResult(turns, sec)
+      StreamResult(turns, sec, benchRoot.toString, fsType, batches, reducedIo)
     } finally {
+      if (reducedIo) spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
       // tmpfs artifacts must not outlive the run, even on failure
       try {
-        import scala.jdk.CollectionConverters._
         Files.walk(work).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.deleteIfExists(_))
       } catch { case _: Throwable => }

@@ -19,12 +19,15 @@ final case class BufTurn(turn_idx: Int, role: String, text: String,
                          tool: String, tsMs: Long)
 
 /** Per-conv_id session-window state: current session's buffer + count-min
-  * sketch over its normalized sentences. The sketch is stored SPARSELY
-  * ((index, value) pairs) because state-store bytes are the dominant
-  * streaming cost; it is rebuilt dense inside the update function. */
+  * sketch over its normalized sentences and shingles. The sketch is stored
+  * SPARSELY because state-store bytes are the dominant streaming cost —
+  * as exact (keyHash, count) pairs while small (`skKind=1`, 1/depth the
+  * entries), as (cell, value) pairs once folded (`skKind=0`, bounded at
+  * depth×width) — and rebuilt inside the update function. */
 final case class ConvState(sessionSeq: Long, lastTsMs: Long,
                            buf: List[BufTurn],
-                           skIdx: Array[Long], skVal: Array[Long], skTotal: Long)
+                           skIdx: Array[Long], skVal: Array[Long],
+                           skTotal: Long, skKind: Int)
 
 /** Output row of the redaction stream. `session_id` and the deterministic
   * lineage the sink appends replace the reference's wall-clock provenance
@@ -71,11 +74,12 @@ object Pipeline {
 
   private def load(st: ConvState, p: RedactionParams): Live =
     new Live(st.sessionSeq, st.lastTsMs, st.buf,
-      CountMin.fromSparse(p.sketchDepth, p.sketchWidth, st.skIdx, st.skVal, st.skTotal))
+      CountMin.fromSparse(p.sketchDepth, p.sketchWidth, st.skIdx, st.skVal,
+        st.skTotal, st.skKind))
 
   private def store(l: Live): ConvState = {
-    val (idx, vals) = CountMin.toSparse(l.sk)
-    ConvState(l.sessionSeq, l.lastTsMs, l.buf, idx, vals, l.sk.total)
+    val (idx, vals, kind) = CountMin.toSparse(l.sk)
+    ConvState(l.sessionSeq, l.lastTsMs, l.buf, idx, vals, l.sk.total, kind)
   }
 
   private def emptyLive(p: RedactionParams) =

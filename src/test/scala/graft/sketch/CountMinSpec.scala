@@ -51,6 +51,30 @@ class CountMinSpec extends AnyFunSuite with PropHelpers {
     assert(a.estimate("absent") <= 0L + a.total) // defined, no throw
   }
 
+  test("sparse codec round-trips in key form and in folded cell form") {
+    forAllSeeded(items, 100) { xs =>
+      val sk = CountMin.empty(4, 64)
+      xs.foreach(sk.add(_))
+      assert(sk.keyCounts != null, "few keys -> key-count form")
+      val (idx, vals, kind) = CountMin.toSparse(sk)
+      assert(kind === CountMin.KindKeys)
+      assert(idx.length <= xs.distinct.size) // 1/depth of the cell form
+      val back = CountMin.fromSparse(4, 64, idx, vals, sk.total, kind)
+      assert(back === sk)
+      xs.distinct.foreach(x => assert(back.estimate(x) === sk.estimate(x)))
+    }
+    // force the fold: more distinct keys than the tracking cap
+    val big = CountMin.empty(4, 1024)
+    (0 until CountMin.MaxTrackedKeys + 10).foreach(i => big.add(s"key-$i"))
+    assert(big.keyCounts === null, "past the cap -> folded")
+    val (idx, vals, kind) = CountMin.toSparse(big)
+    assert(kind === CountMin.KindCells)
+    assert(idx.length <= 4 * 1024, "cell form is bounded by depth x width")
+    val back = CountMin.fromSparse(4, 1024, idx, vals, big.total, kind)
+    assert(back === big)
+    assert(back.estimate("key-7") >= 1L)
+  }
+
   test("shape mismatch rejected") {
     intercept[IllegalArgumentException] {
       CountMin.empty(4, 64).merge(CountMin.empty(4, 128))
