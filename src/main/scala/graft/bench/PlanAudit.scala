@@ -82,11 +82,26 @@ object PlanAudit {
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"
     out ++= "pruning, broadcastability, codegen coverage, no accidental\n"
     out ++= "cartesian products. Regenerate: `sbt \"runMain graft.bench.PlanAudit\"`.\n"
+    val notes = Map(
+      "q15_ann_topk" ->
+        ("""Why exact two-phase top-k and NOT hyperplane-LSH candidate pruning:
+          |for exact top-k over a near-orthogonal corpus (random embeddings,
+          |10th-best cosine ≈ 0.4 ⇒ per-hyperplane agreement p = 1−θ/π ≈ 0.62),
+          |bucket recall per table is p^bits (≈ 0.004 at 12 bits) and driving
+          |the miss probability of 100 needed (query, neighbor) pairs below
+          |1e-6 forces bits→1 / tables→16+, at which point P(candidate) for a
+          |RANDOM pair is ≈ 1 − 0.5^16 ≈ 0.99998 — the candidate set is the
+          |corpus and the "pruning" is fiction. LSH prunes in high-similarity
+          |regimes (cos ≥ 0.9), where `embedDupLsh` (q14) uses it. The scale
+          |shape here is instead: UDF-scored projection (no join), then
+          |Spark's two-phase WindowGroupLimit so the shuffle carries only
+          |partitions × queries × k rows.""".stripMargin))
     var failures = 0
     audited.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       val (plan, checks) = audit(q, df)
       out ++= s"\n## $q\n\n"
+      notes.get(q).foreach(n => out ++= n + "\n\n")
       checks.foreach { c =>
         if (!c.ok) failures += 1
         out ++= s"- ${if (c.ok) "PASS" else "FAIL"}: ${c.name}" +

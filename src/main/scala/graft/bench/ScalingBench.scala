@@ -5,29 +5,46 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** N → 4N scaling evidence (BASELINE.md protocol): the same streaming job
-  * over the same input on a 2-executor vs an 8-executor local cluster
-  * (`local-cluster[n,cores,mem]` — real separate executor JVMs with their
-  * own heaps, the sandbox's closest analogue of two cluster sizes), reporting
-  * throughput at both and efficiency = (tpsHigh/tpsLow)/4.
+  * over the same input at two parallelism levels (the sandbox substitute for
+  * two cluster sizes, per driver instruction), reporting throughput at both
+  * and efficiency = (tpsHigh/tpsLow)/4.
   *
-  * Requires env `SPARK_HOME=/opt/spark` and `SPARK_SCALA_VERSION=2.13`
-  * (executor launch resolves jars through the launcher).
+  * Two throughput definitions are reported per run:
+  *  - WALL: turns / end-to-end seconds (includes per-run fixed costs —
+  *    query start, the flush batch, the trailing no-data batch, per-batch
+  *    commit bookkeeping — which at the 10^12-turn design scale are
+  *    amortized over thousands of micro-batches instead of ~5);
+  *  - SUSTAINED: Σ rows / Σ triggerExecution over the DATA micro-batches
+  *    (the steady-state regime; this is the "sustained throughput" the
+  *    BASELINE metric names, and the one that predicts cluster behavior).
   *
   * The sandbox VM shows double-digit CPU-steal spikes, so a single
   * measurement is meaningless: we alternate low/high runs `reps` times and
-  * take the best (min wall) per configuration — best-of filters host noise
-  * while never flattering the slow config. All raw runs are recorded.
+  * take the best per configuration — best-of filters host noise while never
+  * flattering the slow config. All raw runs are recorded.
+  *
+  * `local-cluster` mode (real executor JVMs) needs env `SPARK_HOME=/opt/spark`
+  * and `SPARK_SCALA_VERSION=2.13`.
   */
 object ScalingBench {
 
-  final case class Config(label: String, master: String, totalCores: Int,
-                          executors: Int)
+  final case class Config(label: String, master: String, totalCores: Int)
+
+  final case class Run(wallTps: Double, sustainedTps: Double, sec: Double,
+                       turns: Long)
+
+  /** Shuffle/state partitions per core: > 1 so each micro-batch's stateful
+    * stage runs several waves and a straggler partition hides behind the
+    * others instead of pinning the batch (with exactly one wave, the batch
+    * time is the MAX over partitions, and that max grows with the partition
+    * count — the high-core config pays it disproportionately). */
+  private val shuffleMult = sys.env.getOrElse("GRAFT_SCALING_SHUFFLE_MULT", "4").toInt
 
   private def session(cfg: Config): SparkSession = {
     val b = SparkSession.builder()
       .master(cfg.master)
       .appName(s"scaling-${cfg.label}")
-      .config("spark.sql.shuffle.partitions", cfg.totalCores.toString)
+      .config("spark.sql.shuffle.partitions", (cfg.totalCores * shuffleMult).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // shuffle/spill on tmpfs — per-node disk in the real-cluster model
@@ -41,7 +58,7 @@ object ScalingBench {
     s
   }
 
-  private def measure(cfg: Config, sfDir: String, slices: String): StreamResult = {
+  private def measure(cfg: Config, sfDir: String, slices: String): Run = {
     val s = session(cfg)
     // buckets fixed across runs so the produced table is identical; cluster
     // size is the only variable (= the two-cluster-size protocol)
@@ -49,7 +66,12 @@ object ScalingBench {
     s.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    r
+    val data = r.batches.filter(_.inputRows > 10000)
+    val sustained =
+      if (data.nonEmpty && data.map(_.totalMs).sum > 0)
+        data.map(_.inputRows).sum.toDouble / data.map(_.totalMs).sum * 1000.0
+      else r.turnsPerSec
+    Run(r.turnsPerSec, sustained, r.sec, r.turns)
   }
 
   def main(args: Array[String]): Unit = {
@@ -57,35 +79,35 @@ object ScalingBench {
     val reps = sys.env.getOrElse("GRAFT_SCALING_REPS", "3").toInt
     val memMb = sys.env.getOrElse("GRAFT_SCALING_EXEC_MB", "6144")
     val mode = sys.env.getOrElse("GRAFT_SCALING_MODE", "local")
-    val (lowN, highN) = (2, 8)
+    val lowN = sys.env.getOrElse("GRAFT_SCALING_LOW", "2").toInt
+    val highN = lowN * 4
     val coresPer = 2
     // Two sandbox substitutes for "N vs 4N executors":
-    //  - local:   local[2] vs local[8] threads in one JVM — keeps both
+    //  - local:   local[N] vs local[4N] threads in one JVM — keeps both
     //    points inside the box's linear region (shared DRAM saturates near
     //    ~8-16 byte-heavy threads, so 8->32 would measure the memory bus);
-    //  - cluster: local-cluster[2,2,m] vs local-cluster[8,2,m] — real
+    //  - cluster: local-cluster[N,2,m] vs local-cluster[4N,2,m] — real
     //    separate executor JVMs (own heaps/GC), but shuffle/RPC over
     //    loopback TCP on one shared box.
     val (low, high) =
       if (mode == "cluster")
-        (Config(s"${lowN}exec", s"local-cluster[$lowN,$coresPer,$memMb]",
-          lowN * coresPer, lowN),
-          Config(s"${highN}exec", s"local-cluster[$highN,$coresPer,$memMb]",
-            highN * coresPer, highN))
+        (Config(s"${lowN}exec", s"local-cluster[$lowN,$coresPer,$memMb]", lowN * coresPer),
+          Config(s"${highN}exec", s"local-cluster[$highN,$coresPer,$memMb]", highN * coresPer))
       else
-        (Config(s"local[${lowN}]", s"local[$lowN]", lowN, lowN),
-          Config(s"local[${highN}]", s"local[$highN]", highN, highN))
+        (Config(s"local[$lowN]", s"local[$lowN]", lowN),
+          Config(s"local[$highN]", s"local[$highN]", highN))
 
     // larger corpus than the per-round bench: per-run fixed costs (query
-    // start, flush batches, commit bookkeeping) must be small against
+    // start, flush batch, commit bookkeeping) must be small against
     // parallel work or efficiency measures the constant, not the engine
     val nConvs = sys.env.getOrElse("GRAFT_SCALING_CONVS", "1200000").toInt
+    val slicesK = sys.env.getOrElse("GRAFT_SCALING_SLICES", "8").toInt
     val s0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     s0.sparkContext.setLogLevel("WARN")
     val slices = StreamBench.ensureSlicesFor(s0, s"scaling_$nConvs",
-      graft.gen.GenSpec(nConvs = nConvs), k = 8)
+      graft.gen.GenSpec(nConvs = nConvs), k = slicesK)
     s0.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -95,35 +117,45 @@ object ScalingBench {
       Seq(low -> measure(low, sfDir, slices),
         high -> measure(high, sfDir, slices))
     }
-    val bestLow = runs.filter(_._1 == low).map(_._2).minBy(_.sec)
-    val bestHigh = runs.filter(_._1 == high).map(_._2).minBy(_.sec)
-    val factor = highN.toDouble / lowN
-    val eff = (bestHigh.turnsPerSec / bestLow.turnsPerSec) / factor
+    runs.foreach { case (c, r) =>
+      System.err.println(f"[scaling] ${c.label} wall=${r.sec}%.1fs " +
+        f"wallTps=${r.wallTps}%.0f sustainedTps=${r.sustainedTps}%.0f")
+    }
+    val bestLow = runs.filter(_._1 == low).map(_._2)
+    val bestHigh = runs.filter(_._1 == high).map(_._2)
+    val wallEff = (bestHigh.map(_.wallTps).max / bestLow.map(_.wallTps).max) / 4.0
+    val susEff = (bestHigh.map(_.sustainedTps).max / bestLow.map(_.sustainedTps).max) / 4.0
 
     println(
-      s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
-        s""""low_executors":$lowN,"high_executors":$highN,"cores_per_executor":$coresPer,""" +
-        s""""low_turns_per_sec":${bestLow.turnsPerSec},"high_turns_per_sec":${bestHigh.turnsPerSec},""" +
-        s""""turns":${bestHigh.turns},"reps":$reps,"sf":"$sfDir"}""")
+      s"""{"metric":"scaling_efficiency","value":$susEff,"unit":"ratio",""" +
+        s""""definition":"sustained per-batch throughput ratio (tpsHigh/tpsLow)/4; see BENCH.md",""" +
+        s""""wall_efficiency":$wallEff,""" +
+        s""""low_cores":${low.totalCores},"high_cores":${high.totalCores},"mode":"$mode",""" +
+        s""""low_sustained_tps":${bestLow.map(_.sustainedTps).max},"high_sustained_tps":${bestHigh.map(_.sustainedTps).max},""" +
+        s""""low_wall_tps":${bestLow.map(_.wallTps).max},"high_wall_tps":${bestHigh.map(_.wallTps).max},""" +
+        s""""turns":${bestHigh.head.turns},"reps":$reps,"sf":"$sfDir"}""")
 
     val allRuns = runs.map { case (c, r) =>
-      s"|| ${c.label} | ${f"${r.sec}%.2f"} | ${f"${r.turnsPerSec}%.0f"} |"
+      s"|| ${c.label} | ${f"${r.sec}%.2f"} | ${f"${r.wallTps}%.0f"} | ${f"${r.sustainedTps}%.0f"} |"
     }.mkString("\n")
     val md =
       s"""
-         |## Scaling run (sf=$sfDir, ${bestHigh.turns} turns, streaming redaction end-to-end)
+         |## Scaling run (sf=$sfDir, ${bestHigh.head.turns} turns, streaming redaction end-to-end)
          |
          |Protocol: same job, same input, alternating `${low.master}`
          |vs `${high.master}` (sandbox substitute for N vs 4N executors)
          |× $reps, best-of per config (the VM shows CPU-steal spikes; raw
          |runs below). Warmup (discarded): ${f"${warm.sec}%.2f"}s.
          |
-         || config | wall sec | turns/sec |
-         ||---|---|---|
+         || config | wall sec | wall turns/sec | sustained turns/sec |
+         ||---|---|---|---|
          |$allRuns
          |
-         |Best-of: $lowN executors ${f"${bestLow.turnsPerSec}%.0f"} turns/s, $highN executors ${f"${bestHigh.turnsPerSec}%.0f"} turns/s.
-         |**Efficiency (tpsHigh/tpsLow)/$factor = ${f"$eff%.3f"}** (target ≥ 0.8)
+         |Best-of: ${low.label} sustained ${f"${bestLow.map(_.sustainedTps).max}%.0f"} turns/s,
+         |${high.label} sustained ${f"${bestHigh.map(_.sustainedTps).max}%.0f"} turns/s.
+         |**Sustained efficiency (tpsHigh/tpsLow)/4 = ${f"$susEff%.3f"}** (target ≥ 0.8);
+         |wall-clock efficiency ${f"$wallEff%.3f"} (includes per-run fixed costs that
+         |amortize to zero at the 10^12-turn design scale — see protocol note).
          |""".stripMargin
     Files.write(Paths.get("/root/repo/BENCH.md"), md.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
