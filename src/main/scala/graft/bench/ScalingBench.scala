@@ -58,7 +58,18 @@ object ScalingBench {
     s
   }
 
+  /** Steady-state throughput: Σ rows / Σ triggerExecution over the data
+    * micro-batches, excluding the FIRST (it pays JIT warm-up and first-touch
+    * page-cache costs that a long-running stream amortizes away). */
+  def sustainedOf(batches: Seq[BatchProf], fallback: Double): Double = {
+    val data = batches.filter(_.inputRows > 10000).drop(1)
+    if (data.nonEmpty && data.map(_.totalMs).sum > 0)
+      data.map(_.inputRows).sum.toDouble / data.map(_.totalMs).sum * 1000.0
+    else fallback
+  }
+
   private def measure(cfg: Config, sfDir: String, slices: String): Run = {
+    if (cfg.master.startsWith("pinned")) return measurePinned(cfg, sfDir, slices)
     val s = session(cfg)
     // buckets fixed across runs so the produced table is identical; cluster
     // size is the only variable (= the two-cluster-size protocol)
@@ -66,12 +77,41 @@ object ScalingBench {
     s.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val data = r.batches.filter(_.inputRows > 10000)
-    val sustained =
-      if (data.nonEmpty && data.map(_.totalMs).sum > 0)
-        data.map(_.inputRows).sum.toDouble / data.map(_.totalMs).sum * 1000.0
-      else r.turnsPerSec
-    Run(r.turnsPerSec, sustained, r.sec, r.turns)
+    Run(r.turnsPerSec, sustainedOf(r.batches, r.turnsPerSec), r.sec, r.turns)
+  }
+
+  /** Pinned mode: the measurement runs in a CHILD JVM confined to exactly
+    * `totalCores` hardware CPUs with `taskset -c`. This closes the honesty
+    * gap of thread-count emulation in one shared JVM, where the "2-core"
+    * config quietly borrows the box's idle cores for GC, netty, compression
+    * and scheduler threads — OS-level affinity is the strictest sandbox
+    * substitute for an N-node vs 4N-node cluster. */
+  private def measurePinned(cfg: Config, sfDir: String, slices: String): Run = {
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    import scala.jdk.CollectionConverters._
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-D"))
+    val cmd = Seq("taskset", "-c", s"0-${cfg.totalCores - 1}", javaBin) ++
+      inherited ++
+      Seq("-cp", sys.props("java.class.path"), "graft.bench.PinnedRun",
+        cfg.totalCores.toString, sfDir, slices)
+    val out = new java.lang.StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val outReader = new Thread(() => {
+      scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .foreach(l => out.synchronized { out.append(l).append('\n') })
+    })
+    outReader.start()
+    scala.io.Source.fromInputStream(proc.getErrorStream).getLines().foreach(_ => ())
+    proc.waitFor()
+    outReader.join()
+    val Pat = """PINNED wall=([\d.]+) turns=(\d+) wallTps=([\d.]+) sustainedTps=([\d.]+)""".r
+    out.toString.linesIterator.collectFirst {
+      case Pat(w, t, wt, st) => Run(wt.toDouble, st.toDouble, w.toDouble, t.toLong)
+    }.getOrElse(throw new IllegalStateException(
+      s"pinned child produced no result; output:\n$out"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,10 +129,15 @@ object ScalingBench {
     //  - cluster: local-cluster[N,2,m] vs local-cluster[4N,2,m] — real
     //    separate executor JVMs (own heaps/GC), but shuffle/RPC over
     //    loopback TCP on one shared box.
+    // Three sandbox substitutes for "N vs 4N executors": see Config notes —
+    // `pinned` (taskset-confined child JVMs, default) is the strictest.
     val (low, high) =
       if (mode == "cluster")
         (Config(s"${lowN}exec", s"local-cluster[$lowN,$coresPer,$memMb]", lowN * coresPer),
           Config(s"${highN}exec", s"local-cluster[$highN,$coresPer,$memMb]", highN * coresPer))
+      else if (mode == "pinned")
+        (Config(s"pinned[$lowN]", "pinned", lowN),
+          Config(s"pinned[$highN]", "pinned", highN))
       else
         (Config(s"local[$lowN]", s"local[$lowN]", lowN),
           Config(s"local[$highN]", s"local[$highN]", highN))
@@ -106,7 +151,7 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     s0.sparkContext.setLogLevel("WARN")
-    val slices = StreamBench.ensureSlicesFor(s0, s"scaling_$nConvs",
+    val slices = StreamBench.ensureSlicesFor(s0, s"scaling_${nConvs}_k$slicesK",
       graft.gen.GenSpec(nConvs = nConvs), k = slicesK)
     s0.stop()
     SparkSession.clearActiveSession()
@@ -160,5 +205,29 @@ object ScalingBench {
     Files.write(Paths.get("/root/repo/BENCH.md"), md.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+  }
+}
+
+/** Child main for ScalingBench's pinned mode: one measurement in THIS JVM,
+  * which the parent launched under `taskset -c 0-(N-1)`. Prints a single
+  * machine-readable line. */
+object PinnedRun {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val sfDir = args(1)
+    val slices = args(2)
+    val mult = sys.env.getOrElse("GRAFT_SCALING_SHUFFLE_MULT", "1").toInt
+    val s = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * mult).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-local")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    val r = StreamBench.run(s, sfDir, numBuckets = 32, slicesOverride = slices)
+    val sustained = ScalingBench.sustainedOf(r.batches, r.turnsPerSec)
+    println(f"PINNED wall=${r.sec}%.3f turns=${r.turns} " +
+      f"wallTps=${r.turnsPerSec}%.3f sustainedTps=$sustained%.3f")
+    s.stop()
   }
 }
