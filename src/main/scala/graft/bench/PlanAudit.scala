@@ -60,6 +60,13 @@ object PlanAudit {
         checks += Check("two aggregation phases",
           "HashAggregate".r.findAllIn(plan).size >= 3,
           "salted partial + final (each with its own partial/merge pair)")
+      case "q21_dead_letter" =>
+        checks += Check("validation predicate is a filter over the scan (no shuffle before it)",
+          has("Filter"), "invalid-row split must not shuffle the table")
+      case "q22_shingle_detect" =>
+        checks += Check("two-phase distinct-turn counting",
+          "HashAggregate".r.findAllIn(plan).size >= 3,
+          "dedupe-by-turn partial phase before the per-shingle count — hot convs never pin one reducer")
       case _ => ()
     }
     (plan, checks.result())
@@ -76,7 +83,8 @@ object PlanAudit {
     val audited = Seq("q1_redact", "q18_point_lookup", "q4_join_pairs",
       "q11_jaccard_pairs", "q12_minhash_pairs", "q13_simhash_pairs",
       "q14_embed_dup", "q15_ann_topk", "q6_skew_agg", "q2_detect",
-      "q3_window_stats", "q19_sliding_stats", "q20_session_bounds")
+      "q3_window_stats", "q19_sliding_stats", "q20_session_bounds",
+      "q21_dead_letter", "q22_shingle_detect")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"

@@ -118,19 +118,20 @@ object ScalingBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("GRAFT_SCALING_REPS", "3").toInt
     val memMb = sys.env.getOrElse("GRAFT_SCALING_EXEC_MB", "6144")
-    val mode = sys.env.getOrElse("GRAFT_SCALING_MODE", "local")
-    val lowN = sys.env.getOrElse("GRAFT_SCALING_LOW", "2").toInt
+    val mode = sys.env.getOrElse("GRAFT_SCALING_MODE", "pinned")
+    val lowN = sys.env.getOrElse("GRAFT_SCALING_LOW", "1").toInt
     val highN = lowN * 4
     val coresPer = 2
-    // Two sandbox substitutes for "N vs 4N executors":
-    //  - local:   local[N] vs local[4N] threads in one JVM — keeps both
-    //    points inside the box's linear region (shared DRAM saturates near
-    //    ~8-16 byte-heavy threads, so 8->32 would measure the memory bus);
+    // Three sandbox substitutes for "N vs 4N executors":
+    //  - pinned (default): child JVMs confined to exactly N / 4N hardware
+    //    CPUs with `taskset -c` — the strictest: the low config cannot
+    //    borrow idle cores for GC/netty/scheduler threads;
+    //  - local: local[N] vs local[4N] threads in one shared JVM;
     //  - cluster: local-cluster[N,2,m] vs local-cluster[4N,2,m] — real
     //    separate executor JVMs (own heaps/GC), but shuffle/RPC over
     //    loopback TCP on one shared box.
-    // Three sandbox substitutes for "N vs 4N executors": see Config notes —
-    // `pinned` (taskset-confined child JVMs, default) is the strictest.
+    // Both points stay inside the box's linear region (shared DRAM saturates
+    // near ~8-16 byte-heavy threads, so 8->32 would measure the memory bus).
     val (low, high) =
       if (mode == "cluster")
         (Config(s"${lowN}exec", s"local-cluster[$lowN,$coresPer,$memMb]", lowN * coresPer),
@@ -145,8 +146,8 @@ object ScalingBench {
     // larger corpus than the per-round bench: per-run fixed costs (query
     // start, flush batch, commit bookkeeping) must be small against
     // parallel work or efficiency measures the constant, not the engine
-    val nConvs = sys.env.getOrElse("GRAFT_SCALING_CONVS", "1200000").toInt
-    val slicesK = sys.env.getOrElse("GRAFT_SCALING_SLICES", "8").toInt
+    val nConvs = sys.env.getOrElse("GRAFT_SCALING_CONVS", "300000").toInt
+    val slicesK = sys.env.getOrElse("GRAFT_SCALING_SLICES", "4").toInt
     val s0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -216,7 +217,9 @@ object PinnedRun {
     val cores = args(0).toInt
     val sfDir = args(1)
     val slices = args(2)
-    val mult = sys.env.getOrElse("GRAFT_SCALING_SHUFFLE_MULT", "1").toInt
+    // must match ScalingBench.shuffleMult's default (standard Spark sizing:
+    // several tasks per core, uniformly applied to both cluster sizes)
+    val mult = sys.env.getOrElse("GRAFT_SCALING_SHUFFLE_MULT", "4").toInt
     val s = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (cores * mult).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -87,8 +87,11 @@ object TranscriptOps {
       .agg(collect_list(col("shingle")).as("learned_sh"))
     val applyFull = udf { (text: String, role: String,
                            learned: Seq[String], learnedSh: Seq[String]) =>
+      // detection emits shingle STRINGS (SQL-mirrorable); redaction keys by
+      // the shared rolling hash — bridge here, once per row
       val hot =
-        if (learnedSh == null) Set.empty[String] else learnedSh.toSet
+        if (learnedSh == null) Set.empty[Long]
+        else learnedSh.map(graft.text.Normalize.shingleHashOfString).toSet
       Redact.redactFull(text, role,
         if (learned == null) Set.empty[String] else learned.toSet,
         hot.contains(_), p)

@@ -56,27 +56,42 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5, pct: Int = 8,
                         maxShingleDf: Int = 128): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shinglesCol(col("text"), k)).as("s"))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")) // exact, uncapped
+    // hot shingles: df > cap. By construction this set is TINY (≤ total
+    // shingle instances / cap), so it broadcasts at any scale.
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
       .select(col("s"))
-    val capped = sh.join(rare, "s") // same key as the self-join: co-partitioned
-    val cand = capped.as("a").join(capped.as("b"),
+    val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    // rare-shingle intersection counts: equi-join co-partitioned on the
+    // shingle, aggregated with map-side combine — bucket sizes bounded by
+    // the df cap, so no bucket is ever quadratic at 100 TB
+    val interRare = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val verify = udf { (ta: String, tb: String) =>
-      val sa = Normalize.shingles(ta, k).toSet
-      val sb = Normalize.shingles(tb, k).toSet
-      val in = sa.intersect(sb).size
-      (in.toLong, sa.size.toLong, sb.size.toLong)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // exact correction: shingle sets partition into rare ∪ hot, so
+    // |A∩B| = |A∩B|_rare + |hotList(a) ∩ hotList(b)| — per-doc hot lists
+    // are at most a handful of entries each
+    val hotPerDoc = sh.join(broadcast(hot), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("hs"))
+    val hotInter = udf { (a: Seq[String], b: Seq[String]) =>
+      if (a == null || b == null) 0L
+      else a.toSet.intersect(b.toSet).size.toLong
     }
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-      .withColumn("v", verify(col("ta"), col("tb")))
-      .select(col("doc_a"), col("doc_b"), col("v._1").as("inter"),
-        col("v._2").as("size_a"), col("v._3").as("size_b"))
+    interRare
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "size_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "size_b")), "doc_b")
+      .join(hotPerDoc.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
+        Seq("doc_a"), "left")
+      .join(hotPerDoc.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"), "left")
+      .withColumn("inter", col("inter_rare") + hotInter(col("hs_a"), col("hs_b")))
       .filter(lit(10) * col("inter") >= lit(pct) * (col("size_a") + col("size_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
   }
 
   // ---- MinHash + LSH ---------------------------------------------------------

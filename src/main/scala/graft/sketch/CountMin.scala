@@ -87,8 +87,9 @@ final class CountMin private (val depth: Int, val width: Int,
   }
 
   /** Point estimate: min over rows of the cell matrix; ≥ true count. */
-  def estimate(item: String): Long = {
-    val kh = CountMin.keyHash(item)
+  def estimate(item: String): Long = estimateHash(CountMin.keyHash(item))
+
+  def estimateHash(kh: Long): Long = {
     val cs = cells
     var min = Long.MaxValue
     var r = 0
@@ -97,7 +98,7 @@ final class CountMin private (val depth: Int, val width: Int,
       if (v < min) min = v
       r += 1
     }
-    if (min == Long.MaxValue) 0L else min
+    min
   }
 
   /** Monoid combine; requires equal (depth, width). */

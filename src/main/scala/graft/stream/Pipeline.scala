@@ -85,10 +85,11 @@ object Pipeline {
   private def emptyLive(p: RedactionParams) =
     new Live(0L, Long.MinValue, Nil, CountMin.empty(p.sketchDepth, p.sketchWidth))
 
-  /** CMS key namespaces: one sketch holds both granularities; prefixes keep
-    * a short sentence from cross-counting with an equal shingle string. */
+  /** CMS key namespaces: one sketch holds both granularities. Sentences key
+    * by the string hash of "s:"+sentence; shingles key by their rolling
+    * 64-bit hash (Normalize.shingleHashes — never materialized as strings
+    * in this hot path). The two hash domains collide with prob 2^-64. */
   private final val SentKey = "s:"
-  private final val ShKey = "g:"
 
   private def addTurn(l: Live, t: Turn, p: RedactionParams): Unit = {
     val sentences = Normalize.normalizedSentences(t.text)
@@ -96,8 +97,17 @@ object Pipeline {
     sentences.foreach(s => l.sk.add(SentKey + s)) // once per turn: distinct-turn counting
     // R4b: k-token shingles of the normalized text (north star: "count-min
     // frequency sketch over normalized text shingles"), distinct per turn
-    Normalize.shingles(t.text, p.shingleK).distinct
-      .foreach(s => l.sk.add(ShKey + s))
+    val hs = Normalize.shingleHashes(Normalize.tokens(t.text), p.shingleK)
+    if (hs.nonEmpty) {
+      java.util.Arrays.sort(hs) // distinct-per-turn without a Set alloc
+      var i = 0
+      var prev = 0L
+      while (i < hs.length) {
+        if (i == 0 || hs(i) != prev) l.sk.addHash(hs(i), 1L)
+        prev = hs(i)
+        i += 1
+      }
+    }
     l.lastTsMs = t.ts.getTime
     l.buf = BufTurn(t.turn_idx, t.role, t.text, t.tool, t.ts.getTime) :: l.buf
   }
@@ -110,8 +120,8 @@ object Pipeline {
       .distinct
       .filter(s => l.sk.estimate(SentKey + s) >= p.threshold)
       .toSet
-    val hotShingle: String => Boolean =
-      s => l.sk.estimate(ShKey + s) >= p.shingleThreshold
+    val hotShingle: Long => Boolean =
+      h => l.sk.estimateHash(h) >= p.shingleThreshold
     l.buf.sortBy(_.turn_idx).map { b =>
       val red = Redact.redactFull(b.text, b.role, learned, hotShingle, p)
       RedactedTurn(convId, b.turn_idx, l.sessionSeq, b.role, b.tool,

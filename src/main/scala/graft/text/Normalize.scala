@@ -64,6 +64,47 @@ object Normalize {
     else (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" "))
   }
 
+  /** Order-sensitive 64-bit shingle hashes computed WITHOUT materializing
+    * shingle strings (the streaming hot path allocates nothing per
+    * shingle): each token is murmur-hashed once, then a k-window rolling
+    * combine of mixes produces one hash per shingle position. This is the
+    * shingle IDENTITY for all redaction paths (streaming CMS, Scala
+    * oracle, batch redactFull) — equivalent to keying by the joined
+    * shingle string modulo 2^-64 collisions. The SQL-facing detection
+    * queries (q22) keep the string form for DuckDB parity. */
+  private val TokSeed = 0x7351a4
+  def tokenHash(t: String): Long =
+    graft.gen.Mix.mix64(
+      scala.util.hashing.MurmurHash3.stringHash(t, TokSeed).toLong)
+
+  def shingleHashes(tokens: IndexedSeq[String], k: Int): Array[Long] = {
+    if (tokens.length < k) return Array.emptyLongArray
+    val th = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) { th(i) = tokenHash(tokens(i)); i += 1 }
+    val out = new Array[Long](tokens.length - k + 1)
+    i = 0
+    while (i < out.length) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = i
+      while (j < i + k) { h = graft.gen.Mix.mix64(h ^ th(j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Hash of one shingle given as its joined string form ("tok tok tok") —
+    * the bridge from string-form detection output to hash-form redaction.
+    * Must agree with [[shingleHashes]] position-for-position. */
+  def shingleHashOfString(s: String): Long = {
+    val t = tokens(s)
+    var h = 0x9e3779b97f4a7c15L
+    var j = 0
+    while (j < t.length) { h = graft.gen.Mix.mix64(h ^ tokenHash(t(j))); j += 1 }
+    h
+  }
+
   /** Token character spans `[start, end)` in the ORIGINAL text: maximal
     * `[A-Za-z0-9]+` runs. This is the offset map that lets detection run on
     * the normalized view while redaction splices the original (R6 — the

@@ -44,15 +44,16 @@ object Oracle {
       .collect { case (s, hits) if hits.map(_._2).distinct.size >= p.threshold => s }
       .toSet
 
-  /** Exact hot-shingle set of one session: k-token shingles occurring in ≥
-    * shingleThreshold distinct turns (R4b — the exact form of what the
-    * streaming CMS estimates). */
-  def hotShinglesOf(session: Seq[Turn], p: RedactionParams): Set[String] =
+  /** Exact hot-shingle-hash set of one session: k-token shingle hashes
+    * (Normalize.shingleHashes — the shingle identity shared with streaming
+    * and batch redaction) occurring in ≥ shingleThreshold distinct turns
+    * (R4b — the exact form of what the streaming CMS estimates). */
+  def hotShinglesOf(session: Seq[Turn], p: RedactionParams): Set[Long] =
     session
-      .flatMap(t => Normalize.shingles(t.text, p.shingleK).distinct
-        .map(_ -> t.turn_idx))
+      .flatMap(t => Normalize.shingleHashes(Normalize.tokens(t.text), p.shingleK)
+        .distinct.map(_ -> t.turn_idx))
       .groupBy(_._1)
-      .collect { case (s, hits) if hits.map(_._2).distinct.size >= p.shingleThreshold => s }
+      .collect { case (h, hits) if hits.map(_._2).distinct.size >= p.shingleThreshold => h }
       .toSet
 
   /** Full golden output for a set of turns (any order). */

@@ -95,22 +95,20 @@ object Redact {
     * sentence-level normalization varies (a date tail inside the sentence)
     * is still caught, and only the recurring span is blanked, not the tail.
     */
-  def r4Shingles(text: String, isHot: String => Boolean, p: RedactionParams): String = {
+  def r4Shingles(text: String, isHot: Long => Boolean, p: RedactionParams): String = {
     if (text == null) return null
     val k = p.shingleK
     val spans = Normalize.tokenSpans(text)
     if (spans.length < k) return text
     val toks = spans.map(s =>
       text.substring(s._1, s._2).toLowerCase(java.util.Locale.ROOT))
-    val nSh = spans.length - k + 1
+    val hashes = Normalize.shingleHashes(toks, k)
+    val nSh = hashes.length
     var any = false
     val hot = new Array[Boolean](nSh)
     var i = 0
     while (i < nSh) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
-      hot(i) = isHot(sb.toString)
+      hot(i) = isHot(hashes(i))
       if (hot(i)) any = true
       i += 1
     }
@@ -134,10 +132,10 @@ object Redact {
   }
 
   /** Full redaction R1→R2→R3→R4→R4b→R5 given the learned sentence set and
-    * the hot-shingle predicate (exact set membership for the batch/oracle
-    * forms; a CMS threshold test in streaming state). */
+    * the hot-shingle-HASH predicate (exact set membership for the
+    * batch/oracle forms; a CMS threshold test in streaming state). */
   def redactFull(text: String, role: String, learned: Set[String],
-                 hotShingle: String => Boolean, p: RedactionParams): String = {
+                 hotShingle: Long => Boolean, p: RedactionParams): String = {
     if (text == null) return null
     r5ToolTrace(
       r4Shingles(
@@ -148,7 +146,7 @@ object Redact {
 
   /** Sentence-level-only form (no shingle learning). */
   def redactFull(text: String, role: String, learned: Set[String], p: RedactionParams): String =
-    redactFull(text, role, learned, (_: String) => false, p)
+    redactFull(text, role, learned, (_: Long) => false, p)
 
   // ---- Catalyst column expressions (distributed fast path) ------------------
 

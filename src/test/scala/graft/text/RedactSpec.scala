@@ -69,40 +69,43 @@ class RedactSpec extends AnyFunSuite with graft.PropHelpers {
   }
 
   // R4b — shingle-learned span redaction with bounded extension
+  def hotSet(shingles: String*): Long => Boolean =
+    shingles.map(Normalize.shingleHashOfString).toSet.contains(_)
+
   test("R4b replaces a maximal run of hot shingles at token boundaries") {
-    val hot = Set("verification automatique du", "automatique du registre",
+    val hot = hotSet("verification automatique du", "automatique du registre",
       "du registre effectuee", "registre effectuee le")
     val in = "keep this. Verification automatique du registre effectuee le 2026-03-14 sans anomalie."
     // hot run covers tokens "Verification".."le"; the variable tail stays
-    assert(Redact.r4Shingles(in, hot.contains(_), p)
+    assert(Redact.r4Shingles(in, hot, p)
       === "keep this. [RECURRING] 2026-03-14 sans anomalie.")
   }
 
   test("R4b handles multiple disjoint runs and preserves separators") {
-    val hot = Set("a b c", "x y z")
+    val hot = hotSet("a b c", "x y z")
     val in = "pre a b c mid x y z post"
-    assert(Redact.r4Shingles(in, hot.contains(_), p)
+    assert(Redact.r4Shingles(in, hot, p)
       === "pre [RECURRING] mid [RECURRING] post")
   }
 
   test("R4b no-op when nothing is hot or text has < k tokens") {
     val in = "only two"
-    assert(Redact.r4Shingles(in, (_: String) => true, p) eq in)
+    assert(Redact.r4Shingles(in, (_: Long) => true, p) eq in)
     val in2 = "one two three four"
-    assert(Redact.r4Shingles(in2, (_: String) => false, p) eq in2)
+    assert(Redact.r4Shingles(in2, (_: Long) => false, p) eq in2)
   }
 
   test("R4b matches case-insensitively but splices the original text") {
-    val hot = Set("alpha beta gamma")
-    assert(Redact.r4Shingles("say ALPHA Beta gamma tail ok", hot.contains(_), p)
+    val hot = hotSet("alpha beta gamma")
+    assert(Redact.r4Shingles("say ALPHA Beta gamma tail ok", hot, p)
       === "say [RECURRING] tail ok")
   }
 
   test("R4b is total and idempotent under a fixed hot set") {
-    val hot = Set("a b c")
+    val hot = hotSet("a b c")
     forAllSeeded(anyText) { (t: String) =>
-      val once = Redact.r4Shingles(t, hot.contains(_), p)
-      assert(Redact.r4Shingles(once, hot.contains(_), p) === once)
+      val once = Redact.r4Shingles(t, hot, p)
+      assert(Redact.r4Shingles(once, hot, p) === once)
     }
   }
 
