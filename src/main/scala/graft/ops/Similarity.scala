@@ -186,14 +186,17 @@ object Similarity {
         (t, h)
       }
     }
+    // per-vector squared norm computed ONCE here — not per candidate pair
     val v = embs.select(col(idCol).as("vec_id"), quantCol(col(vecCol)).as("q"),
         explode(sketch(col(vecCol))).as("tb"))
-      .select(col("vec_id"), col("q"), col("tb._1").as("t"), col("tb._2").as("h"))
+      .select(col("vec_id"), col("q"), dotCol(col("q"), col("q")).as("n2"),
+        col("tb._1").as("t"), col("tb._2").as("h"))
     val cand = v.as("a").join(v.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.q").as("qa"), col("b.q").as("qb"))
+        col("a.q").as("qa"), col("b.q").as("qb"),
+        col("a.n2").as("na2"), col("b.n2").as("nb2"))
       .dropDuplicates("vec_a", "vec_b")
     // overflow-guarded exact verification (shared with embedDupPairs); a
     // Column-arithmetic form would wrap on non-unit-norm inputs
@@ -201,8 +204,7 @@ object Similarity {
     cand
       .select(col("vec_a"), col("vec_b"),
         dotCol(col("qa"), col("qb")).as("dot"),
-        dotCol(col("qa"), col("qa")).as("na2"),
-        dotCol(col("qb"), col("qb")).as("nb2"))
+        col("na2"), col("nb2"))
       .filter(ok(col("dot"), col("na2"), col("nb2")))
       .select(col("vec_a"), col("vec_b"), col("dot"))
   }
