@@ -78,8 +78,14 @@ final class IcebergLiteTable(root: String, tableSchema: StructType)
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def schema(): StructType = tableSchema
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new IcebergLiteScan(root, tableSchema)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning: Catalyst hands us the projected schema; the reader
+      // asks parquet for exactly those columns (at 100 TB a 2-column
+      // projection must not decode the text payload)
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new IcebergLiteScan(root, required)
     }
 }
 
@@ -150,12 +156,16 @@ final class GroupRowReaderFactory(schema: StructType) extends PartitionReaderFac
   * the file read as null). Supports the primitive types IcebergLite tables
   * use: string, int, bigint, boolean, double, float, timestamp
   * (TIMESTAMP_MICROS — the sink's canonical writer setting, which maps 1:1
-  * onto Spark's internal micros representation). */
+  * onto Spark's internal micros representation). The (possibly pruned)
+  * schema is passed to parquet as the requested read schema, so unneeded
+  * columns are never decoded. */
 final class GroupRowReader(path: String, schema: StructType)
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new HPath(path))
+    ParquetReader.builder(
+        new GroupRowReader.ProjectedReadSupport(schema.fieldNames.toSet),
+        new HPath(path))
       .withConf(new Configuration())
       .build()
 
@@ -197,4 +207,22 @@ final class GroupRowReader(path: String, schema: StructType)
   }
 
   override def close(): Unit = reader.close()
+}
+
+object GroupRowReader {
+  /** GroupReadSupport that prunes the REQUESTED schema down to the
+    * projected column names, taking each field's type/repetition from the
+    * FILE's own schema (so required vs optional always matches) — only the
+    * projected columns are decoded. */
+  final class ProjectedReadSupport(keep: Set[String]) extends GroupReadSupport {
+    override def init(conf: Configuration,
+                      keyValueMetaData: java.util.Map[String, String],
+                      fileSchema: org.apache.parquet.schema.MessageType)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+      val kept = fileSchema.getFields.asScala.filter(f => keep(f.getName))
+      val pruned = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName, kept.asJava)
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(pruned)
+    }
+  }
 }

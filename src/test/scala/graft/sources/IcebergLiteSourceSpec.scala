@@ -69,6 +69,28 @@ class IcebergLiteSourceSpec extends SparkSpec {
     assert(viaConnector.toSeq === native.toSeq)
   }
 
+  test("column pruning pushes the projected schema into the parquet read") {
+    val tableRoot = buildRedactedTable()
+    val df = spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).load()
+      .select("conv_id", "turn_idx")
+    // the optimized scan must carry only the projected columns
+    val scanSchemas = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema()
+    }
+    assert(scanSchemas.nonEmpty)
+    assert(scanSchemas.head.fieldNames.toSeq === Seq("conv_id", "turn_idx"),
+      s"scan should be pruned, got ${scanSchemas.head.fieldNames.mkString(",")}")
+    // and the pruned read returns correct values
+    val viaConnector = df.orderBy("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val native = new IcebergLite(tableRoot).read(spark)
+      .select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(viaConnector.toSeq === native.toSeq)
+  }
+
   test("restart consumes only NEW epochs (incremental snapshot deltas)") {
     import spark.implicits._
     val tableRoot = tmpDir("incr-table")
