@@ -50,8 +50,13 @@ object ScalingBench {
       // shuffle/spill on tmpfs — per-node disk in the real-cluster model
       .config("spark.local.dir", "/dev/shm/graft-local")
     if (cfg.master.startsWith("local-cluster")) {
-      // executors are separate JVMs: ship our classes via classpath
+      // executors are separate JVMs: ship our classes via classpath, and
+      // size their heap explicitly — the local-cluster[n,c,mem] capacity is
+      // the WORKER's resource pool, not the executor JVM's -Xmx (which
+      // defaults to 1g and OOMs on multi-million-turn batches)
       b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      b.config("spark.executor.memory",
+        sys.env.getOrElse("GRAFT_SCALING_EXEC_MB", "6144") + "m")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
