@@ -60,11 +60,9 @@ object TranscriptOps {
     detectShinglesFrom(Sessions.withSessionId(tx), p)
 
   private def detectShinglesFrom(s: DataFrame, p: RedactionParams): DataFrame = {
-    val shingleUdf = udf { (text: String) =>
-      graft.text.Normalize.shingles(text, p.shingleK).distinct
-    }
     s.select(col("conv_id"), col("session_id"), col("turn_idx"),
-        explode(shingleUdf(col("text"))).as("shingle"))
+        explode(graft.functions.ShinglesExpr.shinglesCol(col("text"), p.shingleK))
+          .as("shingle"))
       .groupBy(col("conv_id"), col("session_id"), col("shingle"), col("turn_idx"))
       .agg(count(lit(1)).as("hits_in_turn"))
       .groupBy(col("conv_id"), col("session_id"), col("shingle"))

@@ -17,18 +17,17 @@ import graft.text.Normalize
 object Dedup {
 
   /** Word tokens / k-shingles — semantics mirror Normalize.tokens/shingles
-    * and the DuckDB oracle exactly. Implemented as a compact UDF rather
-    * than `transform(sequence, i -> array_join(slice(...)))`: Catalyst
-    * higher-order functions do not participate in codegen and run
-    * interpreted with per-element boxing — measured ~16x slower than the
-    * UDF for the same output. */
+    * and the DuckDB oracle exactly. Implemented as a native codegen'd
+    * Catalyst expression ([[graft.functions.ShinglesExpr]]) rather than a
+    * UDF (CatalystTypeConverter round trip per row) or
+    * `transform(sequence, i -> array_join(slice(...)))` (Catalyst
+    * higher-order functions run interpreted with per-element boxing —
+    * measured ~16x slower than even the UDF). */
   def tokensCol(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  def shinglesCol(text: Column, k: Int): Column = {
-    val f = udf { (t: String) => Normalize.shingles(t, k).distinct }
-    f(text)
-  }
+  def shinglesCol(text: Column, k: Int): Column =
+    graft.functions.ShinglesExpr.shinglesCol(text, k)
 
   /** Exact dedup: hash-groups with >1 copy. One shuffle on the hash. */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
