@@ -108,8 +108,19 @@ final class IcebergLite(val root: String) {
     deleteRecursively(staging)
     val spark = df.sparkSession
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    df.repartition(numBuckets, col("conv_id"))
-      .sortWithinPartitions("conv_id", "turn_idx")
+    // deterministic layout for ANY schema: bucket by conv_id and sort by
+    // (conv_id, turn_idx) when present (the transcript tables), else fall
+    // back to the full column list — replay must always reproduce
+    // byte-identical files
+    val cols = df.columns.toSeq
+    val bucketCols =
+      if (cols.contains("conv_id")) Seq("conv_id") else cols.take(1)
+    val sortCols = {
+      val preferred = Seq("conv_id", "turn_idx").filter(cols.contains)
+      if (preferred.nonEmpty) preferred else cols
+    }
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
       .withColumn("epoch_id", lit(epochId)) // S9 lineage — deterministic,
       .withColumn("partition_id", spark_partition_id()) // unlike time.time()
       .write.mode("overwrite").parquet(staging.toString)

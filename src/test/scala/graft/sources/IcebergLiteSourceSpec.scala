@@ -91,6 +91,56 @@ class IcebergLiteSourceSpec extends SparkSpec {
     assert(viaConnector.toSeq === native.toSeq)
   }
 
+  test("exactly-once composes across the chained pair: downstream kill in " +
+    "the staged-but-uncommitted window, resume, identical sink table") {
+    import java.nio.file.{Files, Paths}
+    val upstreamRoot = buildRedactedTable()
+
+    // downstream: DSv2 stream off the redacted table -> per-role counts ->
+    // second exactly-once IcebergLite sink
+    def runDownstream(sinkRoot: String, cp: String): Unit = {
+      val sink = new IcebergLite(sinkRoot)
+      sink.create("role string, n bigint, n_red bigint", 2)
+      val q = spark.readStream.format("graft.sources.IcebergLiteSource")
+        .option("path", upstreamRoot).load()
+        .groupBy(col("role"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_redacted"), 1L).otherwise(0L)).as("n_red"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, epochId: Long) =>
+          sink.commitEpoch(df, "chained-agg", epochId, 2); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    val rootA = tmpDir("chain-a")
+    runDownstream(rootA, tmpDir("chain-cpa"))
+    val expected = new IcebergLite(rootA).read(spark)
+      .select("role", "n", "n_red").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // interrupted run: crash in the staged-but-uncommitted window of the
+    // LAST downstream epoch (snapshot + Spark commit-log entry missing)
+    val rootB = tmpDir("chain-b"); val cpB = tmpDir("chain-cpb")
+    runDownstream(rootB, cpB)
+    val sinkB = new IcebergLite(rootB)
+    val last = sinkB.snapshots.map(_.epochId).max
+    Files.delete(Paths.get(rootB, "metadata", f"snap-$last%012d.json"))
+    Files.delete(Paths.get(cpB, "commits", last.toString))
+    Files.deleteIfExists(Paths.get(cpB, "commits", s".$last.crc"))
+    assert(!sinkB.isCommitted(last))
+    runDownstream(rootB, cpB) // resume: replayed epoch, idempotent commit
+    assert(sinkB.isCommitted(last))
+    val replayed = sinkB.read(spark)
+      .select("role", "n", "n_red").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed === expected)
+  }
+
   test("restart consumes only NEW epochs (incremental snapshot deltas)") {
     import spark.implicits._
     val tableRoot = tmpDir("incr-table")

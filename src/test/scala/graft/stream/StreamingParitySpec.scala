@@ -36,7 +36,9 @@ class StreamingParitySpec extends SparkSpec {
         "epoch_id", "partition_id")
       .collect()
 
-    val golden = Oracle.redactAll(turns, p)
+    // the pipeline quarantines invalid rows (P6); the oracle sees what it sees
+    val golden = Oracle.redactAll(
+      turns.filter(graft.operators.Validation.isValidTurn), p)
       .map(r => (r.conv_id, r.turn_idx) -> (r.session_id, r.text_redacted)).toMap
 
     assert(rows.length === golden.size, "row count mismatch (lost or dup rows)")
@@ -49,6 +51,36 @@ class StreamingParitySpec extends SparkSpec {
     // per-partition lineage metrics cover every row
     assert(table.partitionMetrics.values.sum === golden.size)
     assert(table.snapshots.nonEmpty)
+  }
+
+  test("hot-key conversation (~50% of all rows) streams to oracle parity") {
+    // SURVEY §7.4.6: salting splits aggregations, but session detection
+    // state must still see ALL turns of a conversation — the hot conv_id
+    // rides one state partition, bounded by its session gaps, and the
+    // output must stay byte-equal to the oracle.
+    val skSpec = GenSpec(nConvs = 60, skewed = true)
+    val skTurns = (0L until skSpec.nConvs.toLong)
+      .flatMap(TranscriptGen.turnsFor(_, skSpec))
+    assert(skTurns.count(_.conv_id == "conv-000000") * 3 > skTurns.size,
+      "fixture must be hot-keyed")
+    val d = tmpDir("skew-slices")
+    StreamFixtures.writeSlices(spark, skSpec, d, k = 4)
+    val tableRoot = tmpDir("skew-table")
+    val q = Pipeline.runRedactionToTable(spark, d, tableRoot, tmpDir("skew-cp"),
+      p, numBuckets = 4, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val rows = new IcebergLite(tableRoot).read(spark)
+      .select("conv_id", "turn_idx", "session_id", "text_redacted").collect()
+    val golden = Oracle.redactAll(
+      skTurns.filter(graft.operators.Validation.isValidTurn), p)
+      .map(r => (r.conv_id, r.turn_idx) -> (r.session_id, r.text_redacted)).toMap
+    assert(rows.length === golden.size)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      val (gSid, gText) = golden(key)
+      assert(r.getLong(2) === gSid, s"session_id mismatch at $key")
+      assert(r.getString(3) === gText, s"text mismatch at $key")
+    }
   }
 
   test("streaming window stats == batch (exact columns)") {
