@@ -186,25 +186,30 @@ object Similarity {
         (t, h)
       }
     }
-    // per-vector squared norm computed ONCE here — not per candidate pair
-    val v = embs.select(col(idCol).as("vec_id"), quantCol(col(vecCol)).as("q"),
+    // candidates carry IDS ONLY through the bucket join + dedup — dragging
+    // the quantized vectors through that shuffle costs ~30x the bytes; the
+    // (small relative to candidates) per-vector table joins back after
+    val buckets = embs.select(col(idCol).as("vec_id"),
         explode(sketch(col(vecCol))).as("tb"))
-      .select(col("vec_id"), col("q"), dotCol(col("q"), col("q")).as("n2"),
-        col("tb._1").as("t"), col("tb._2").as("h"))
-    val cand = v.as("a").join(v.as("b"),
+      .select(col("vec_id"), col("tb._1").as("t"), col("tb._2").as("h"))
+    val cand = buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.q").as("qa"), col("b.q").as("qb"),
-        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    // per-vector quantization + squared norm computed ONCE per vector
+    val vecs = embs.select(col(idCol).as("vec_id"), quantCol(col(vecCol)).as("q"))
+      .withColumn("n2", dotCol(col("q"), col("q")))
     // overflow-guarded exact verification (shared with embedDupPairs); a
     // Column-arithmetic form would wrap on non-unit-norm inputs
     val ok = udf { (d: Long, na2: Long, nb2: Long) => cosGe(d, na2, nb2, pct) }
     cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("n2").as("na2")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("n2").as("nb2")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        dotCol(col("qa"), col("qb")).as("dot"),
-        col("na2"), col("nb2"))
+        dotCol(col("qa"), col("qb")).as("dot"), col("na2"), col("nb2"))
       .filter(ok(col("dot"), col("na2"), col("nb2")))
       .select(col("vec_a"), col("vec_b"), col("dot"))
   }
