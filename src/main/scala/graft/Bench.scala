@@ -29,21 +29,42 @@ object Bench {
     Fixtures.transcripts(spark, sfDir)
     Fixtures.transcriptsSkew(spark, sfDir)
 
+    // repeats + medians: a single sample on a CPU-steal-prone VM can double
+    // (round-2 VERDICT: 20.4s driver q2 vs 2.1s builder — unadjudicable
+    // without repeats). `queries` carries the MEDIAN; `queries_detail`
+    // carries {median, best, n} per query.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
     }
 
-    // end-to-end streaming redaction (sessions + CMS + exactly-once sink)
+    // end-to-end streaming redaction (sessions + CMS + exactly-once sink) —
+    // one run: the per-batch profile (printed below) already attributes it,
+    // and batches 1+ are themselves repeated samples of the steady state
     val stream = StreamBench.run(spark, sfDir)
 
-    val qs = (results :+ ("stream_redact" -> stream.sec))
+    val qs = (results.map { case (k, ts) => k -> median(ts) } :+
+        ("stream_redact" -> stream.sec))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + stream.sec
+    val detail = results
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + s"""{"median":${median(ts)},"best":${ts.min},"n":${ts.size}}"""
+      }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).sum + stream.sec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_detail":$detail,"bench_reps":$reps,""" +
       s""""stream_turns":${stream.turns},"stream_turns_per_sec":${stream.turnsPerSec},""" +
+      s""""stream_sustained_turns_per_sec":${stream.sustainedTurnsPerSec},""" +
       s""""stream_bench_root":"${stream.benchRoot}","stream_fs":"${stream.fsType}",""" +
       s""""stream_reduced_io":${stream.reducedIo},""" +
       s""""stream_batches":${stream.batchesJson},""" +

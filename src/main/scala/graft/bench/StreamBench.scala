@@ -25,6 +25,16 @@ final case class StreamResult(turns: Long, sec: Double, benchRoot: String,
                               fsType: String, batches: Seq[BatchProf],
                               reducedIo: Boolean = false) {
   def turnsPerSec: Double = if (sec > 0) turns / sec else 0.0
+  /** Σrows/Σtrigger-ms over data batches AFTER the first: batch 0 carries
+    * JIT + state-store init (26.5s of a 53s run in BENCH_r02), which a
+    * 10^12-turn stream amortizes to nothing — this is the steady-state
+    * number wall-clock converges to, printed alongside wall so the gap is
+    * attributable instead of mysterious. */
+  def sustainedTurnsPerSec: Double = {
+    val d = batches.filter(b => b.batchId >= 1 && b.inputRows > 0)
+    val ms = d.map(_.totalMs).sum
+    if (ms > 0) d.map(_.inputRows).sum * 1000.0 / ms else turnsPerSec
+  }
   def batchesJson: String = batches.map(_.json).mkString("[", ",", "]")
 }
 

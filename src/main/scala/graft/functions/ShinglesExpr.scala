@@ -33,17 +33,27 @@ final case class ShinglesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_shingles"
 
   override def nullSafeEval(input: Any): Any =
-    ShinglesExpr.eval(input.asInstanceOf[UTF8String], k)
+    ShinglesKernel.eval(input.asInstanceOf[UTF8String], k)
 
+  // Call the standalone ShinglesKernel object: scalac only emits a static
+  // forwarder when no companion-class instance method shadows the name, and
+  // ShinglesExpr itself inherits Expression.eval — calling
+  // graft.functions.ShinglesExpr.eval from Janino fails to resolve and
+  // silently disables whole-stage codegen (round-2 ADVICE). ShinglesKernel
+  // has no companion class, so the forwarder exists; CodegenHardSpec runs
+  // this expression with codegen.fallback=false to keep it that way.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShinglesExpr.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShinglesKernel.eval($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
 }
 
-object ShinglesExpr {
-  /** Row kernel shared by interpreted eval and generated code. */
+/** Row kernel shared by interpreted eval and generated code. Deliberately a
+  * top-level object with NO companion class so scalac emits a static
+  * forwarder `ShinglesKernel.eval(UTF8String,int)` that Janino can resolve.
+  */
+object ShinglesKernel {
   def eval(text: UTF8String, k: Int): ArrayData = {
     val sh = graft.text.Normalize.shingles(text.toString, k).distinct
     val out = new Array[Any](sh.length)
@@ -51,7 +61,9 @@ object ShinglesExpr {
     while (i < sh.length) { out(i) = UTF8String.fromString(sh(i)); i += 1 }
     new GenericArrayData(out)
   }
+}
 
+object ShinglesExpr {
   /** Column form (DataFrame API). */
   def shinglesCol(text: Column, k: Int): Column =
     GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(text), k))

@@ -31,11 +31,16 @@ object TranscriptOps {
 
   /** Detection over an already-sessionized frame. */
   private def detectFrom(s: DataFrame, p: RedactionParams): DataFrame = {
+    // normalize ONCE per turn, then split: lower/whitespace-collapse commute
+    // with splitting on '.' (no whitespace run contains a dot, trim absorbs
+    // the boundary), and sentence pieces are ~5x the turn rows — running the
+    // regex per piece paid that factor for nothing (round-2 VERDICT q2)
     val sentences = s
       .select(col("conv_id"), col("session_id"), col("turn_idx"),
-        explode(split(col("text"), "\\.")).as("piece"))
+        explode(split(regexp_replace(lower(col("text")), "\\s+", " "), "\\."))
+          .as("piece"))
       .select(col("conv_id"), col("session_id"), col("turn_idx"),
-        trim(regexp_replace(lower(col("piece")), "\\s+", " ")).as("sentence"))
+        trim(col("piece")).as("sentence"))
       .filter(length(col("sentence")) >= p.minSentenceLen)
     sentences
       // phase 1: dedupe (conv, session, sentence, turn) — partial/combine

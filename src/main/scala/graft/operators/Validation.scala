@@ -28,7 +28,12 @@ object Validation {
     when(col("text").isNotNull && length(col("text")) > Defaults.MaxTextLen,
       lit("text_overflow"))
       .when(col("ts").isNull, lit("null_ts"))
-      .when(!col("role").isInCollection(Defaults.ValidRoles), lit("bad_role"))
+      // role.isNull first: !isInCollection(null) is SQL-null, which would
+      // skip this branch and let a null-role row through as VALID while the
+      // row form rejects it (round-2 ADVICE) — the explicit null check keeps
+      // the two forms mirrored.
+      .when(col("role").isNull || !col("role").isInCollection(Defaults.ValidRoles),
+        lit("bad_role"))
       .otherwise(lit(null).cast("string"))
 
   /** Rows that continue through the pipeline. */

@@ -48,10 +48,17 @@ object Dedup {
     * would otherwise make its join bucket quadratic (10¹² rows at 100 TB).
     * Ubiquitous shingles carry no discriminative signal — a candidate pair
     * only needs ONE shared rare shingle to be found, and verification uses
-    * uncapped sets, so the output is unchanged whenever near-dup pairs
-    * share at least one shingle with df ≤ cap (true by construction for
-    * non-boilerplate content at J ≥ 0.8; see DedupSpec's planted
-    * hot-shingle case). */
+    * uncapped sets. Pairs whose shared shingles are ALL hot (e.g. > cap
+    * copies of one boilerplate-heavy document — the motivating dedup case,
+    * round-2 ADVICE) are recovered by a second, bounded candidate path: a
+    * pair certified only by hot shingles needs 10·|∩| ≥ pct·union with
+    * ∩ ⊆ hot(A) and union ≥ |A| = hot_A + rare_A, so BOTH endpoints must
+    * satisfy (10−pct)·hot ≥ pct·rare ("hot-dominated" docs). Only those
+    * docs enter a hot-shingle self-join, so its buckets hold dup-cluster
+    * members rather than everything sharing boilerplate — and for a true
+    * m-clique the Θ(m²) candidates are proportional to the Θ(m²) output
+    * the operator must emit anyway. Output is therefore EXACT (== the
+    * uncapped oracle) at every cap setting. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5, pct: Int = 8,
                         maxShingleDf: Int = 128): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shinglesCol(col("text"), k)).as("s"))
@@ -79,7 +86,24 @@ object Dedup {
       if (a == null || b == null) 0L
       else a.toSet.intersect(b.toSet).size.toLong
     }
-    interRare
+    // all-hot recovery: candidates among hot-dominated docs only (see
+    // Scaladoc for the (10−pct)·hot ≥ pct·rare necessity proof)
+    val rareCnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("r"))
+    val domDocs = hotPerDoc
+      .select(col("doc_id"), size(col("hs")).cast("long").as("h"))
+      .join(rareCnt, Seq("doc_id"), "left")
+      .filter(lit(10 - pct) * col("h") >= lit(pct) * coalesce(col("r"), lit(0L)))
+      .select(col("doc_id"))
+    val hotSh = sh.join(broadcast(hot), Seq("s"))
+      .join(domDocs, Seq("doc_id"), "left_semi")
+    val allHotCand = hotSh.as("a").join(hotSh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(interRare.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .withColumn("inter_rare", lit(0L))
+    interRare.unionByName(allHotCand)
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n", "size_a")), "doc_a")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")

@@ -4,22 +4,19 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
-import graft.table.IcebergLite
+import graft.table.{DataFileMeta, FileSet, IcebergLite}
 
 /** DataSource V2 connector for [[IcebergLite]] tables — most importantly a
   * streaming `MicroBatchStream` whose offsets are the table's EPOCH IDS, so
@@ -44,6 +41,21 @@ import graft.table.IcebergLite
   *    epochs are immutable the planning is deterministic under replay
   *    (exactly-once composes across chained queries via the checkpoint's
   *    offset log + the sink's idempotent commits);
+  *  - **filter pushdown** ([[SupportsPushDownFilters]]): `ts` range bounds
+  *    and `conv_id` equality prune at the MANIFEST level — only data files
+  *    whose footer min/max ts stats overlap the bounds (and, for bucketed
+  *    file sets, whose bucket matches the conv_id hash) are ever opened. At
+  *    10^12 rows that is the difference between scanning a day and scanning
+  *    the table. All filters are also returned as residuals, so Spark keeps
+  *    the exact row-level evaluation (pruning is file-granular);
+  *  - **vectorized read**: data files are decoded with Spark's own
+  *    `VectorizedParquetRecordReader` into `ColumnarBatch`es
+  *    (`supportColumnarReads`), not a row-at-a-time materialization — the
+  *    same decode path a native `spark.read.parquet` scan uses;
+  *  - a zero-column projection (`count()` pushes an empty required schema)
+  *    never touches parquet at all: the manifest's per-file rowCount drives
+  *    an empty-row emitter (round-2 ADVICE: an empty parquet projection is
+  *    rejected by parquet-mr);
   *  - readers must stay ahead of compaction GC ([[IcebergLite.gc]] deletes
   *    replaced epochs' files); a lagging reader fails loudly rather than
   *    silently skipping.
@@ -71,6 +83,72 @@ object IcebergLiteSource {
       .add("partition_id", IntegerType)
 }
 
+/** Manifest-pruning predicate extracted from pushed-down filters: an
+  * event-time window (micros, inclusive) plus conv_id equality literals.
+  * Conjunction semantics — a file survives only if it can satisfy ALL. */
+final case class PrunePredicate(minTsMicros: Option[Long],
+                                maxTsMicros: Option[Long],
+                                convIds: Seq[String]) {
+  def prune(sets: Seq[FileSet]): Seq[DataFileMeta] =
+    convIds.foldLeft(IcebergLite.pruneFileSets(
+        sets, minTsMicros, maxTsMicros, convIds.headOption)) { (acc, c) =>
+      // >1 distinct conv_id equality is unsatisfiable unless they hash to
+      // the same bucket anyway; intersecting per-conv_id prunes is sound
+      // because the row filter still runs as a residual
+      val one = IcebergLite.pruneFileSets(sets, minTsMicros, maxTsMicros, Some(c))
+        .map(_.path).toSet
+      acc.filter(f => one.contains(f.path))
+    }
+}
+
+object PrunePredicate {
+  val empty: PrunePredicate = PrunePredicate(None, None, Nil)
+
+  private def micros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
+  /** True iff this filter contributes to manifest pruning (reported back to
+    * Spark as `pushedFilters`, i.e. what `.explain` shows as PushedFilters). */
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo("conv_id", _: String) => true
+    case EqualNullSafe("conv_id", _: String) => true
+    case EqualTo("ts", v) => micros(v).isDefined
+    case GreaterThan("ts", v) => micros(v).isDefined
+    case GreaterThanOrEqual("ts", v) => micros(v).isDefined
+    case LessThan("ts", v) => micros(v).isDefined
+    case LessThanOrEqual("ts", v) => micros(v).isDefined
+    case _ => false
+  }
+
+  def from(filters: Seq[Filter]): PrunePredicate =
+    filters.foldLeft(empty) { (p, f) =>
+      f match {
+        case EqualTo("conv_id", c: String) => p.copy(convIds = p.convIds :+ c)
+        case EqualNullSafe("conv_id", c: String) => p.copy(convIds = p.convIds :+ c)
+        case EqualTo("ts", v) =>
+          micros(v).map(m => p.copy(
+            minTsMicros = Some(p.minTsMicros.fold(m)(math.max(_, m))),
+            maxTsMicros = Some(p.maxTsMicros.fold(m)(math.min(_, m))))).getOrElse(p)
+        case GreaterThan("ts", v) => // strict > at micro resolution = ≥ m+1
+          micros(v).map(m => p.copy(
+            minTsMicros = Some(p.minTsMicros.fold(m + 1)(math.max(_, m + 1))))).getOrElse(p)
+        case GreaterThanOrEqual("ts", v) =>
+          micros(v).map(m => p.copy(
+            minTsMicros = Some(p.minTsMicros.fold(m)(math.max(_, m))))).getOrElse(p)
+        case LessThan("ts", v) =>
+          micros(v).map(m => p.copy(
+            maxTsMicros = Some(p.maxTsMicros.fold(m - 1)(math.min(_, m - 1))))).getOrElse(p)
+        case LessThanOrEqual("ts", v) =>
+          micros(v).map(m => p.copy(
+            maxTsMicros = Some(p.maxTsMicros.fold(m)(math.min(_, m))))).getOrElse(p)
+        case _ => p
+      }
+    }
+}
+
 final class IcebergLiteTable(root: String, tableSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"iceberglite:$root"
@@ -78,31 +156,42 @@ final class IcebergLiteTable(root: String, tableSchema: StructType)
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def schema(): StructType = tableSchema
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // column pruning: Catalyst hands us the projected schema; the reader
       // asks parquet for exactly those columns (at 100 TB a 2-column
       // projection must not decode the text payload)
       private var required: StructType = tableSchema
+      private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new IcebergLiteScan(root, required)
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(PrunePredicate.prunable)
+        filters // ALL remain residual: pruning is file-granular, rows still
+                // need the exact predicate
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan =
+        new IcebergLiteScan(root, required, PrunePredicate.from(pushed.toSeq))
     }
 }
 
-final class IcebergLiteScan(root: String, schema: StructType) extends Scan {
+final class IcebergLiteScan(root: String, schema: StructType,
+                            pred: PrunePredicate) extends Scan {
   override def readSchema(): StructType = schema
-  override def description(): String = s"IcebergLiteScan($root)"
+  override def description(): String =
+    s"IcebergLiteScan($root, pruneBy=$pred)"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      new IcebergLite(root).effectiveFiles
-        .map(f => FilePartition(s"$root/${f.path}"): InputPartition).toArray
+      pred.prune(new IcebergLite(root).effectiveFileSets)
+        .map(f => FilePartition(s"$root/${f.path}", f.rowCount): InputPartition)
+        .toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new GroupRowReaderFactory(schema)
+      new ParquetColumnarReaderFactory(schema)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new IcebergLiteMicroBatchStream(root, schema)
+    new IcebergLiteMicroBatchStream(root, schema, pred)
 }
 
 /** Offset = highest committed epoch id (−1 before any commit). */
@@ -110,16 +199,30 @@ final case class EpochOffset(epoch: Long) extends Offset {
   override def json(): String = s"""{"epoch":$epoch}"""
 }
 
-final case class FilePartition(path: String) extends InputPartition
+final case class FilePartition(path: String, rowCount: Long) extends InputPartition
 
-final class IcebergLiteMicroBatchStream(root: String, schema: StructType)
-    extends MicroBatchStream {
+final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
+                                        pred: PrunePredicate)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def table = new IcebergLite(root)
+  private def latestEpoch: Long =
+    table.snapshots.lastOption.map(_.epochId).getOrElse(-1L)
+
+  // Trigger.AvailableNow contract: pin the drain target ONCE at query start
+  // so the run is guaranteed to process exactly the epochs committed before
+  // the trigger (without this Spark warns and falls back to one
+  // single-batch execution, which can miss an epoch that lands mid-plan).
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestEpoch)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    EpochOffset(availableNowTarget.getOrElse(latestEpoch))
+  override def reportLatestOffset(): Offset = EpochOffset(latestEpoch)
 
   override def initialOffset(): Offset = EpochOffset(-1L)
 
-  override def latestOffset(): Offset =
-    EpochOffset(table.snapshots.lastOption.map(_.epochId).getOrElse(-1L))
+  override def latestOffset(): Offset = EpochOffset(latestEpoch)
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"epoch":(-?\d+)\}""".r
@@ -132,97 +235,84 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EpochOffset].epoch
     val e = end.asInstanceOf[EpochOffset].epoch
-    table.snapshots
+    val sets = table.snapshots
       .filter(sn => sn.epochId > s && sn.epochId <= e)
-      .flatMap(_.files)
-      .map(f => FilePartition(s"$root/${f.path}"): InputPartition)
+      .map(sn => FileSet(sn.numBuckets, sn.files))
+    pred.prune(sets)
+      .map(f => FilePartition(s"$root/${f.path}", f.rowCount): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GroupRowReaderFactory(schema)
+    new ParquetColumnarReaderFactory(schema)
 
   override def commit(end: Offset): Unit = () // source-side no-op; epochs are immutable
   override def stop(): Unit = ()
 }
 
-final class GroupRowReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GroupRowReader(partition.asInstanceOf[FilePartition].path, schema)
+/** Vectorized decode via Spark's own `VectorizedParquetRecordReader` — the
+  * scan hands Spark `ColumnarBatch`es exactly like a native parquet scan
+  * (round-2 VERDICT: the row-oriented parquet-mr `Group` reader paid ~an
+  * order of magnitude at scale). A zero-column projection skips parquet
+  * entirely and emits manifest-counted empty rows. */
+final class ParquetColumnarReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    schema.nonEmpty
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new VectorizedFileReader(partition.asInstanceOf[FilePartition].path, schema)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fp = partition.asInstanceOf[FilePartition]
+    if (schema.isEmpty) new CountRowsReader(fp.rowCount)
+    else new RowsFromBatchReader(new VectorizedFileReader(fp.path, schema))
+  }
 }
 
-/** Reads one parquet data file via parquet-mr's example Group API and
-  * converts rows to `InternalRow` by schema field name (fields absent from
-  * the file read as null). Supports the primitive types IcebergLite tables
-  * use: string, int, bigint, boolean, double, float, timestamp
-  * (TIMESTAMP_MICROS — the sink's canonical writer setting, which maps 1:1
-  * onto Spark's internal micros representation). The (possibly pruned)
-  * schema is passed to parquet as the requested read schema, so unneeded
-  * columns are never decoded. */
-final class GroupRowReader(path: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
+final class VectorizedFileReader(path: String, schema: StructType)
+    extends PartitionReader[ColumnarBatch] {
+  // on-heap, default batch size; initialize(path, columns) clips the FILE
+  // schema to the projected columns in OUR order, so batch column order
+  // matches readSchema()
+  private val reader = new VectorizedParquetRecordReader(false, 4096)
+  reader.initialize(path, schema.fieldNames.toSeq.asJava)
+  reader.initBatch(new StructType(), InternalRow.empty)
+  reader.enableReturningBatches()
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(
-        new GroupRowReader.ProjectedReadSupport(schema.fieldNames.toSet),
-        new HPath(path))
-      .withConf(new Configuration())
-      .build()
-
-  private var current: Group = _
-  private var fieldIdx: Array[Int] = _ // schema position -> file field index (-1 absent)
-
-  override def next(): Boolean = {
-    current = reader.read()
-    if (current != null && fieldIdx == null) {
-      val fileType = current.getType
-      fieldIdx = schema.fields.map { f =>
-        if (fileType.containsField(f.name)) fileType.getFieldIndex(f.name) else -1
-      }
-    }
-    current != null
-  }
-
-  override def get(): InternalRow = {
-    val values = new Array[Any](schema.length)
-    var i = 0
-    while (i < schema.length) {
-      val fi = fieldIdx(i)
-      values(i) =
-        if (fi < 0 || current.getFieldRepetitionCount(fi) == 0) null
-        else schema.fields(i).dataType match {
-          case StringType => UTF8String.fromBytes(current.getBinary(fi, 0).getBytes)
-          case IntegerType => current.getInteger(fi, 0)
-          case LongType => current.getLong(fi, 0)
-          case BooleanType => current.getBoolean(fi, 0)
-          case DoubleType => current.getDouble(fi, 0)
-          case FloatType => current.getFloat(fi, 0)
-          case TimestampType => current.getLong(fi, 0) // micros, 1:1 internal
-          case dt => throw new UnsupportedOperationException(
-            s"IcebergLiteSource: unsupported type $dt for field ${schema.fields(i).name}")
-        }
-      i += 1
-    }
-    new GenericInternalRow(values)
-  }
-
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[ColumnarBatch]
   override def close(): Unit = reader.close()
 }
 
-object GroupRowReader {
-  /** GroupReadSupport that prunes the REQUESTED schema down to the
-    * projected column names, taking each field's type/repetition from the
-    * FILE's own schema (so required vs optional always matches) — only the
-    * projected columns are decoded. */
-  final class ProjectedReadSupport(keep: Set[String]) extends GroupReadSupport {
-    override def init(conf: Configuration,
-                      keyValueMetaData: java.util.Map[String, String],
-                      fileSchema: org.apache.parquet.schema.MessageType)
-        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
-      val kept = fileSchema.getFields.asScala.filter(f => keep(f.getName))
-      val pruned = new org.apache.parquet.schema.MessageType(
-        fileSchema.getName, kept.asJava)
-      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(pruned)
+/** Row-based fallback over the vectorized reader (used only if Spark opts
+  * out of columnar for a scan). */
+final class RowsFromBatchReader(inner: VectorizedFileReader)
+    extends PartitionReader[InternalRow] {
+  private var it: java.util.Iterator[InternalRow] =
+    java.util.Collections.emptyIterator()
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    while (!it.hasNext) {
+      if (!inner.next()) return false
+      it = inner.get().rowIterator()
     }
+    cur = it.next()
+    true
   }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+}
+
+/** Zero-column projection (`SELECT count(*)`): the manifest's per-file
+  * rowCount is exact (parquet footer), so emit that many empty rows without
+  * opening the file. */
+final class CountRowsReader(n: Long) extends PartitionReader[InternalRow] {
+  private var emitted = 0L
+  override def next(): Boolean = { emitted += 1; emitted <= n }
+  override def get(): InternalRow = InternalRow.empty
+  override def close(): Unit = ()
 }

@@ -96,7 +96,7 @@ final class IcebergLite(val root: String) {
       return false
     }
     val files = stageAndPublish(df, epochId, numBuckets)
-    writeSnapshot(queryId, epochId, files)
+    writeSnapshot(queryId, epochId, files, numBuckets)
     true
   }
 
@@ -129,7 +129,14 @@ final class IcebergLite(val root: String) {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
     Files.createDirectories(dataDir)
-    val published = staged.zipWithIndex.map { case (src, idx) =>
+    val published = staged.zipWithIndex.map { case (src, fallbackIdx) =>
+      // the TRUE shuffle-partition index from Spark's task file name
+      // ("part-00007-<uuid>…"): with hash-bucketing by conv_id this IS the
+      // bucket id, which is what makes manifest-level conv_id bucket
+      // pruning sound even when some buckets are empty (a sorted-position
+      // index would shift past the gap and point pruning at wrong files)
+      val idx = IcebergLite.taskPartitionId(src.getFileName.toString)
+        .getOrElse(fallbackIdx)
       val name = f"part-$epochId%06d-$idx%05d.parquet"
       val dst = dataDir.resolve(name)
       // REPLACE: a retried epoch rewrites identical bytes (determinism)
@@ -145,11 +152,16 @@ final class IcebergLite(val root: String) {
     }.toIndexedSeq.seq.sortBy(_.partitionId)
   }
 
-  /** Step 3: atomically publish the snapshot (manifest + lineage). */
-  def writeSnapshot(queryId: String, epochId: Long, files: Seq[DataFileMeta]): Unit = {
+  /** Step 3: atomically publish the snapshot (manifest + lineage).
+    * `numBuckets` records the conv_id hash-bucket count the files were
+    * written with (−1 = unknown/unbucketed) — the connector uses it for
+    * manifest-level conv_id-equality pruning. */
+  def writeSnapshot(queryId: String, epochId: Long, files: Seq[DataFileMeta],
+                    numBuckets: Int = -1): Unit = {
     val snap = new JHashMap[String, Object]()
     snap.put("queryId", queryId)
     snap.put("epochId", java.lang.Long.valueOf(epochId))
+    snap.put("numBuckets", Integer.valueOf(numBuckets))
     val list: JList[Object] = new JArrayList[Object]()
     files.foreach { f =>
       val m = new JHashMap[String, Object]()
@@ -172,9 +184,12 @@ final class IcebergLite(val root: String) {
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
         SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(),
-          parseFiles(n))
+          parseFiles(n), parseBuckets(n))
       }
   }
+
+  private def parseBuckets(n: com.fasterxml.jackson.databind.JsonNode): Int =
+    if (n.has("numBuckets")) n.get("numBuckets").asInt() else -1
 
   private def parseFiles(n: com.fasterxml.jackson.databind.JsonNode): Seq[DataFileMeta] =
     n.get("files").elements().asScala.map { f =>
@@ -194,7 +209,7 @@ final class IcebergLite(val root: String) {
         val n = mapper.readTree(Files.readAllBytes(p))
         CompactionMeta(n.get("gen").asLong(),
           n.get("replaces").elements().asScala.map(_.asLong()).toSeq,
-          parseFiles(n))
+          parseFiles(n), parseBuckets(n))
       }
   }
 
@@ -206,12 +221,21 @@ final class IcebergLite(val root: String) {
     * supersedes generations < N — including all earlier generations' files
     * would double-count every previously-compacted row on the second
     * compaction. */
-  def effectiveFiles: Seq[DataFileMeta] = {
+  def effectiveFiles: Seq[DataFileMeta] = effectiveFileSets.flatMap(_.files)
+
+  /** [[effectiveFiles]] grouped by bucketing layout, for manifest-level
+    * pruning ([[IcebergLite.pruneFileSets]]): the latest compaction
+    * generation and each un-replaced epoch each carry their own recorded
+    * `numBuckets`. */
+  def effectiveFileSets: Seq[FileSet] = {
     val comps = compactions
     val replaced = comps.flatMap(_.replaces).toSet
-    val latestGen = if (comps.isEmpty) Nil else comps.maxBy(_.gen).files
+    val latestGen =
+      if (comps.isEmpty) Nil
+      else { val c = comps.maxBy(_.gen); Seq(FileSet(c.numBuckets, c.files)) }
     latestGen ++
-      snapshots.filterNot(s => replaced.contains(s.epochId)).flatMap(_.files)
+      snapshots.filterNot(s => replaced.contains(s.epochId))
+        .map(s => FileSet(s.numBuckets, s.files))
   }
 
   /** Rewrite the full effective view (previous generation + un-replaced
@@ -239,7 +263,9 @@ final class IcebergLite(val root: String) {
     val staged = Files.list(staging).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
-    val published = staged.zipWithIndex.map { case (src, idx) =>
+    val published = staged.zipWithIndex.map { case (src, fallbackIdx) =>
+      val idx = IcebergLite.taskPartitionId(src.getFileName.toString)
+        .getOrElse(fallbackIdx)
       val name = f"part-c$gen%04d-$idx%05d.parquet"
       val dst = dataDir.resolve(name)
       Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
@@ -253,6 +279,7 @@ final class IcebergLite(val root: String) {
 
     val m = new JHashMap[String, Object]()
     m.put("gen", java.lang.Long.valueOf(gen))
+    m.put("numBuckets", Integer.valueOf(numBuckets))
     val rl: JList[Object] = new JArrayList[Object]()
     replaced.foreach(e => rl.add(java.lang.Long.valueOf(e)))
     m.put("replaces", rl)
@@ -402,5 +429,53 @@ final class IcebergLite(val root: String) {
 
 final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
                               minTsMicros: Long, maxTsMicros: Long)
-final case class SnapshotMeta(queryId: String, epochId: Long, files: Seq[DataFileMeta])
-final case class CompactionMeta(gen: Long, replaces: Seq[Long], files: Seq[DataFileMeta])
+final case class SnapshotMeta(queryId: String, epochId: Long,
+                              files: Seq[DataFileMeta], numBuckets: Int = -1)
+final case class CompactionMeta(gen: Long, replaces: Seq[Long],
+                                files: Seq[DataFileMeta], numBuckets: Int = -1)
+
+/** A group of data files that share one bucketing layout (`numBuckets` = −1
+  * when the manifest predates bucket recording → conv_id pruning disabled
+  * for that set, ts pruning still applies). */
+final case class FileSet(numBuckets: Int, files: Seq[DataFileMeta])
+
+object IcebergLite {
+  private val TaskFilePattern = """part-(\d+)-.*""".r
+
+  /** Shuffle-partition index from a Spark task output file name. */
+  def taskPartitionId(fileName: String): Option[Int] = fileName match {
+    case TaskFilePattern(d) => Some(d.toInt)
+    case _ => None
+  }
+
+  /** The bucket `repartition(numBuckets, col("conv_id"))` routes `convId`
+    * to — computed with the exact expression `HashPartitioning` uses
+    * (Murmur3 seed 42, pmod), so manifest-level bucket pruning agrees with
+    * the writer's physical layout by construction. */
+  def bucketOf(convId: String, numBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Murmur3Hash}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = new Murmur3Hash(Seq(CLit(UTF8String.fromString(convId), StringType)))
+      .eval(null).asInstanceOf[Int]
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
+
+  /** Manifest-level pruning shared by the DSv2 batch and streaming scans:
+    * keep a file iff its [minTs, maxTs] stats overlap the ts bounds AND
+    * (when the set's bucketing is known) its partition id matches the
+    * bucket of the conv_id equality predicate. */
+  def pruneFileSets(sets: Seq[FileSet], minTsMicros: Option[Long],
+                    maxTsMicros: Option[Long], convIdEq: Option[String]): Seq[DataFileMeta] =
+    sets.flatMap { fs =>
+      val byBucket = convIdEq match {
+        case Some(c) if fs.numBuckets > 0 =>
+          val b = bucketOf(c, fs.numBuckets)
+          fs.files.filter(_.partitionId == b)
+        case _ => fs.files
+      }
+      byBucket.filter { f =>
+        minTsMicros.forall(f.maxTsMicros >= _) && maxTsMicros.forall(f.minTsMicros <= _)
+      }
+    }
+}

@@ -49,6 +49,31 @@ class ShinglesExprSpec extends SparkSpec {
     assert(df.collect().length === 3)
   }
 
+  test("generated code actually compiles (codegen.fallback=false)") {
+    // Round-2 ADVICE: the emitted call used to target ShinglesExpr.eval,
+    // which has no static forwarder (instance Expression.eval shadows it) —
+    // Janino failed and Spark *silently* ran interpreted. With fallback
+    // disabled a bad static call throws instead of degrading, so this test
+    // pins the ShinglesKernel forwarder contract.
+    import spark.implicits._
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevWhole = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val df = Seq("alpha beta gamma delta", "x y z").toDF("text")
+        .select(explode(ShinglesExpr.shinglesCol(col("text"), 2)).as("sh"))
+      val wscg = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(wscg.nonEmpty, df.queryExecution.executedPlan.toString)
+      assert(df.collect().length === 5)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWhole)
+    }
+  }
+
   test("SQL surface: graft_shingles(text, k) after registration") {
     GraftFunctions.register(spark)
     val out = spark

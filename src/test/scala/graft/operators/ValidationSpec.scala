@@ -28,6 +28,27 @@ class ValidationSpec extends SparkSpec {
     assert(turns.count(!Validation.isValidTurn(_)).toLong === deadN)
   }
 
+  test("null role / null ts / bad role: Column and row forms agree") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val weird = Seq(
+      graft.core.Turn("c0", 0, null, "null role text", null, ts),
+      graft.core.Turn("c0", 1, "intruder", "bad role text", null, ts),
+      graft.core.Turn("c0", 2, "user", "null ts text", null, null),
+      graft.core.Turn("c0", 3, "user", "fine", null, ts))
+    val wdf = spark.createDataset(weird).toDF()
+    val reasons = wdf.select(col("turn_idx"), Validation.invalidReason.as("r"))
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(reasons(0) === Some("bad_role"), "null role must be quarantined")
+    assert(reasons(1) === Some("bad_role"))
+    assert(reasons(2) === Some("null_ts"))
+    assert(reasons(3) === None)
+    weird.foreach { t =>
+      assert(Validation.isValidTurn(t) === reasons(t.turn_idx).isEmpty,
+        s"row/Column divergence at turn ${t.turn_idx}")
+    }
+  }
+
   test("deadLetterTop10 is the stable first-10 by (conv_id, turn_idx)") {
     val top = Validation.deadLetterTop10(df).collect()
     assert(top.length === math.min(10L, Validation.deadLetter(df).count()))

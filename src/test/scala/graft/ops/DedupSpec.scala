@@ -64,6 +64,31 @@ class DedupSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("all-hot pairs survive the df cap: a >cap duplicate cluster where " +
+    "EVERY shared shingle is hot (round-2 ADVICE)") {
+    import spark.implicits._
+    // 24 identical copies of a boilerplate doc with cap=8: every one of its
+    // shingles has df=24 > 8, so the rare path has NO candidate row for any
+    // of the 276 true J=1.0 pairs — the exact failure mode the ADVICE named.
+    // Plus near-dups inside the cluster (one tail token differs, J≈0.87) and
+    // 30 unrelated docs to keep the dom-doc restriction honest.
+    val boiler = (0 until 15).map(j => s"legal boilerplate tok$j").mkString(" ")
+    val cluster = (0 until 24).map { i =>
+      val tail = if (i % 2 == 0) "alpha" else "omega" // two sub-variants
+      (i.toLong, s"$boiler $tail")
+    }
+    val others = (0 until 30).map { i =>
+      (100L + i, (0 until 40).map(j => s"unique${i}w$j").mkString(" "))
+    }
+    val df = (cluster ++ others).toDF("doc_id", "text")
+    val uncapped = pairSet(
+      Dedup.ngramJaccardPairs(df, maxShingleDf = Int.MaxValue), "doc_a", "doc_b")
+    val capped = pairSet(Dedup.ngramJaccardPairs(df, maxShingleDf = 8), "doc_a", "doc_b")
+    // the 12-doc alpha clique alone is 66 pairs; all must survive the cap
+    assert(uncapped.size >= 132, s"fixture broken: ${uncapped.size} pairs")
+    assert(capped === uncapped)
+  }
+
   test("SimHash finds exact dups with hamming 0 and no random-pair flood") {
     val sh = Dedup.simhashPairs(docs, maxHam = 3)
     val pairs = sh.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -91,6 +91,65 @@ class IcebergLiteSourceSpec extends SparkSpec {
     assert(viaConnector.toSeq === native.toSeq)
   }
 
+  test("count() through the connector: empty projected schema never opens " +
+    "parquet, manifest row counts drive the answer (round-2 ADVICE)") {
+    val tableRoot = buildRedactedTable()
+    val viaConnector = spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).load().count()
+    val native = new IcebergLite(tableRoot).read(spark).count()
+    assert(viaConnector === native)
+    assert(viaConnector > 0L)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): IcebergLiteScan =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[IcebergLiteScan]
+    }.head
+
+  test("ts-range + conv_id filter pushdown prunes files at the manifest level") {
+    import spark.implicits._
+    val tableRoot = tmpDir("prune-table")
+    val table = new IcebergLite(tableRoot)
+    table.create("conv_id string, turn_idx int, ts timestamp", 4)
+    // 5 epochs with disjoint hour-wide ts ranges, 8 conv_ids across 4 buckets
+    val base = 1767225600L * 1000000L // micros
+    (0L until 5L).foreach { ep =>
+      val rows = for (c <- 0 until 8; i <- 0 until 5) yield
+        (s"conv$c", i, new java.sql.Timestamp(
+          (base + ep * 3600L * 1000000L + c * 1000000L + i) / 1000L))
+      assert(table.commitEpoch(rows.toDF("conv_id", "turn_idx", "ts"), "w", ep, 4))
+    }
+    val allFiles = table.effectiveFiles.length
+    val conn = spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).load()
+
+    // (a) ts range covering only epochs 1-2
+    val lo = new java.sql.Timestamp((base + 1L * 3600L * 1000000L) / 1000L)
+    val hi = new java.sql.Timestamp((base + 2L * 3600L * 1000000L + 3600L * 1000000L - 1L) / 1000L)
+    val ranged = conn.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+    val rangedParts = scanOf(ranged).toBatch.planInputPartitions().length
+    assert(rangedParts < allFiles, s"no pruning: $rangedParts of $allFiles")
+    // parity with the unpruned read under the same row filter
+    assert(ranged.count() ===
+      new IcebergLite(tableRoot).read(spark)
+        .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi)).count())
+
+    // (b) conv_id equality prunes to one bucket per epoch
+    val byConv = conn.filter(col("conv_id") === "conv3")
+    val convParts = scanOf(byConv).toBatch.planInputPartitions().length
+    assert(convParts <= allFiles / 2, s"no bucket pruning: $convParts of $allFiles")
+    assert(byConv.count() === 25L) // 5 epochs x 5 turns
+    // combined: both dimensions prune multiplicatively
+    val both = conn.filter(col("conv_id") === "conv3" &&
+      col("ts") >= lit(lo) && col("ts") <= lit(hi))
+    val bothParts = scanOf(both).toBatch.planInputPartitions().length
+    assert(bothParts <= math.min(rangedParts, convParts))
+    assert(both.count() === 10L)
+    // the pushed filters are visible to explain (PushedFilters analogue)
+    assert(scanOf(both).description().contains("conv3"))
+  }
+
   test("exactly-once composes across the chained pair: downstream kill in " +
     "the staged-but-uncommitted window, resume, identical sink table") {
     import java.nio.file.{Files, Paths}
