@@ -66,6 +66,11 @@ object SparkEntry {
       graft.operators.Validation.deadLetterTop10(Fixtures.transcripts(s, dir))),
     "q22_shingle_detect" -> ((s, dir) =>
       TranscriptOps.detectRecurringShingles(Fixtures.transcripts(s, dir))),
+    // 2.8d gate: micro-batch watermark lateness over the arrival-order
+    // fixture (planted out-of-order rows) — the batch-exact analogue of the
+    // streaming watermark drop tested in MetricsSpec
+    "q23_late_data" -> ((s, dir) =>
+      TranscriptOps.lateArrivals(Fixtures.transcriptsLate(s, dir))),
     "q17_media_stats" -> ((s, dir) => {
       import graft.ops.MultiModal
       val media = Fixtures.media(s, dir)
@@ -322,6 +327,22 @@ object SparkEntry {
          |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i))
          |SELECT conv_id, session_id, shingle, count(DISTINCT turn_idx) AS n_turns
          |FROM x GROUP BY 1, 2, 3 HAVING count(DISTINCT turn_idx) >= 3""".stripMargin,
+    // q23: same micro-batch watermark semantics — watermark for batch b =
+    // max event time over batches < b, minus the delay; a row is late iff
+    // its ts is below that watermark.
+    "q23_late_data" ->
+      """WITH b AS (
+        |  SELECT conv_id, turn_idx, ts, arrival_seq // 1000 AS arrival_batch
+        |  FROM read_parquet('/root/repo/data/transcripts_late_sf0.01/*.parquet')),
+        |m AS (SELECT arrival_batch, max(epoch_us(ts)) AS bm FROM b GROUP BY 1),
+        |w AS (SELECT arrival_batch,
+        |        max(bm) OVER (ORDER BY arrival_batch
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 120000000 AS wm
+        |      FROM m)
+        |SELECT b.conv_id, b.turn_idx, wm - epoch_us(b.ts) AS late_by_us
+        |FROM b JOIN w USING (arrival_batch)
+        |WHERE wm IS NOT NULL AND epoch_us(b.ts) < wm""".stripMargin,
     "q17_media_stats" ->
       """SELECT kind, count(*) AS n_items,
         |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes

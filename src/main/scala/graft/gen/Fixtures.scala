@@ -65,6 +65,36 @@ object Fixtures {
     spark.read.parquet(path)
   }
 
+  def transcriptsLatePath(name: String): String = s"$DataRoot/transcripts_late_$name"
+
+  /** Arrival-order fixture for the late-data gate (2.8d): the transcripts
+    * table with an `arrival_seq` column. Normal rows arrive in event-time
+    * order (so they can never be late); a deterministic ~1% are planted
+    * 5000 arrival positions later than their event time — far enough past
+    * the watermark delay that every planted row is late at every sf. */
+  def transcriptsLate(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = sfName(sfDir)
+    val path = transcriptsLatePath(name)
+    synchronized {
+      if (!new File(path, "_SUCCESS").exists()) {
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+        transcripts(spark, sfDir).select("conv_id", "turn_idx", "ts")
+          .withColumn("base_seq", row_number().over(w).cast("long"))
+          .withColumn("arrival_seq",
+            when(pmod(xxhash64(col("conv_id"), col("turn_idx"), lit(777L)),
+              lit(97L)) === 0L, col("base_seq") + 5000L)
+              .otherwise(col("base_seq")))
+          .drop("base_seq")
+          .repartition(4, col("conv_id"))
+          .sortWithinPartitions("conv_id", "turn_idx")
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 

@@ -122,6 +122,36 @@ object TranscriptOps {
         col("role"), col("tool"),
         col("turn_count"), col("char_sum"), col("n_convs"))
 
+  /** 2.8d, batch form — late-data classification under MICRO-BATCH
+    * watermark semantics: arrivals are grouped into batches of `batchRows`
+    * by `arrival_seq`; the watermark a row is judged against is the max
+    * event time over all STRICTLY EARLIER batches minus `delaySec` (the
+    * watermark advances between micro-batches, never within one — exactly
+    * how Structured Streaming computes it, and what the streaming pipeline's
+    * `withWatermark` drop does; MetricsSpec covers the streaming side).
+    *
+    * Scale shape: per-batch maxes are one map-side-combinable aggregation;
+    * the prefix-max window runs over #batches rows (batch-level metadata —
+    * the same cardinality the streaming engine tracks on the driver), and
+    * the result broadcasts back. No full-data single-partition window. */
+  def lateArrivals(tx: DataFrame, batchRows: Long = 1000L,
+                   delaySec: Long = 120L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = tx.withColumn("arrival_batch", expr(s"arrival_seq div $batchRows"))
+    val wm = b.groupBy(col("arrival_batch"))
+      .agg(max(unix_micros(col("ts"))).as("batch_max_us"))
+      .withColumn("wm_us",
+        max(col("batch_max_us")).over(
+          Window.orderBy("arrival_batch")
+            .rowsBetween(Window.unboundedPreceding, -1)) -
+          lit(delaySec * 1000000L))
+      .select(col("arrival_batch"), col("wm_us"))
+    b.join(broadcast(wm), "arrival_batch")
+      .filter(col("wm_us").isNotNull && unix_micros(col("ts")) < col("wm_us"))
+      .select(col("conv_id"), col("turn_idx"),
+        (col("wm_us") - unix_micros(col("ts"))).as("late_by_us"))
+  }
+
   /** A5 (sliding form) — per-role stats over 2-minute windows sliding by
     * 1 minute; every turn contributes to exactly two windows. */
   def slidingWindowStats(tx: DataFrame): DataFrame =

@@ -191,7 +191,11 @@ final class IcebergLiteScan(root: String, schema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new IcebergLiteMicroBatchStream(root, schema, pred)
+    new IcebergLiteMicroBatchStream(root, schema, pred,
+      // stable per-checkpoint reader id: the same logical stream keeps one
+      // registry entry across restarts
+      "cp-" + org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(checkpointLocation).take(12))
 }
 
 /** Offset = highest committed epoch id (−1 before any commit). */
@@ -202,11 +206,18 @@ final case class EpochOffset(epoch: Long) extends Offset {
 final case class FilePartition(path: String, rowCount: Long) extends InputPartition
 
 final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
-                                        pred: PrunePredicate)
+                                        pred: PrunePredicate,
+                                        readerId: String)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def table = new IcebergLite(root)
   private def latestEpoch: Long =
     table.snapshots.lastOption.map(_.epochId).getOrElse(-1L)
+
+  // GC retention guard: announce this reader BEFORE any planning so a
+  // concurrent compact+gc can never delete epochs this stream still needs.
+  // −1 is the safe direction on restart (over-retention until the first
+  // commit() re-advances the offset).
+  table.registerReader(readerId, -1L)
 
   // Trigger.AvailableNow contract: pin the drain target ONCE at query start
   // so the run is guaranteed to process exactly the epochs committed before
@@ -235,6 +246,12 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EpochOffset].epoch
     val e = end.asInstanceOf[EpochOffset].epoch
+    // advance the GC guard at planning time too: `start` is always a
+    // durable offset (either committed, or the replay floor after a crash),
+    // so epochs ≤ start can never be requested again by this reader. Spark
+    // delivers the commit() callback lazily (next-batch cleanup), which
+    // alone would leave the registration one batch behind.
+    table.registerReader(readerId, s)
     val sets = table.snapshots
       .filter(sn => sn.epochId > s && sn.epochId <= e)
       .map(sn => FileSet(sn.numBuckets, sn.files))
@@ -246,7 +263,11 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new ParquetColumnarReaderFactory(schema)
 
-  override def commit(end: Offset): Unit = () // source-side no-op; epochs are immutable
+  // Source-side commit: epochs are immutable so there is nothing to ack —
+  // but advancing the reader registration here is what lets gc() reclaim
+  // epochs this stream has durably passed.
+  override def commit(end: Offset): Unit =
+    table.registerReader(readerId, end.asInstanceOf[EpochOffset].epoch)
   override def stop(): Unit = ()
 }
 

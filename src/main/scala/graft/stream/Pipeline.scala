@@ -62,7 +62,12 @@ object Pipeline {
     * pruned at the scan and never advance the watermark. Folding a `ts`
     * reference into one non-splittable OR keeps the filter above the
     * watermark node: the sentinel is seen by the watermark tracker, then
-    * dropped before any stateful operator. */
+    * dropped before any stateful operator.
+    *
+    * This leans on optimizer internals — `PlanShapeSpec` asserts the
+    * filter-above-watermark shape on the executed plan so a Spark upgrade
+    * that re-splits the OR fails the suite instead of silently stalling
+    * tail sessions. */
   private def dropFlush(df: Dataset[Turn]): Dataset[Turn] =
     df.filter(col("conv_id") =!= FlushConvId || col("ts").isNull)
 

@@ -342,6 +342,44 @@ final class IcebergLite(val root: String) {
         col("ts") <= timestamp_micros(lit(maxTsMicros)))
   }
 
+  // ---- incremental-reader registry (GC retention guard) --------------------
+
+  private def readersDir = metaDir.resolve("readers")
+
+  /** Register (or advance) an incremental reader's committed offset: the
+    * reader has fully processed epochs ≤ `lastEpoch` and still needs every
+    * epoch AFTER it. [[gc]] will never delete files of a replaced epoch
+    * some registered reader still needs — turning the round-2 "callers must
+    * ensure" comment into a mechanical guarantee. The DSv2 streaming source
+    * registers itself on construction (offset −1) and advances on every
+    * Spark epoch commit. */
+  def registerReader(readerId: String, lastEpoch: Long): Unit = {
+    Files.createDirectories(readersDir)
+    // monotonic: a restarted stream re-registers at −1 before its first
+    // plan — that must not regress the durable offset a previous
+    // incarnation already acknowledged (it would only over-retain, but
+    // monotonicity keeps gc liveness deterministic)
+    val prior = readerOffsets.getOrElse(readerId, Long.MinValue)
+    if (lastEpoch <= prior) return
+    val m = new JHashMap[String, Object]()
+    m.put("epoch", java.lang.Long.valueOf(lastEpoch))
+    atomicReplace(readersDir.resolve(s"$readerId.json"), mapper.writeValueAsBytes(m))
+  }
+
+  def unregisterReader(readerId: String): Unit =
+    Files.deleteIfExists(readersDir.resolve(s"$readerId.json"))
+
+  /** Registered incremental readers and their last fully-processed epoch. */
+  def readerOffsets: Map[String, Long] = {
+    if (!Files.exists(readersDir)) return Map.empty
+    Files.list(readersDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map { p =>
+        val id = p.getFileName.toString.stripSuffix(".json")
+        id -> mapper.readTree(Files.readAllBytes(p)).get("epoch").asLong()
+      }.toMap
+  }
+
   /** GC of superseded data files (completes the compaction story — the
     * analogue of the reference deleting its temp file after the atomic
     * publish, watermark_processor.py:173-175): deletes files of compaction
@@ -351,18 +389,23 @@ final class IcebergLite(val root: String) {
     * Safety: only files that some compaction manifest has already
     * superseded are touched — never staged files, never files of a
     * published-but-uncommitted epoch — so a crashed/replayed writer is
-    * unaffected and the call is idempotent. Callers must ensure no
-    * in-flight reader still holds a pre-compaction file list and that
-    * incremental (`readSince` / streaming-source) consumers are past the
-    * replaced epochs. Returns the deleted relative paths. */
+    * unaffected and the call is idempotent. Lagging incremental readers are
+    * protected mechanically: a replaced epoch's files are retained while
+    * any [[registerReader registered reader]]'s committed offset is below
+    * that epoch (snapshot-view readers are unaffected — they see the
+    * compaction files). Returns the deleted relative paths. */
   def gc(): Seq[String] = {
     val comps = compactions
     if (comps.isEmpty) return Nil
     val latest = comps.maxBy(_.gen).gen
     val replacedEpochs = comps.flatMap(_.replaces).toSet
+    // min live epoch: the smallest epoch some registered reader has NOT yet
+    // processed; replaced epochs at/above it must survive this gc pass
+    val minLive = readerOffsets.values.minOption.map(_ + 1L)
     val doomed =
       comps.filter(_.gen < latest).flatMap(_.files.map(_.path)) ++
-        snapshots.filter(s => replacedEpochs.contains(s.epochId))
+        snapshots.filter(s => replacedEpochs.contains(s.epochId) &&
+            minLive.forall(s.epochId < _))
           .flatMap(_.files.map(_.path))
     doomed.distinct.flatMap { rel =>
       val p = Paths.get(root, rel)
@@ -407,6 +450,14 @@ final class IcebergLite(val root: String) {
       if (minTs == Long.MaxValue) { minTs = 0L; maxTs = 0L }
       DataFileMeta(rel, idx, rows, minTs, maxTs)
     } finally reader.close()
+  }
+
+  /** Atomic overwrite (reader-offset files advance in place). */
+  private def atomicReplace(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {

@@ -54,6 +54,43 @@ class OracleParitySpec extends SparkSpec {
     assert(learnedRows.forall(_.getLong(3) >= p.threshold))
   }
 
+  test("lateArrivals == sequential micro-batch watermark replay") {
+    import spark.implicits._
+    val delaySec = 120L
+    val batchRows = 100L
+    // arrival order = event-time order, except planted rows arrive ~9
+    // batches late (far past the delay)
+    val arr = turns.sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+      .zipWithIndex.map { case (t, i) =>
+        val planted = math.floorMod(t.conv_id.hashCode + 31 * t.turn_idx, 29) == 0
+        (t.conv_id, t.turn_idx, t.ts, if (planted) i + 1L + 900L else i + 1L)
+      }
+    val df = arr.toDF("conv_id", "turn_idx", "ts", "arrival_seq")
+    val got = TranscriptOps.lateArrivals(df, batchRows, delaySec).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    // sequential replay: per batch in arrival order, judge rows against the
+    // watermark from strictly earlier batches, then advance it
+    val expected = scala.collection.mutable.Map[(String, Int), Long]()
+    var maxPrevUs = Long.MinValue
+    arr.groupBy(_._4 / batchRows).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      if (maxPrevUs != Long.MinValue) {
+        val wmUs = maxPrevUs - delaySec * 1000000L
+        rows.foreach { case (c, i, ts, _) =>
+          val tsUs = ts.getTime * 1000L
+          if (tsUs < wmUs) expected((c, i)) = wmUs - tsUs
+        }
+      }
+      maxPrevUs = math.max(maxPrevUs, rows.map(_._3.getTime * 1000L).max)
+    }
+    assert(expected.nonEmpty, "fixture must contain late rows")
+    assert(got === expected.toMap)
+    // in-order rows are never late: every late row is a planted one
+    got.keys.foreach { case (c, i) =>
+      assert(math.floorMod(c.hashCode + 31 * i, 29) == 0, s"non-planted late: $c/$i")
+    }
+  }
+
   test("skew: salted two-phase equals plain aggregation") {
     import spark.implicits._
     val skewTurns = (0L until 40L).flatMap(
