@@ -28,6 +28,7 @@ object Bench {
     // fixtures materialize outside the timed region
     Fixtures.transcripts(spark, sfDir)
     Fixtures.transcriptsSkew(spark, sfDir)
+    Fixtures.transcriptsLate(spark, sfDir)
 
     // repeats + medians: a single sample on a CPU-steal-prone VM can double
     // (round-2 VERDICT: 20.4s driver q2 vs 2.1s builder — unadjudicable

@@ -142,13 +142,13 @@ object Dedup {
     * 1−(1−0.8⁴)¹⁶ ≈ 0.9998 — the scale path: candidates are generated by a
     * bucket equi-join on (band, bandHash), then only candidates pay the
     * exact-Jaccard verification. */
-  def minhashLshPairs(docs: DataFrame, k: Int = 5, pct: Int = 8,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  def minhashLshCandidates(docs: DataFrame, k: Int = 5,
+                           numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val sigUdf = udf { (text: String) =>
       minhashSig(Normalize.shingles(text, k).distinct, numHashes)
     }
-    val withSig = docs.select(col("doc_id"), col("text"), sigUdf(col("text")).as("sig"))
+    val withSig = docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
     val bandUdf = udf { (sig: Seq[Long]) =>
       (0 until bands).map { b =>
         var h = 0x1234abcdL ^ b
@@ -159,11 +159,16 @@ object Dedup {
     val buckets = withSig
       .select(col("doc_id"), explode(bandUdf(col("sig"))).as("bk"))
       .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("bh"))
-    val candidates = buckets.as("a").join(buckets.as("b"),
+    buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashLshPairs(docs: DataFrame, k: Int = 5, pct: Int = 8,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val candidates = minhashLshCandidates(docs, k, numHashes, bands)
     val jaccardOk = udf { (ta: String, tb: String) =>
       val sa = Normalize.shingles(ta, k).toSet
       val sb = Normalize.shingles(tb, k).toSet

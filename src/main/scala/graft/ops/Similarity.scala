@@ -164,9 +164,9 @@ object Similarity {
     * sign-sketches of `bits` hyperplanes each; candidates from bucket
     * equi-joins, then the same exact integer verification. For cos ≈ 0.99
     * pairs, P(miss) ≈ (1−(1−θ/π)^bits)^tables ≈ 1e-4 at 4×4. */
-  def embedDupLsh(embs: DataFrame, idCol: String = "vec_id",
-                  vecCol: String = "vec", pct: Int = 90,
-                  tables: Int = 4, bits: Int = 4, dim: Int = 32): DataFrame = {
+  def embedDupCandidates(embs: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "vec",
+                         tables: Int = 4, bits: Int = 4, dim: Int = 32): DataFrame = {
     // deterministic hyperplanes
     val planes: Array[Array[Double]] = Array.tabulate(tables * bits) { p =>
       Array.tabulate(dim)(i => Mix.mix(0x91a9e5L, p.toLong, i.toLong).toDouble / Long.MaxValue)
@@ -192,11 +192,17 @@ object Similarity {
     val buckets = embs.select(col(idCol).as("vec_id"),
         explode(sketch(col(vecCol))).as("tb"))
       .select(col("vec_id"), col("tb._1").as("t"), col("tb._2").as("h"))
-    val cand = buckets.as("a").join(buckets.as("b"),
+    buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  def embedDupLsh(embs: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "vec", pct: Int = 90,
+                  tables: Int = 4, bits: Int = 4, dim: Int = 32): DataFrame = {
+    val cand = embedDupCandidates(embs, idCol, vecCol, tables, bits, dim)
     // per-vector quantization + squared norm computed ONCE per vector
     val vecs = embs.select(col(idCol).as("vec_id"), quantCol(col(vecCol)).as("q"))
       .withColumn("n2", dotCol(col("q"), col("q")))

@@ -86,6 +86,26 @@ final class CountMin private (val depth: Int, val width: Int,
     this
   }
 
+  /** Add one occurrence and return the key's post-add count estimate in
+    * O(depth) — WITHOUT materializing the cell matrix (an estimate() call
+    * in sparse mode rebuilds every cell, which would be O(keys) per add).
+    * In sparse mode the returned value is the key's EXACT count; once
+    * folded it is the usual CMS overestimate. This powers incremental
+    * threshold-crossing detection in the streaming hot path (the learned
+    * set accretes at add time instead of re-deriving sentences at session
+    * close). */
+  def addAndCount(item: String, c: Long = 1L): Long = {
+    val kh = CountMin.keyHash(item)
+    if (_keyCounts != null) {
+      addHash(kh, c) // may fold; count stays exact either way at this point
+      if (_keyCounts != null) _keyCounts(kh)
+      else estimateHash(kh)
+    } else {
+      addHash(kh, c) // folded: cells updated in place, cellsDirty stays false
+      estimateHash(kh)
+    }
+  }
+
   /** Point estimate: min over rows of the cell matrix; ≥ true count. */
   def estimate(item: String): Long = estimateHash(CountMin.keyHash(item))
 

@@ -27,7 +27,12 @@ final case class BufTurn(turn_idx: Int, role: String, text: String,
 final case class ConvState(sessionSeq: Long, lastTsMs: Long,
                            buf: List[BufTurn],
                            skIdx: Array[Long], skVal: Array[Long],
-                           skTotal: Long, skKind: Int)
+                           skTotal: Long, skKind: Int,
+                           /** sentences already past the learn threshold —
+                             * accreted at add time so session close never
+                             * re-normalizes the buffered text (a few short
+                             * strings; negligible vs the sketch bytes) */
+                           learned: List[String])
 
 /** Output row of the redaction stream. `session_id` and the deterministic
   * lineage the sink appends replace the reference's wall-clock provenance
@@ -75,20 +80,24 @@ object Pipeline {
 
   /** Dense working form of [[ConvState]] used inside one update call. */
   private final class Live(var sessionSeq: Long, var lastTsMs: Long,
-                           var buf: List[BufTurn], var sk: CountMin)
+                           var buf: List[BufTurn], var sk: CountMin,
+                           var learned: Set[String])
 
   private def load(st: ConvState, p: RedactionParams): Live =
     new Live(st.sessionSeq, st.lastTsMs, st.buf,
       CountMin.fromSparse(p.sketchDepth, p.sketchWidth, st.skIdx, st.skVal,
-        st.skTotal, st.skKind))
+        st.skTotal, st.skKind),
+      st.learned.toSet)
 
   private def store(l: Live): ConvState = {
     val (idx, vals, kind) = CountMin.toSparse(l.sk)
-    ConvState(l.sessionSeq, l.lastTsMs, l.buf, idx, vals, l.sk.total, kind)
+    ConvState(l.sessionSeq, l.lastTsMs, l.buf, idx, vals, l.sk.total, kind,
+      l.learned.toList)
   }
 
   private def emptyLive(p: RedactionParams) =
-    new Live(0L, Long.MinValue, Nil, CountMin.empty(p.sketchDepth, p.sketchWidth))
+    new Live(0L, Long.MinValue, Nil, CountMin.empty(p.sketchDepth, p.sketchWidth),
+      Set.empty)
 
   /** CMS key namespaces: one sketch holds both granularities. Sentences key
     * by the string hash of "s:"+sentence; shingles key by their rolling
@@ -97,12 +106,23 @@ object Pipeline {
   private final val SentKey = "s:"
 
   private def addTurn(l: Live, t: Turn, p: RedactionParams): Unit = {
-    val sentences = Normalize.normalizedSentences(t.text)
+    // one lowercase pass per turn feeds both sentence and token derivation —
+    // string churn is the measured shared-memory-bus cost at high core
+    // counts (BENCH.md round-2 scaling analysis)
+    val low =
+      if (t.text == null) null
+      else t.text.toLowerCase(java.util.Locale.ROOT)
+    val sentences = Normalize.normalizedSentencesLow(low)
       .filter(_.length >= p.minSentenceLen).distinct
-    sentences.foreach(s => l.sk.add(SentKey + s)) // once per turn: distinct-turn counting
+    sentences.foreach { s =>
+      // added once per turn → the count IS the distinct-turn count; learn
+      // at the exact crossing (sparse-mode counts are exact), so session
+      // close never re-normalizes the buffered text
+      if (l.sk.addAndCount(SentKey + s) >= p.threshold) l.learned += s
+    }
     // R4b: k-token shingles of the normalized text (north star: "count-min
     // frequency sketch over normalized text shingles"), distinct per turn
-    val hs = Normalize.shingleHashes(Normalize.tokens(t.text), p.shingleK)
+    val hs = Normalize.shingleHashes(Normalize.tokensLow(low), p.shingleK)
     if (hs.nonEmpty) {
       java.util.Arrays.sort(hs) // distinct-per-turn without a Set alloc
       var i = 0
@@ -119,19 +139,22 @@ object Pipeline {
 
   private def closeSession(convId: String, l: Live,
                            p: RedactionParams): Seq[RedactedTurn] = {
-    val learned = l.buf.iterator
-      .flatMap(b => Normalize.normalizedSentences(b.text))
-      .filter(_.length >= p.minSentenceLen)
-      .distinct
-      .filter(s => l.sk.estimate(SentKey + s) >= p.threshold)
-      .toSet
+    // the learned set accreted at add time (exact crossing detection) —
+    // no re-normalization pass over the buffered text here
+    val learned = l.learned
     val hotShingle: Long => Boolean =
       h => l.sk.estimateHash(h) >= p.shingleThreshold
-    l.buf.sortBy(_.turn_idx).map { b =>
+    val arr = l.buf.toArray
+    java.util.Arrays.sort(arr,
+      (a: BufTurn, b: BufTurn) => Integer.compare(a.turn_idx, b.turn_idx))
+    val out = Vector.newBuilder[RedactedTurn]
+    out.sizeHint(arr.length)
+    arr.foreach { b =>
       val red = Redact.redactFull(b.text, b.role, learned, hotShingle, p)
-      RedactedTurn(convId, b.turn_idx, l.sessionSeq, b.role, b.tool,
+      out += RedactedTurn(convId, b.turn_idx, l.sessionSeq, b.role, b.tool,
         new Timestamp(b.tsMs), red, red != b.text)
     }
+    out.result()
   }
 
   /** The `flatMapGroupsWithState` update function. Pure given (state, input,
@@ -145,7 +168,13 @@ object Pipeline {
       state.remove()
       return out.iterator
     }
-    val sorted = turns.toIndexedSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+    // comparator sort over an array: sortBy on a tuple key allocates a
+    // (Long, Int) per turn — pure garbage at millions of turns per batch
+    val sorted = turns.toArray
+    java.util.Arrays.sort(sorted, (a: Turn, b: Turn) => {
+      val c = java.lang.Long.compare(a.ts.getTime, b.ts.getTime)
+      if (c != 0) c else Integer.compare(a.turn_idx, b.turn_idx)
+    })
     val l = state.getOption.map(load(_, p)).getOrElse(emptyLive(p))
     val out = Seq.newBuilder[RedactedTurn]
     sorted.foreach { t =>
@@ -156,6 +185,7 @@ object Pipeline {
         l.sessionSeq += 1
         l.buf = Nil
         l.sk = CountMin.empty(p.sketchDepth, p.sketchWidth)
+        l.learned = Set.empty
       }
       addTurn(l, t, p)
     }

@@ -45,13 +45,30 @@ object Normalize {
     text.split("\\.", -1).toSeq.map(normalize).filter(_.nonEmpty)
   }
 
+  /** [[normalizedSentences]] over text that is ALREADY lowercased — the
+    * streaming hot path lowercases each turn once and derives sentences AND
+    * tokens from that single pass ('.' is unaffected by case mapping, so
+    * lower-then-split equals split-then-lower). */
+  def normalizedSentencesLow(low: String): Seq[String] = {
+    if (low == null || low.isEmpty) return Nil
+    low.split("\\.", -1).toSeq
+      .map(piece => stripSpaces(Ws.matcher(piece).replaceAll(" ")))
+      .filter(_.nonEmpty)
+  }
+
   /** Word tokens for shingling: maximal `[a-z0-9]+` runs of the normalized
     * text (DuckDB mirror: `regexp_extract_all(lower(s), '[a-z0-9]+')`).
     */
   private val Tok = Pattern.compile("[a-z0-9]+")
   def tokens(s: String): IndexedSeq[String] = {
     if (s == null) return Vector.empty
-    val m = Tok.matcher(s.toLowerCase(Locale.ROOT))
+    tokensLow(s.toLowerCase(Locale.ROOT))
+  }
+
+  /** [[tokens]] over already-lowercased text (single-lowercase hot path). */
+  def tokensLow(low: String): IndexedSeq[String] = {
+    if (low == null) return Vector.empty
+    val m = Tok.matcher(low)
     val out = Vector.newBuilder[String]
     while (m.find()) out += m.group()
     out.result()
