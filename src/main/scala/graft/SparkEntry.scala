@@ -71,6 +71,11 @@ object SparkEntry {
     // streaming watermark drop tested in MetricsSpec
     "q23_late_data" -> ((s, dir) =>
       TranscriptOps.lateArrivals(Fixtures.transcriptsLate(s, dir))),
+    // 2.7/2.8e gate: the CMS as a first-class SQL aggregate — update, merge,
+    // serialize and estimate are all on the oracle-checked path (estimates
+    // are exact below the sketch's key-tracking cap; see cmsTokenProfile)
+    "q24_cms_profile" -> ((s, dir) =>
+      TranscriptOps.cmsTokenProfile(Fixtures.transcripts(s, dir))),
     "q17_media_stats" -> ((s, dir) => {
       import graft.ops.MultiModal
       val media = Fixtures.media(s, dir)
@@ -343,6 +348,13 @@ object SparkEntry {
         |SELECT b.conv_id, b.turn_idx, wm - epoch_us(b.ts) AS late_by_us
         |FROM b JOIN w USING (arrival_batch)
         |WHERE wm IS NOT NULL AND epoch_us(b.ts) < wm""".stripMargin,
+    // q24: CMS-estimated per-role token counts == exact GROUP BY counts
+    // (the sketch stays in exact key-tracking mode at this key cardinality)
+    "q24_cms_profile" ->
+      s"""WITH toks AS (
+         |  SELECT role, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         |  FROM $T)
+         |SELECT role, token, count(*) AS est FROM toks GROUP BY 1, 2""".stripMargin,
     "q17_media_stats" ->
       """SELECT kind, count(*) AS n_items,
         |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes

@@ -31,7 +31,8 @@ object ScalingBench {
   final case class Config(label: String, master: String, totalCores: Int)
 
   final case class Run(wallTps: Double, sustainedTps: Double, sec: Double,
-                       turns: Long, batches: Seq[BatchProf] = Nil) {
+                       turns: Long, batches: Seq[BatchProf] = Nil,
+                       taskStats: TaskStats = TaskStats.Zero) {
     /** Steady-state data batches (the sustained window). */
     def dataBatches: Seq[BatchProf] = batches.filter(_.inputRows > 10000).drop(1)
     /** Compute-only throughput: rows / Σ addBatch (excludes trigger
@@ -102,7 +103,7 @@ object ScalingBench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     Run(r.turnsPerSec, sustainedOf(r.batches, r.turnsPerSec), r.sec, r.turns,
-      r.batches)
+      r.batches, r.taskStats)
   }
 
   /** Pinned mode: the measurement runs in a CHILD JVM confined to exactly
@@ -157,9 +158,13 @@ object ScalingBench {
       .find(_.startsWith("BATCHES "))
       .map(l => parseBatches(l.stripPrefix("BATCHES ")))
       .getOrElse(Nil)
+    val taskStats = out.toString.linesIterator
+      .find(_.startsWith("TASKSTATS "))
+      .map(l => TaskStats.parse(l.stripPrefix("TASKSTATS ")))
+      .getOrElse(TaskStats.Zero)
     out.toString.linesIterator.collectFirst {
       case Pat(w, t, wt, st) =>
-        Run(wt.toDouble, st.toDouble, w.toDouble, t.toLong, batches)
+        Run(wt.toDouble, st.toDouble, w.toDouble, t.toLong, batches, taskStats)
     }.getOrElse(throw new IllegalStateException(
       s"pinned child produced no result; output:\n$out"))
   }
@@ -172,6 +177,32 @@ object ScalingBench {
         n.get("addBatchMs").asLong(), n.get("stateCommitMs").asLong(),
         n.get("stateRows").asLong(), n.get("stateBytes").asLong())
     }.toSeq
+  }
+
+  /** Task-metric attribution of the per-core loss, whole run (see
+    * [[TaskStats]]): µs/turn for each component at both cluster sizes. A
+    * perfectly scaling engine keeps every per-turn column flat from low to
+    * high; whichever column grows is WHERE the lost per-core throughput
+    * went — cpu = real per-core slowdown (memory stalls/allocator), gc =
+    * collector, fetchWait = shuffle transport, sched = task dispatch, and
+    * idle (cores×wall − run, over data batches) = scheduling gaps/stage
+    * tails/serial driver time. */
+  private def taskSplit(lc: Config, bl: Run, hc: Config, bh: Run): String = {
+    def rowOf(c: Config, r: Run): String = {
+      val t = r.taskStats
+      if (t.tasks == 0) return s"| ${c.label} | (no task stats) |||||||"
+      val perTurn = (v: Long) => f"${v * 1000.0 / r.turns}%.1f"
+      // idle over the whole run: core-seconds not spent running tasks
+      val idleMs = math.max(0L, (c.totalCores * r.sec * 1000).toLong - t.runMs)
+      s"| ${c.label} | ${t.tasks} | ${perTurn(t.runMs)} | ${perTurn(t.cpuMs)} | " +
+        s"${perTurn(t.gcMs)} | ${perTurn(t.fetchWaitMs)} | ${perTurn(t.schedDelayMs)} | " +
+        s"${perTurn(idleMs)} |"
+    }
+    "\nTask-metric attribution (whole run, µs/turn; 'idle' = cores×wall −\n" +
+      "Σtask-run — scheduling gaps, stage tails and driver-serial time):\n\n" +
+      "| config | tasks | run | cpu | gc | fetchWait | schedDelay | idle |\n" +
+      "|---|---|---|---|---|---|---|---|\n" +
+      rowOf(lc, bl) + "\n" + rowOf(hc, bh) + "\n"
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,40 +294,32 @@ object ScalingBench {
         s"| ${c.label} | ${f"${r.sustainedTps}%.0f"} | ${f"${r.addBatchTps}%.0f"} | " +
           s"${r.addBatchMs} | ${r.stateCommitMs} | ${f"$occ%.2f"} |"
       }
-      s"""
-         |Stage split of the best run per config (sustained window: data
-         |batches after the first; stateCommitMs sums across partitions, so
-         |occupancy = Σcommit / (cores × ΣaddBatch)):
-         |
-         || config | sustained tps | addBatch-only tps | Σ addBatch ms | Σ state-commit ms | commit occupancy |
-         ||---|---|---|---|---|---|
-         |${row(low, bl)}
-         |${row(high, bh)}
-         |
-         |addBatch-only efficiency (compute path, commit I/O excluded):
-         |**${f"$addEff%.3f"}**.
-         |""".stripMargin
+      // plain concatenation, no stripMargin: margin stripping runs after
+      // interpolation and eats the leading '|' of every inserted table row
+      "\nStage split of the best run per config (sustained window: data\n" +
+        "batches after the first; stateCommitMs sums across partitions, so\n" +
+        "occupancy = Σcommit / (cores × ΣaddBatch)):\n\n" +
+        "| config | sustained tps | addBatch-only tps | Σ addBatch ms | Σ state-commit ms | commit occupancy |\n" +
+        "|---|---|---|---|---|---|\n" +
+        row(low, bl) + "\n" + row(high, bh) + "\n\n" +
+        "addBatch-only efficiency (compute path, commit I/O excluded):\n" +
+        f"**$addEff%.3f**.\n" + taskSplit(low, bl, high, bh)
     }
     val md =
-      s"""
-         |## Scaling run (sf=$sfDir, ${bestHigh.head.turns} turns, streaming redaction end-to-end)
-         |
-         |Protocol: same job, same input, alternating `${low.master}`
-         |vs `${high.master}` (sandbox substitute for N vs 4N executors)
-         |× $reps, best-of per config (the VM shows CPU-steal spikes; raw
-         |runs below). Warmup (discarded): ${f"${warm.sec}%.2f"}s.
-         |
-         || config | wall sec | wall turns/sec | sustained turns/sec |
-         ||---|---|---|---|
-         |$allRuns
-         |
-         |Best-of: ${low.label} sustained ${f"${bestLow.map(_.sustainedTps).max}%.0f"} turns/s,
-         |${high.label} sustained ${f"${bestHigh.map(_.sustainedTps).max}%.0f"} turns/s.
-         |**Sustained efficiency (tpsHigh/tpsLow)/4 = ${f"$susEff%.3f"}** (target ≥ 0.8);
-         |wall-clock efficiency ${f"$wallEff%.3f"} (includes per-run fixed costs that
-         |amortize to zero at the 10^12-turn design scale — see protocol note).
-         |$stageSplit
-         |""".stripMargin
+      s"\n## Scaling run (sf=$sfDir, ${bestHigh.head.turns} turns, streaming redaction end-to-end)\n\n" +
+        s"Protocol: same job, same input, alternating `${low.label}`\n" +
+        s"vs `${high.label}` (sandbox substitute for N vs 4N executors)\n" +
+        s"× $reps, best-of per config (the VM shows CPU-steal spikes; raw\n" +
+        f"runs below). Warmup (discarded): ${warm.sec}%.2fs.\n\n" +
+        "| config | wall sec | wall turns/sec | sustained turns/sec |\n" +
+        "|---|---|---|---|\n" +
+        allRuns + "\n\n" +
+        f"Best-of: ${low.label} sustained ${bestLow.map(_.sustainedTps).max}%.0f turns/s,\n" +
+        f"${high.label} sustained ${bestHigh.map(_.sustainedTps).max}%.0f turns/s.\n" +
+        f"**Sustained efficiency (tpsHigh/tpsLow)/4 = $susEff%.3f** (target ≥ 0.8);\n" +
+        f"wall-clock efficiency $wallEff%.3f (includes per-run fixed costs that\n" +
+        "amortize to zero at the 10^12-turn design scale — see protocol note).\n" +
+        stageSplit
     Files.write(Paths.get("/root/repo/BENCH.md"), md.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
@@ -326,6 +349,7 @@ object PinnedRun {
     println(f"PINNED wall=${r.sec}%.3f turns=${r.turns} " +
       f"wallTps=${r.turnsPerSec}%.3f sustainedTps=$sustained%.3f")
     println("BATCHES " + r.batchesJson)
+    println("TASKSTATS " + r.taskStats.json)
     s.stop()
   }
 }
@@ -402,6 +426,7 @@ object ClusterPinnedRun {
     println(f"PINNED wall=${r.sec}%.3f turns=${r.turns} " +
       f"wallTps=${r.turnsPerSec}%.3f sustainedTps=$sustained%.3f")
     println("BATCHES " + r.batchesJson)
+    println("TASKSTATS " + r.taskStats.json)
     s.stop()
   }
 }

@@ -21,9 +21,59 @@ final case class BatchProf(batchId: Long, inputRows: Long, totalMs: Long,
       s""""stateCommitMs":$stateCommitMs,"stateRows":$stateRows,"stateBytes":$stateBytes}"""
 }
 
+/** Whole-run task-metric aggregates (SparkListener sums over every task) —
+  * the attribution layer under a scaling ratio: per-core loss shows up as
+  * growth in `cpuMs`/turn (real per-core slowdown: memory stalls, allocator),
+  * `gcMs` (collector pressure), `fetchWaitMs` (shuffle transport), or as
+  * wall×cores − `runMs` (idle: scheduling gaps, stage tails, driver-side
+  * serial time). */
+final case class TaskStats(tasks: Long, runMs: Long, cpuMs: Long, gcMs: Long,
+                           fetchWaitMs: Long, shuffleWriteMs: Long,
+                           deserMs: Long, schedDelayMs: Long) {
+  def json: String =
+    s"""{"tasks":$tasks,"runMs":$runMs,"cpuMs":$cpuMs,"gcMs":$gcMs,""" +
+      s""""fetchWaitMs":$fetchWaitMs,"shuffleWriteMs":$shuffleWriteMs,""" +
+      s""""deserMs":$deserMs,"schedDelayMs":$schedDelayMs}"""
+}
+
+object TaskStats {
+  final class Tally extends org.apache.spark.scheduler.SparkListener {
+    private val a = new java.util.concurrent.atomic.AtomicLongArray(8)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      val info = te.taskInfo
+      if (m != null && info != null) {
+        a.addAndGet(0, 1L)
+        a.addAndGet(1, m.executorRunTime)
+        a.addAndGet(2, m.executorCpuTime / 1000000L)
+        a.addAndGet(3, m.jvmGCTime)
+        a.addAndGet(4, m.shuffleReadMetrics.fetchWaitTime)
+        a.addAndGet(5, m.shuffleWriteMetrics.writeTime / 1000000L)
+        a.addAndGet(6, m.executorDeserializeTime)
+        val sched = (info.finishTime - info.launchTime) - m.executorRunTime -
+          m.executorDeserializeTime - m.resultSerializationTime
+        a.addAndGet(7, math.max(0L, sched))
+      }
+    }
+    def snapshot: TaskStats = TaskStats(a.get(0), a.get(1), a.get(2), a.get(3),
+      a.get(4), a.get(5), a.get(6), a.get(7))
+  }
+
+  def parse(json: String): TaskStats = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    TaskStats(n.get("tasks").asLong(), n.get("runMs").asLong(),
+      n.get("cpuMs").asLong(), n.get("gcMs").asLong(),
+      n.get("fetchWaitMs").asLong(), n.get("shuffleWriteMs").asLong(),
+      n.get("deserMs").asLong(), n.get("schedDelayMs").asLong())
+  }
+
+  val Zero: TaskStats = TaskStats(0, 0, 0, 0, 0, 0, 0, 0)
+}
+
 final case class StreamResult(turns: Long, sec: Double, benchRoot: String,
                               fsType: String, batches: Seq[BatchProf],
-                              reducedIo: Boolean = false) {
+                              reducedIo: Boolean = false,
+                              taskStats: TaskStats = TaskStats.Zero) {
   def turnsPerSec: Double = if (sec > 0) turns / sec else 0.0
   /** Σrows/Σtrigger-ms over data batches AFTER the first: batch 0 carries
     * JIT + state-store init (26.5s of a 53s run in BENCH_r02), which a
@@ -120,6 +170,8 @@ object StreamBench {
     // no mid-run state snapshot rewrites; deltas are enough for one bench run
     spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000")
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    val tally = new TaskStats.Tally
+    spark.sparkContext.addSparkListener(tally)
     try {
       val t0 = System.nanoTime()
       val benchParams = graft.core.RedactionParams(
@@ -142,8 +194,11 @@ object StreamBench {
           st.map(_.memoryUsedBytes).getOrElse(0L))
       }
       val turns = new IcebergLite(tableRoot).partitionMetrics.values.sum
-      StreamResult(turns, sec, benchRoot.toString, fsType, batches, reducedIo)
+      Thread.sleep(500) // listener bus drains asynchronously
+      StreamResult(turns, sec, benchRoot.toString, fsType, batches, reducedIo,
+        tally.snapshot)
     } finally {
+      spark.sparkContext.removeSparkListener(tally)
       if (reducedIo) spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
       // tmpfs artifacts must not outlive the run, even on failure
       try {

@@ -11,12 +11,19 @@ import org.apache.spark.sql.SparkSessionExtensions
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ShinglesExpr.registration)
+    ext.injectFunction(CmsAggExpr.registration)
+    ext.injectFunction(CmsAggExpr.estRegistration)
   }
 }
 
 object GraftFunctions {
   /** Register the engine's SQL functions on an already-running session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftColumnBridge.registerFunction(
       spark, ShinglesExpr.registration)
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(
+      spark, CmsAggExpr.registration)
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(
+      spark, CmsAggExpr.estRegistration)
+  }
 }

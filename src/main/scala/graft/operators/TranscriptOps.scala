@@ -252,4 +252,23 @@ object TranscriptOps {
         countDistinct(col("conv_id")).as("n_convs"),
         min(col("conv_id")).as("first_conv"))
       .filter(col("n_copies") > 1)
+
+  /** Per-role token frequency profile THROUGH the count-min SQL aggregate
+    * ([[graft.functions.CmsAggExpr]]): partial sketches per partition, one
+    * merged sketch per role through the shuffle (groups × sketch bytes, not
+    * `distinct tokens` rows — the 100-TB profiling shape), then estimates
+    * read back per distinct (role, token). At gate scale the per-role key
+    * count (~225) is far below the sketch's exact-tracking cap, so every
+    * estimate equals the true count and the DuckDB GROUP BY oracle checks
+    * the whole update→merge→serialize→estimate path exactly. */
+  def cmsTokenProfile(tx: DataFrame): DataFrame = {
+    import graft.functions.CmsAggExpr
+    val toks = tx.select(col("role"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+    val sk = toks.groupBy("role").agg(CmsAggExpr.cmsSketch(col("token")).as("sk"))
+    toks.distinct().join(broadcast(sk), "role")
+      .select(col("role"), col("token"),
+        CmsAggExpr.cmsEst(col("sk"), col("token")).as("est"))
+  }
 }

@@ -210,6 +210,35 @@ object CountMin {
     (ks, vals, kind)
   }
 
+  /** Self-describing byte codec (shape + kind + sparse entries) — the
+    * aggregation-buffer / BinaryType form of the state-store codec above.
+    * Deterministic: entries are sorted by [[toSparse]]. */
+  def toBytes(sk: CountMin): Array[Byte] = {
+    val (idx, vals, kind) = toSparse(sk)
+    val bb = java.nio.ByteBuffer.allocate(4 * 4 + 8 + idx.length * 16)
+    bb.putInt(sk.depth).putInt(sk.width).putInt(kind).putInt(idx.length)
+    bb.putLong(sk.total)
+    var i = 0
+    while (i < idx.length) { bb.putLong(idx(i)); i += 1 }
+    i = 0
+    while (i < vals.length) { bb.putLong(vals(i)); i += 1 }
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): CountMin = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val depth = bb.getInt; val width = bb.getInt
+    val kind = bb.getInt; val n = bb.getInt
+    val total = bb.getLong
+    val idx = new Array[Long](n)
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) { idx(i) = bb.getLong; i += 1 }
+    i = 0
+    while (i < n) { vals(i) = bb.getLong; i += 1 }
+    fromSparse(depth, width, idx, vals, total, kind)
+  }
+
   def fromSparse(depth: Int, width: Int, idx: Array[Long], vals: Array[Long],
                  total: Long, kind: Int): CountMin = {
     if (kind == KindKeys) {

@@ -413,6 +413,60 @@ final class IcebergLite(val root: String) {
     }
   }
 
+  /** Metadata expiry (completes [[gc]]: gc deletes superseded DATA files,
+    * this retires the snapshot/compaction MANIFESTS that only described
+    * them — without it the metadata dir grows one JSON per epoch forever,
+    * which at 10^12-turn scale is a listing bottleneck in its own right).
+    *
+    * A replaced epoch's snapshot is deleted only when ALL of:
+    *  - a compaction generation replaced it (the effective view no longer
+    *    reads it);
+    *  - its data files are already gone from disk (gc ran) — the snapshot
+    *    is the idempotent-commit marker ([[isCommitted]]), so it must
+    *    outlive anything a replaying writer could re-publish;
+    *  - every registered incremental reader is past it (same horizon gc
+    *    uses);
+    *  - it is not among the newest `retainLast` epochs — the replay window:
+    *    a restarted writer can only replay epochs its checkpoint retains
+    *    (`minBatchesToRetain`), so `retainLast` ≥ that bound keeps
+    *    idempotency intact while everything older is settled history.
+    *
+    * A superseded compaction manifest (gen < latest) is deleted only after
+    * every epoch in its `replaces` list has lost its snapshot — deleting it
+    * earlier would "un-replace" those epochs in [[effectiveFileSets]] and
+    * double-count their rows. Each deletion is individually safe, so a
+    * crash mid-expiry leaves a consistent table and the call is idempotent.
+    * Returns deleted metadata file names. */
+  def expireMetadata(retainLast: Int = 8): Seq[String] = {
+    val comps = compactions
+    if (comps.isEmpty) return Nil
+    val latestGen = comps.maxBy(_.gen).gen
+    val replacedEpochs = comps.flatMap(_.replaces).toSet
+    val snaps = snapshots
+    val minLive = readerOffsets.values.minOption.map(_ + 1L)
+    val retainFrom = snaps.map(_.epochId).sorted.takeRight(retainLast)
+      .headOption.getOrElse(Long.MaxValue)
+    val expirable = snaps.filter { s =>
+      replacedEpochs.contains(s.epochId) &&
+        s.epochId < retainFrom &&
+        minLive.forall(s.epochId < _) &&
+        s.files.forall(f => !Files.exists(Paths.get(root, f.path)))
+    }
+    val deletedSnaps = expirable.flatMap { s =>
+      val p = snapPath(s.epochId)
+      if (Files.deleteIfExists(p)) Some(p.getFileName.toString) else None
+    }
+    // a superseded generation can retire once nothing it replaces is visible
+    val liveEpochs = snapshots.map(_.epochId).toSet
+    val deletedComps = comps
+      .filter(c => c.gen < latestGen && c.replaces.forall(!liveEpochs.contains(_)))
+      .flatMap { c =>
+        val p = metaDir.resolve(f"compact-${c.gen}%06d.json")
+        if (Files.deleteIfExists(p)) Some(p.getFileName.toString) else None
+      }
+    deletedSnaps ++ deletedComps
+  }
+
   /** Row-count per partition across epochs — per-partition lineage metrics
     * (progress accounting analogue, watermark_processor.py:162-163,257-258). */
   def partitionMetrics: Map[Int, Long] =

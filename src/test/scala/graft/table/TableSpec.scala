@@ -106,6 +106,41 @@ class TableSpec extends SparkSpec {
     assert(table.gc().isEmpty) // idempotent
   }
 
+  test("expireMetadata retires settled snapshots and superseded generations") {
+    import spark.implicits._
+    val table = mkTable(tmpDir("t-expire"))
+    assert(table.expireMetadata().isEmpty) // nothing compacted yet
+    assert(table.compact(spark, 2) === 0L)
+    val df = Seq(("conv-zzz", 1, new Timestamp(1767250000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(table.commitEpoch(df, "q", 9L, 2))
+    assert(table.compact(spark, 2) === 1L)
+    // data files still on disk -> nothing expirable (snapshot is the
+    // idempotent-commit marker; it must outlive re-publishable files)
+    assert(table.expireMetadata(retainLast = 2).isEmpty)
+    table.gc()
+    val rowsBefore = table.read(spark).count()
+    // a lagging incremental reader holds the horizon at its offset
+    table.registerReader("lagger", 0L)
+    assert(table.expireMetadata(retainLast = 2) === Seq("snap-000000000000.json"))
+    table.unregisterReader("lagger")
+    // retainLast=2 keeps epochs {2, 9}; epoch 1 is now expirable
+    assert(table.expireMetadata(retainLast = 2) === Seq("snap-000000000001.json"))
+    assert(table.snapshots.map(_.epochId) === Seq(2L, 9L))
+    // gen 0 still replaces live epoch 2 -> its manifest must survive,
+    // else epoch 2 would "un-replace" and double-count
+    assert(table.compactions.map(_.gen) === Seq(0L, 1L))
+    assert(table.read(spark).count() === rowsBefore)
+    // replay inside the retain window is still an idempotent no-op
+    assert(!table.commitEpoch(df, "q", 9L, 2))
+    // shrinking the window releases epoch 2, and with it generation 0
+    val last = table.expireMetadata(retainLast = 1)
+    assert(last.toSet === Set("snap-000000000002.json", "compact-000000.json"))
+    assert(table.read(spark).count() === rowsBefore)
+    assert(table.partitionMetrics.values.sum === rowsBefore)
+    assert(table.expireMetadata(retainLast = 1).isEmpty) // idempotent
+  }
+
   test("commitEpoch fails loudly when a different query reuses an epoch id") {
     import spark.implicits._
     val table = mkTable(tmpDir("t-qid"))
