@@ -67,6 +67,16 @@ object PlanAudit {
         checks += Check("two-phase distinct-turn counting",
           "HashAggregate".r.findAllIn(plan).size >= 3,
           "dedupe-by-turn partial phase before the per-shingle count — hot convs never pin one reducer")
+      case "q23_late_data" =>
+        checks += Check("no cartesian product (batch-watermark join is equi on arrival_batch)",
+          !has("CartesianProduct") && !has("BroadcastNestedLoopJoin"), "")
+      case "q24_cms_profile" =>
+        checks += Check("CMS aggregate runs partial+final (ObjectHashAggregate)",
+          has("ObjectHashAggregate") && has("graft_cms_sketch"),
+          "TypedImperativeAggregate: per-partition partial sketches, groups x sketchBytes through the shuffle")
+        checks += Check("per-role sketches broadcast to the estimate join",
+          has("BroadcastHashJoin") || has("BroadcastExchange"),
+          "4-row sketch side must never shuffle the token table")
       case _ => ()
     }
     (plan, checks.result())
@@ -84,7 +94,8 @@ object PlanAudit {
       "q11_jaccard_pairs", "q12_minhash_pairs", "q13_simhash_pairs",
       "q14_embed_dup", "q15_ann_topk", "q6_skew_agg", "q2_detect",
       "q3_window_stats", "q19_sliding_stats", "q20_session_bounds",
-      "q21_dead_letter", "q22_shingle_detect")
+      "q21_dead_letter", "q22_shingle_detect", "q23_late_data",
+      "q24_cms_profile")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"
