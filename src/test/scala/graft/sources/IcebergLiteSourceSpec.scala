@@ -261,6 +261,17 @@ class IcebergLiteSourceSpec extends SparkSpec {
     }
     // total ingested across runs == total committed (no loss, no dupes)
     assert(totals.sum === 36L)
+
+    // metadata expiry composes with the same reader registry: epochs 0-2
+    // are replaced, reclaimed, below the reader's horizon and outside the
+    // retain window -> their snapshots (the per-epoch manifests) retire
+    val expired = table.expireMetadata(retainLast = 1)
+    assert(expired.nonEmpty, "settled epochs should expire")
+    assert(table.snapshots.map(_.epochId) === Seq(3L))
+    assert(runOnce() === 0L) // restart after expiry: clean no-op
+    commit(9L, 5)
+    assert(runOnce() === 5L) // new epochs still flow through the source
+    assert(totals.sum === 41L)
   }
 
   test("restart consumes only NEW epochs (incremental snapshot deltas)") {
