@@ -48,6 +48,15 @@ import org.apache.spark.sql.functions._
   */
 final class IcebergLite(val root: String) {
   private val mapper = new ObjectMapper()
+
+  /** Directory listing with the stream CLOSED (Files.list holds an open
+    * directory handle until closed — a long-running stream lists metadata
+    * every epoch, and leaked handles eventually exhaust the process FD
+    * limit; GC finalization is not a bound). */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
   private def metaDir = Paths.get(root, "metadata")
   private def dataDir = Paths.get(root, "data")
   private def stagingDir(epochId: Long) = Paths.get(root, "_staging", s"ep-$epochId")
@@ -125,9 +134,8 @@ final class IcebergLite(val root: String) {
       .withColumn("partition_id", spark_partition_id()) // unlike time.time()
       .write.mode("overwrite").parquet(staging.toString)
 
-    val staged = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val staged = listDir(staging)(_.filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString))
     Files.createDirectories(dataDir)
     val published = staged.zipWithIndex.map { case (src, fallbackIdx) =>
       // the TRUE shuffle-partition index from Spark's task file name
@@ -178,9 +186,8 @@ final class IcebergLite(val root: String) {
 
   def snapshots: Seq[SnapshotMeta] = {
     if (!Files.exists(metaDir)) return Nil
-    Files.list(metaDir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("snap-"))
-      .toSeq.sortBy(_.getFileName.toString)
+    listDir(metaDir)(_.filter(_.getFileName.toString.startsWith("snap-"))
+      .toSeq.sortBy(_.getFileName.toString))
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
         SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(),
@@ -202,9 +209,8 @@ final class IcebergLite(val root: String) {
 
   def compactions: Seq[CompactionMeta] = {
     if (!Files.exists(metaDir)) return Nil
-    Files.list(metaDir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("compact-"))
-      .toSeq.sortBy(_.getFileName.toString)
+    listDir(metaDir)(_.filter(_.getFileName.toString.startsWith("compact-"))
+      .toSeq.sortBy(_.getFileName.toString))
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
         CompactionMeta(n.get("gen").asLong(),
@@ -260,9 +266,8 @@ final class IcebergLite(val root: String) {
       .repartition(numBuckets, col("conv_id"))
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(staging.toString)
-    val staged = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val staged = listDir(staging)(_.filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString))
     val published = staged.zipWithIndex.map { case (src, fallbackIdx) =>
       val idx = IcebergLite.taskPartitionId(src.getFileName.toString)
         .getOrElse(fallbackIdx)
@@ -372,12 +377,13 @@ final class IcebergLite(val root: String) {
   /** Registered incremental readers and their last fully-processed epoch. */
   def readerOffsets: Map[String, Long] = {
     if (!Files.exists(readersDir)) return Map.empty
-    Files.list(readersDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map { p =>
-        val id = p.getFileName.toString.stripSuffix(".json")
-        id -> mapper.readTree(Files.readAllBytes(p)).get("epoch").asLong()
-      }.toMap
+    listDir(readersDir) {
+      _.filter(_.getFileName.toString.endsWith(".json"))
+        .map { p =>
+          val id = p.getFileName.toString.stripSuffix(".json")
+          id -> mapper.readTree(Files.readAllBytes(p)).get("epoch").asLong()
+        }.toMap
+    }
   }
 
   /** GC of superseded data files (completes the compaction story — the
@@ -526,8 +532,10 @@ final class IcebergLite(val root: String) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close()
     }
   }
 }
