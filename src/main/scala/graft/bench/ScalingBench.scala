@@ -173,9 +173,11 @@ object ScalingBench {
     import scala.jdk.CollectionConverters._
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     root.elements().asScala.map { n =>
+      def l(k: String): Long = if (n.has(k)) n.get(k).asLong() else 0L
       BatchProf(n.get("id").asLong(), n.get("rows").asLong(), n.get("ms").asLong(),
         n.get("addBatchMs").asLong(), n.get("stateCommitMs").asLong(),
-        n.get("stateRows").asLong(), n.get("stateBytes").asLong())
+        n.get("stateRows").asLong(), n.get("stateBytes").asLong(),
+        planMs = l("planMs"), sourceMs = l("sourceMs"), walMs = l("walMs"))
     }.toSeq
   }
 

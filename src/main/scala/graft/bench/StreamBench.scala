@@ -15,10 +15,16 @@ import graft.table.IcebergLite
   * slow, and whether the time went to state commits vs the sink vs planning. */
 final case class BatchProf(batchId: Long, inputRows: Long, totalMs: Long,
                            addBatchMs: Long, stateCommitMs: Long,
-                           stateRows: Long, stateBytes: Long) {
+                           stateRows: Long, stateBytes: Long,
+                           /** driver-serial segments of the trigger — the
+                             * constant the scaling attribution found: */
+                           planMs: Long = 0L,   // queryPlanning
+                           sourceMs: Long = 0L, // latestOffset + getBatch
+                           walMs: Long = 0L) {  // walCommit + commitOffsets
   def json: String =
     s"""{"id":$batchId,"rows":$inputRows,"ms":$totalMs,"addBatchMs":$addBatchMs,""" +
-      s""""stateCommitMs":$stateCommitMs,"stateRows":$stateRows,"stateBytes":$stateBytes}"""
+      s""""stateCommitMs":$stateCommitMs,"stateRows":$stateRows,"stateBytes":$stateBytes,""" +
+      s""""planMs":$planMs,"sourceMs":$sourceMs,"walMs":$walMs}"""
 }
 
 /** Whole-run task-metric aggregates (SparkListener sums over every task) —
@@ -183,15 +189,20 @@ object StreamBench {
       val sec = (System.nanoTime() - t0) / 1e9
       val batches = q.recentProgress.toSeq.map { pr =>
         val d = pr.durationMs.asScala
+        def ms(k: String): Long =
+          d.getOrElse(k, java.lang.Long.valueOf(0L)).longValue()
         val st = pr.stateOperators.headOption
         BatchProf(
           pr.batchId,
           pr.numInputRows,
-          d.getOrElse("triggerExecution", java.lang.Long.valueOf(0L)).longValue(),
-          d.getOrElse("addBatch", java.lang.Long.valueOf(0L)).longValue(),
+          ms("triggerExecution"),
+          ms("addBatch"),
           st.map(_.commitTimeMs).getOrElse(0L),
           st.map(_.numRowsTotal).getOrElse(0L),
-          st.map(_.memoryUsedBytes).getOrElse(0L))
+          st.map(_.memoryUsedBytes).getOrElse(0L),
+          planMs = ms("queryPlanning"),
+          sourceMs = ms("latestOffset") + ms("getBatch"),
+          walMs = ms("walCommit") + ms("commitOffsets"))
       }
       val turns = new IcebergLite(tableRoot).partitionMetrics.values.sum
       Thread.sleep(500) // listener bus drains asynchronously
