@@ -41,6 +41,10 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        // drop intermediates a query persisted (q11's shingle table):
+        // without this, reps 2+ would hit rep 1's cache and the median
+        // would understate the query's full cost
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
