@@ -219,4 +219,122 @@ object Similarity {
       .filter(ok(col("dot"), col("na2"), col("nb2")))
       .select(col("vec_a"), col("vec_b"), col("dot"))
   }
+
+  // ---- IVF approximate top-k (the index-structure scale path) --------------
+
+  /** Deterministic IVF coarse quantizer: k-means over the QUANTIZED corpus
+    * with all arithmetic in Long space, so centroids are independent of
+    * partitioning and row order (integer sums are associative; float
+    * averages are not). Seeds are the vectors at ids `j·(n/nlist)` —
+    * deterministic and spread across the id range. Returns quantized
+    * centroids (×1000 scale, same as [[quantCol]]).
+    *
+    * Scale shape: each Lloyd iteration is one narrow assignment projection
+    * (argmax of `2·v·c − |c|²` against broadcast centroids) plus one
+    * per-dimension integer-sum aggregation (`nlist × dim` rows to the
+    * driver — a few KB). The corpus is never collected. */
+  def ivfTrain(embs: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 64, iters: Int = 2): Array[Array[Long]] = {
+    val spark = embs.sparkSession
+    val q = embs.select(col(idCol).cast("long").as("nid"),
+      quantCol(col(vecCol)).as("nv"))
+    val n = q.count()
+    val step = math.max(1L, n / nlist)
+    var centroids: Array[Array[Long]] = q
+      .filter(col("nid") % step === 0 && col("nid") < step * nlist)
+      .orderBy("nid").collect().map(_.getSeq[Long](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assign = udf { (nv: Seq[Long]) =>
+        ivfNearest(bc.value, nv.toArray)
+      }
+      // per-(list, dim) exact integer sums -> new centroids on the driver
+      val sums = q.select(assign(col("nv")).as("list"),
+          posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy("list", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val dim = centroids(0).length
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val (l, p) = (r.getInt(0), r.getInt(1))
+        next(l)(p) = Math.floorDiv(r.getLong(2) + r.getLong(3) / 2, r.getLong(3))
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** argmax over centroids of `2·v·c − |c|²` (≡ nearest by L2 on the
+    * monotone part; |v|² is constant per row), ties to the lower list id. */
+  private def ivfNearest(cs: Array[Array[Long]], v: Array[Long]): Int = {
+    var best = 0
+    var bestScore = Long.MinValue
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)
+      val s = 2L * dotRaw(v, c) - dotRaw(c, c)
+      if (s > bestScore) { bestScore = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` centroid lists nearest to
+    * each query and run the exact [[annTopK]] scoring ONLY inside those
+    * lists — the classic inverted-file trade (recall for a
+    * `nprobe / nlist` fraction of the corpus scanned).
+    *
+    * This is the index structure the exact [[annTopK]] Scaladoc points to
+    * for interactive service at 10^12 rows: the assignment column is
+    * computed once per corpus (an index build; at scale it would persist as
+    * a table column and the scan below becomes a partition-pruned read),
+    * queries stay job parameters, scoring keeps the no-join two-phase
+    * WindowGroupLimit plan. Unlike hyperplane-LSH pruning (fiction for
+    * exact top-k over near-orthogonal corpora — PLANS.md q15), IVF makes
+    * the approximation EXPLICIT and tunable: recall is governed by nprobe,
+    * measured in `IvfSpec` / BENCH.md rather than promised. */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+              nQueries: Int = 10, k: Int = 10,
+              nlist: Int = 64, nprobe: Int = 8,
+              centroidsIn: Array[Array[Long]] = null): DataFrame = {
+    val spark = embs.sparkSession
+    val centroids =
+      if (centroidsIn != null) centroidsIn
+      else ivfTrain(embs, idCol, vecCol, nlist)
+    val queries: Array[(Long, Array[Long])] = embs.filter(col(idCol) < nQueries)
+      .select(col(idCol).cast("long"), quantCol(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    // probe sets: rank centroids per query by dot — nlist × nQueries
+    // driver-side scalar ops
+    val probes: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
+      qid -> centroids.zipWithIndex
+        .map { case (c, j) => (dotRaw(qv, c), j) }
+        .sortBy { case (d, j) => (-d, j) }.take(nprobe).map(_._2)
+    }.toMap
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val bcP = spark.sparkContext.broadcast(probes)
+    val scoreProbed = udf { (nid: Long, nv: Seq[Long]) =>
+      val nva = nv.toArray
+      val list = ivfNearest(bcC.value, nva)
+      bcQ.value.iterator
+        .filter { case (qid, _) => qid != nid && bcP.value(qid).contains(list) }
+        .map { case (qid, qv) => (qid, dotRaw(qv, nva)) }
+        .toSeq
+    }
+    embs
+      .select(col(idCol).cast("long").as("nid"), quantCol(col(vecCol)).as("nv"))
+      .select(col("nid"), explode(scoreProbed(col("nid"), col("nv"))).as("s"))
+      .select(col("s._1").as("qid"), col("nid"), col("s._2").as("dot"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("dot"), col("rank"))
+  }
 }

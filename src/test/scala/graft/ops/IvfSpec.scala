@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.gen.EmbGen
+
+/** IVF approximate top-k: high-similarity recall (the planted near-dups an
+  * IVF index exists to find), score consistency with the exact path,
+  * determinism of the integer-space k-means, and the probe contract. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val embs = {
+    val df = EmbGen.dataset(spark, 2000).cache()
+    df.count()
+    df
+  }
+
+  test("planted cos≈0.995 neighbors are recalled at rank 1") {
+    val ivf = Similarity.ivfTopK(embs, "vec_id", "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // among query ids 0..9 the planted near-dup pair is (0, 3); both
+    // directions must surface the partner first — the high-similarity
+    // regime is exactly what an IVF probe of the own cluster guarantees
+    assert(ivf.contains((0L, 3L, 1L)), "query 0 must rank its near-dup 3 first")
+    assert(ivf.contains((3L, 0L, 1L)), "query 3 must rank its near-dup 0 first")
+  }
+
+  test("IVF results are a subset of exact scoring with identical dots") {
+    val exact = Similarity.annTopK(embs, "vec_id", "vec", nQueries = 10, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = Similarity.ivfTopK(embs, "vec_id", "vec").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"$key not in exact scoring")
+      assert(exact(key) === r.getLong(2), s"dot mismatch for $key")
+    }
+    // every query returns exactly k rows (probed lists hold >> k vectors)
+    val perQ = ivf.groupBy(_.getLong(0)).view.mapValues(_.length)
+    perQ.foreach { case (q, n) => assert(n === 10, s"query $q returned $n") }
+  }
+
+  test("integer-space k-means is deterministic across runs and partitionings") {
+    val c1 = Similarity.ivfTrain(embs, "vec_id", "vec", nlist = 16)
+    val c2 = Similarity.ivfTrain(embs.repartition(7), "vec_id", "vec", nlist = 16)
+    assert(c1.length === 16)
+    c1.zip(c2).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
+  test("recall grows with nprobe and reaches 1.0 at nprobe = nlist") {
+    val exact = Similarity.annTopK(embs, "vec_id", "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.ivfTrain(embs, "vec_id", "vec", nlist = 16)
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(embs, "vec_id", "vec", nlist = 16,
+          nprobe = nprobe, centroidsIn = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8)
+    val rAll = recall(16)
+    assert(rAll === 1.0, "probing every list must equal the exact result")
+    assert(r8 >= r2, s"recall must be monotone in nprobe ($r2 -> $r8)")
+    assert(r2 > 0.0)
+  }
+}
