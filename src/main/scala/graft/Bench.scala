@@ -34,7 +34,9 @@ object Bench {
     // (round-2 VERDICT: 20.4s driver q2 vs 2.1s builder — unadjudicable
     // without repeats). `queries` carries the MEDIAN; `queries_detail`
     // carries {median, best, n} per query.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // n=5 default (round-3 VERDICT #6): q21/q24 medians showed rep-to-rep
+    // spread on the driver VM that 3 reps could not adjudicate
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

@@ -374,8 +374,11 @@ object ClusterPinnedRun {
   private def pin(pid: Long, cores: String): Unit = {
     val p = new ProcessBuilder("taskset", "-a", "-p", "-c", cores, pid.toString)
       .redirectErrorStream(true).start()
-    scala.io.Source.fromInputStream(p.getInputStream).getLines().foreach(_ => ())
-    p.waitFor()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().mkString("\n")
+    val rc = p.waitFor()
+    // a silently-unpinned JVM skews the scaling comparison — fail loudly
+    // (round-3 ADVICE: pin() used to discard the taskset exit status)
+    require(rc == 0, s"taskset -c $cores -p $pid failed (rc=$rc): $out")
   }
 
   /** PIDs of executor JVMs (children of this driver JVM in local-cluster
@@ -420,9 +423,19 @@ object ClusterPinnedRun {
     val pids = executorPids
     require(pids.size >= nExec, s"only ${pids.size}/$nExec executors came up")
     pids.take(nExec).zipWithIndex.foreach { case (pid, i) => pin(pid, i.toString) }
-    pin(ProcessHandle.current().pid(), "24-27")
+    // driver cores: derived from the box, disjoint from executor cores
+    // 0..nExec-1 (round-3 ADVICE: the old hardcoded "24-27" silently
+    // overlapped or vanished on boxes with < 28 cores)
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    require(nCpus > nExec, s"need > $nExec cores for a disjoint driver set, have $nCpus")
+    val driverCores = {
+      val hi = nCpus - 1
+      val lo = math.max(nExec, nCpus - 4)
+      s"$lo-$hi"
+    }
+    pin(ProcessHandle.current().pid(), driverCores)
     System.err.println(s"[pcluster] pinned executors ${pids.take(nExec)} to cores " +
-      s"0-${nExec - 1}, driver to 24-27")
+      s"0-${nExec - 1}, driver to $driverCores")
     val r = StreamBench.run(s, sfDir, numBuckets = 32, slicesOverride = slices)
     val sustained = ScalingBench.sustainedOf(r.batches, r.turnsPerSec)
     println(f"PINNED wall=${r.sec}%.3f turns=${r.turns} " +

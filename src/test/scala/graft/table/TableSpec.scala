@@ -123,9 +123,11 @@ class TableSpec extends SparkSpec {
     // a lagging incremental reader holds the horizon at its offset
     table.registerReader("lagger", 0L)
     assert(table.expireMetadata(retainLast = 2) === Seq("snap-000000000000.json"))
+    assert(table.expiryHorizon === Some(0L)) // recorded floor for new readers
     table.unregisterReader("lagger")
     // retainLast=2 keeps epochs {2, 9}; epoch 1 is now expirable
     assert(table.expireMetadata(retainLast = 2) === Seq("snap-000000000001.json"))
+    assert(table.expiryHorizon === Some(1L)) // monotonic
     assert(table.snapshots.map(_.epochId) === Seq(2L, 9L))
     // gen 0 still replaces live epoch 2 -> its manifest must survive,
     // else epoch 2 would "un-replace" and double-count
@@ -139,6 +141,32 @@ class TableSpec extends SparkSpec {
     assert(table.read(spark).count() === rowsBefore)
     assert(table.partitionMetrics.values.sum === rowsBefore)
     assert(table.expireMetadata(retainLast = 1).isEmpty) // idempotent
+    assert(table.expiryHorizon === Some(2L)) // highest expired epoch
+  }
+
+  test("staleReaders surfaces heartbeat-dead registrations; " +
+    "unregisterReader is the documented admin override") {
+    val table = mkTable(tmpDir("t-stale"))
+    assert(table.expiryHorizon === None) // fresh table: no floor yet
+    table.registerReader("r1", 0L)
+    // freshly heartbeated: not stale at any sane TTL
+    assert(table.staleReaders(ttlMs = 60000L).isEmpty)
+    // at TTL −1 everything is "stale" — r1 shows with its heartbeat age
+    val stale = table.staleReaders(ttlMs = -1L)
+    assert(stale.contains("r1") && stale("r1") >= 0L)
+    // advancing the offset refreshes the heartbeat too
+    table.registerReader("r1", 2L)
+    assert(table.readerOffsets("r1") === 2L)
+    assert(table.staleReaders(ttlMs = 60000L).isEmpty)
+    // a re-register at a LOWER offset keeps the durable offset (monotonic)
+    // but still counts as a heartbeat
+    table.registerReader("r1", -1L)
+    assert(table.readerOffsets("r1") === 2L)
+    // the admin override: once the operator confirms the checkpoint is
+    // gone, unregistering releases the retention pin
+    table.unregisterReader("r1")
+    assert(table.staleReaders(ttlMs = -1L).isEmpty)
+    assert(table.readerOffsets.isEmpty)
   }
 
   test("commitEpoch fails loudly when a different query reuses an epoch id") {
