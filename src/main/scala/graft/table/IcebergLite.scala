@@ -78,6 +78,17 @@ final class IcebergLite(val root: String) {
 
   def isCommitted(epochId: Long): Boolean = Files.exists(snapPath(epochId))
 
+  def exists: Boolean = Files.exists(metaDir.resolve("table.json"))
+
+  /** Bucket count declared in table.json's partition spec
+    * (`bucket(conv_id, N)`); None if the table does not exist. */
+  def declaredNumBuckets: Option[Int] = {
+    val t = metaDir.resolve("table.json")
+    if (!Files.exists(t)) return None
+    val spec = mapper.readTree(Files.readAllBytes(t)).get("partitionSpec").asText()
+    "bucket\\(conv_id, (\\d+)\\)".r.findFirstMatchIn(spec).map(_.group(1).toInt)
+  }
+
   /** Declared business schema (DDL string from table.json). Data files
     * additionally carry the sink's lineage columns
     * `(epoch_id bigint, partition_id int)` — see [[stageAndPublish]]. */

@@ -40,6 +40,21 @@ object Redact {
 
   // ---- pure Scala (oracle / state-side) ------------------------------------
 
+  // LITERAL-COUNT ENVELOPE (round-3 VERDICT #7). R1/R2 apply one
+  // String.replace pass per literal — O(literals × text). This is the
+  // supported envelope: a handful of literals (the parameter surface
+  // carries exactly two, namePattern + footer), where per-pass setup is
+  // cheaper than any automaton and the Column forms stay codegen'd
+  // built-ins. A single-pass multi-literal matcher (Aho-Corasick) is NOT a
+  // drop-in replacement above that envelope: sequential passes are
+  // SEMANTIC — removing literal A can create a new occurrence of B
+  // spanning the seam, which pass 2 removes but a one-pass automaton over
+  // the original text cannot see (the reference applies rules to one
+  // mutable buffer in order, watermark_processor.py:66-155). Growing the
+  // parameter surface to a literal LIST therefore means either (a) keeping
+  // per-literal passes and accepting O(L·n), or (b) defining list
+  // semantics as simultaneous-match (one automaton pass, no seam
+  // rescanning) and versioning the operator contract accordingly.
   def r1Name(text: String, p: RedactionParams): String =
     if (p.namePattern.isEmpty) text else text.replace(p.namePattern, "")
 

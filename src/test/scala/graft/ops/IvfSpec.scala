@@ -46,6 +46,36 @@ class IvfSpec extends SparkSpec {
     c1.zip(c2).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
   }
 
+  test("persisted index: ivfTopKIndexed == ivfTopK on the same centroids; " +
+    "the probed scan is partition-pruned") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("ivf-index")
+    val cents = Similarity.ivfBuildIndex(embs, "vec_id", "vec", dir, nlist = 16)
+    // sidecar round-trip
+    Similarity.ivfCentroids(dir).zip(cents)
+      .foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // identical output to the non-persisted path on the same centroids
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, nprobe = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = Similarity.ivfTopK(embs, "vec_id", "vec",
+        nlist = 16, nprobe = 8, centroidsIn = cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(indexed === direct)
+    assert(indexed.nonEmpty)
+    // the list filter is a partition-column predicate: the scan PLANS only
+    // the probed lists' partitions (query cost independent of the rest of
+    // the corpus)
+    val pruned = spark.read.parquet(dir + "/data")
+      .filter(col("list").isin(0, 1))
+    val scanParts = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.head
+    assert(scanParts === 2, s"expected 2 partition dirs scanned, got $scanParts")
+  }
+
   test("recall grows with nprobe and reaches 1.0 at nprobe = nlist") {
     val exact = Similarity.annTopK(embs, "vec_id", "vec")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

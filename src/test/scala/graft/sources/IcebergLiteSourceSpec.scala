@@ -107,6 +107,12 @@ class IcebergLiteSourceSpec extends SparkSpec {
         b.scan.asInstanceOf[IcebergLiteScan]
     }.head
 
+  /** Number of data FILES the scan would open (partitions are packed, so
+    * partition count is not the pruning signal). */
+  private def scanFileCount(df: org.apache.spark.sql.DataFrame): Int =
+    scanOf(df).toBatch.planInputPartitions()
+      .map(_.asInstanceOf[FilePartition].paths.length).sum
+
   test("ts-range + conv_id filter pushdown prunes files at the manifest level") {
     import spark.implicits._
     val tableRoot = tmpDir("prune-table")
@@ -128,7 +134,7 @@ class IcebergLiteSourceSpec extends SparkSpec {
     val lo = new java.sql.Timestamp((base + 1L * 3600L * 1000000L) / 1000L)
     val hi = new java.sql.Timestamp((base + 2L * 3600L * 1000000L + 3600L * 1000000L - 1L) / 1000L)
     val ranged = conn.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
-    val rangedParts = scanOf(ranged).toBatch.planInputPartitions().length
+    val rangedParts = scanFileCount(ranged)
     assert(rangedParts < allFiles, s"no pruning: $rangedParts of $allFiles")
     // parity with the unpruned read under the same row filter
     assert(ranged.count() ===
@@ -137,13 +143,13 @@ class IcebergLiteSourceSpec extends SparkSpec {
 
     // (b) conv_id equality prunes to one bucket per epoch
     val byConv = conn.filter(col("conv_id") === "conv3")
-    val convParts = scanOf(byConv).toBatch.planInputPartitions().length
+    val convParts = scanFileCount(byConv)
     assert(convParts <= allFiles / 2, s"no bucket pruning: $convParts of $allFiles")
     assert(byConv.count() === 25L) // 5 epochs x 5 turns
     // combined: both dimensions prune multiplicatively
     val both = conn.filter(col("conv_id") === "conv3" &&
       col("ts") >= lit(lo) && col("ts") <= lit(hi))
-    val bothParts = scanOf(both).toBatch.planInputPartitions().length
+    val bothParts = scanFileCount(both)
     assert(bothParts <= math.min(rangedParts, convParts))
     assert(both.count() === 10L)
     // the pushed filters are visible to explain (PushedFilters analogue)
@@ -292,7 +298,7 @@ class IcebergLiteSourceSpec extends SparkSpec {
 
     // (a) conv_id IN (...): union of the values' buckets, not a full scan
     val inList = conn.filter(col("conv_id").isin("conv3", "conv5"))
-    val inParts = scanOf(inList).toBatch.planInputPartitions().length
+    val inParts = scanFileCount(inList)
     assert(inParts < allFiles, s"IN-list did not prune: $inParts of $allFiles")
     assert(inList.count() === 50L) // 2 convs x 5 epochs x 5 turns
     assert(inList.count() ===
@@ -300,7 +306,7 @@ class IcebergLiteSourceSpec extends SparkSpec {
 
     // (b) OR of conv_id equalities prunes identically to the IN form
     val orEq = conn.filter(col("conv_id") === "conv3" || col("conv_id") === "conv5")
-    assert(scanOf(orEq).toBatch.planInputPartitions().length === inParts)
+    assert(scanFileCount(orEq) === inParts)
     assert(orEq.count() === 50L)
 
     // (c) disjunction of ts ranges: only epochs 0 and 3 survive pruning
@@ -311,7 +317,7 @@ class IcebergLiteSourceSpec extends SparkSpec {
       (col("ts") >= lit(tsAt(3L * 3600L * 1000000L)) &&
         col("ts") <= lit(tsAt(4L * 3600L * 1000000L - 1)))
     val disj = conn.filter(disjPred)
-    val disjParts = scanOf(disj).toBatch.planInputPartitions().length
+    val disjParts = scanFileCount(disj)
     assert(disjParts < allFiles, s"OR-range did not prune: $disjParts of $allFiles")
     assert(disjParts * 5 <= allFiles * 2, // 2 of 5 epochs' files
       s"expected 2/5 of files, got $disjParts of $allFiles")
@@ -319,7 +325,7 @@ class IcebergLiteSourceSpec extends SparkSpec {
 
     // (d) conjunction of both prunes multiplicatively
     val both = conn.filter(col("conv_id").isin("conv3", "conv5") && disjPred)
-    val bothParts = scanOf(both).toBatch.planInputPartitions().length
+    val bothParts = scanFileCount(both)
     assert(bothParts <= math.min(inParts, disjParts))
     assert(both.count() === 20L)
   }
@@ -367,6 +373,69 @@ class IcebergLiteSourceSpec extends SparkSpec {
       }.start()
     q.awaitTermination()
     assert(seen.get() === 10L) // epoch 2 only
+  }
+
+  test("DSv2 write path: format(...).mode(append).save() commits " +
+    "transactionally; a replayed epoch is an idempotent no-op") {
+    import spark.implicits._
+    val tableRoot = tmpDir("write-table")
+    val df = (0 until 40).map { i =>
+      (s"conv${i % 7}", i, new java.sql.Timestamp((1767225600L + i) * 1000L))
+    }.toDF("conv_id", "turn_idx", "ts")
+    def writeEpoch0(): Unit =
+      df.write.format("graft.sources.IcebergLiteSource")
+        .option("path", tableRoot).option("createIfAbsent", "true")
+        .option("buckets", "4").option("epoch", "0").option("queryId", "w")
+        .mode("append").save()
+
+    writeEpoch0() // creates the table from the data schema
+    val table = new IcebergLite(tableRoot)
+    assert(table.snapshots.map(_.epochId) === Seq(0L))
+    assert(table.declaredNumBuckets === Some(4))
+
+    def readBack() = spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).load()
+      .select("conv_id", "turn_idx", "ts").orderBy("conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2))).toSeq
+    val expected = df.orderBy("conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2))).toSeq
+    assert(readBack() === expected)
+
+    // replay: same (queryId, epoch) -> silent no-op, nothing duplicated
+    writeEpoch0()
+    assert(table.snapshots.map(_.epochId) === Seq(0L))
+    assert(readBack() === expected)
+
+    // next write without an explicit epoch appends latest+1; column order
+    // is aligned to the declared schema
+    Seq((99, "convX", new java.sql.Timestamp(1767229999L * 1000L)))
+      .toDF("turn_idx", "conv_id", "ts")
+      .write.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).mode("append").save()
+    assert(table.snapshots.map(_.epochId) === Seq(0L, 1L))
+    assert(readBack().length === 41)
+
+    // schema mismatch fails loudly (lineage columns are sink-appended)
+    val bad = intercept[Exception] {
+      df.withColumnRenamed("ts", "t")
+        .write.format("graft.sources.IcebergLiteSource")
+        .option("path", tableRoot).mode("append").save()
+    }
+    assert(bad.getMessage.contains("schema mismatch"))
+
+    // a different query reusing a committed epoch fails loudly
+    val alien = intercept[Exception] {
+      df.write.format("graft.sources.IcebergLiteSource")
+        .option("path", tableRoot).option("epoch", "0")
+        .option("queryId", "other").mode("append").save()
+    }
+    assert(alien.getMessage.contains("refusing idempotent no-op"))
+
+    // overwrite mode is rejected: the table is an append-only snapshot log
+    intercept[Exception] {
+      df.write.format("graft.sources.IcebergLiteSource")
+        .option("path", tableRoot).mode("overwrite").save()
+    }
   }
 
   test("restart consumes only NEW epochs (incremental snapshot deltas)") {
