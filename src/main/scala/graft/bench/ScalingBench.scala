@@ -262,8 +262,15 @@ object ScalingBench {
         high -> measure(high, sfDir, slices))
     }
     runs.foreach { case (c, r) =>
+      // per-run cpu/turn lets a reader classify EVERY run's host-noise
+      // window (round-3 protocol: quiet = cpu/turn at the cross-run
+      // minima), not just the best-of runs the md tables carry
+      val cpuPerTurn =
+        if (r.taskStats.tasks == 0) Double.NaN
+        else r.taskStats.cpuMs * 1000.0 / r.turns
       System.err.println(f"[scaling] ${c.label} wall=${r.sec}%.1fs " +
-        f"wallTps=${r.wallTps}%.0f sustainedTps=${r.sustainedTps}%.0f")
+        f"wallTps=${r.wallTps}%.0f sustainedTps=${r.sustainedTps}%.0f " +
+        f"cpuUsPerTurn=$cpuPerTurn%.1f")
     }
     val bestLow = runs.filter(_._1 == low).map(_._2)
     val bestHigh = runs.filter(_._1 == high).map(_._2)
