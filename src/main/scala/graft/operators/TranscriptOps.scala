@@ -261,12 +261,26 @@ object TranscriptOps {
     * count (~225) is far below the sketch's exact-tracking cap, so every
     * estimate equals the true count and the DuckDB GROUP BY oracle checks
     * the whole update→merge→serialize→estimate path exactly. */
-  def cmsTokenProfile(tx: DataFrame): DataFrame = {
+  /** The CMS sketch-build aggregate on its own: the two-phase
+    * ObjectHashAggregate plan (partial sketches per partition, groups ×
+    * sketchBytes through the shuffle) that [[cmsTokenProfile]] consumes.
+    * Public so PlanAudit can audit this side — the profile query collects
+    * it eagerly (groups rows) and its plan no longer appears in the
+    * estimate projection. */
+  def cmsRoleSketches(tx: DataFrame): DataFrame = {
     import graft.functions.CmsAggExpr
-    val toks = tx.select(col("role"),
+    cmsTokens(tx).groupBy("role").agg(CmsAggExpr.cmsSketch(col("token")).as("sk"))
+  }
+
+  private def cmsTokens(tx: DataFrame): DataFrame =
+    tx.select(col("role"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
         .as("token"))
-    val sk = toks.groupBy("role").agg(CmsAggExpr.cmsSketch(col("token")).as("sk"))
+
+  def cmsTokenProfile(tx: DataFrame): DataFrame = {
+    import graft.functions.CmsAggExpr
+    val toks = cmsTokens(tx)
+    val sk = cmsRoleSketches(tx)
     // estimate read path: decode each role's sketch once, broadcast the
     // decoded set — O(depth) per row, independent of sketch size (the
     // previous join + graft_cms_est projection re-parsed the ~512 KB folded
