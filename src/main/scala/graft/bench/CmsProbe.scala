@@ -47,8 +47,11 @@ object CmsProbe {
       val skBytes = sk.select(length(col("sk"))).collect().map(_.getInt(0)).max
       def sumEst(df: DataFrame): Long =
         df.agg(sum(col("est"))).collect()(0).getLong(0)
-      val (newS, a) = medianOf(
-        sumEst(CmsAggExpr.estimateAll(keys, sk, "role", "sk", "token")))
+      val (newS, a) = medianOf {
+        val v = sumEst(CmsAggExpr.estimateAll(keys, sk, "role", "sk", "token"))
+        CmsAggExpr.releaseBroadcasts() // reps would otherwise accumulate blocks
+        v
+      }
       val (oldS, b) = medianOf(
         sumEst(keys.join(broadcast(sk), "role")
           .select(CmsAggExpr.cmsEst(col("sk"), col("token")).as("est"))))

@@ -10,8 +10,8 @@ import graft.table.IcebergLite
   * parity claim at `IcebergLiteSource` deserved a number). Two workloads:
   * a heavy full-decode aggregate (forces the text payload through the
   * decoder) and a narrow two-column projection (exercises column pruning).
-  * Medians of 5 reps; the first rep warms the page cache for both paths
-  * alike (alternating order). */
+  * Medians of 5 interleaved reps (each round runs both paths, alternating
+  * which goes first) after one untimed warm-up of both. */
 object ConnectorReadBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -51,14 +51,23 @@ object ConnectorReadBench {
       df.select(col("conv_id"), col("turn_idx")).agg(sum(col("turn_idx")))
         .collect()(0).getLong(0)
 
-    def medianOf(f: => Long): (Double, Long) = {
-      var check = 0L
-      val times = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
-        check = f
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (times(2), check)
+    // Genuinely interleaved reps (round-4 ADVICE: the old shape ran all 5
+    // connector reps before all 5 raw reps, so raw always started fully
+    // page-cache-warm). Each round times both paths, alternating which goes
+    // first; one untimed warm-up of both precedes the clock.
+    def interleavedMedians(fa: => Long, fb: => Long): (Double, Double, Long, Long) = {
+      fa; fb // warm-up: page cache + codegen compiled for BOTH paths
+      var (ca, cb) = (0L, 0L)
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val ta = Array.ofDim[Double](5)
+      val tb = Array.ofDim[Double](5)
+      (0 until 5).foreach { i =>
+        if (i % 2 == 0) { ta(i) = t { ca = fa }; tb(i) = t { cb = fb } }
+        else { tb(i) = t { cb = fb }; ta(i) = t { ca = fa } }
+      }
+      (ta.sorted.apply(2), tb.sorted.apply(2), ca, cb)
     }
 
     // profiling aid: loop one path so stack sampling has a window
@@ -69,11 +78,10 @@ object ConnectorReadBench {
       spark.stop(); return
     }
 
-    // alternate paths so cache warmth is symmetric
-    val (heavyConnS, hc) = medianOf(heavy(conn))
-    val (heavyRawS, hr) = medianOf(heavy(raw))
-    val (narrowConnS, nc) = medianOf(narrow(conn))
-    val (narrowRawS, nr) = medianOf(narrow(raw))
+    val (heavyConnS, heavyRawS, hc, hr) =
+      interleavedMedians(heavy(conn), heavy(raw))
+    val (narrowConnS, narrowRawS, nc, nr) =
+      interleavedMedians(narrow(conn), narrow(raw))
     require(hc == hr && nc == nr, s"result mismatch: $hc/$hr $nc/$nr")
     val rows = conn.count()
     println(f"""{"bench":"connector_read","sf":"$sfDir","rows":$rows,""" +

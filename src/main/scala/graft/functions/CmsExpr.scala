@@ -164,17 +164,68 @@ object CmsAggExpr {
     * depth×width×16 B per row (UnsafeRow copies defeat the kernel cache).
     * The UDF is justified: the alternative is per-row deserialization, and
     * a broadcast object lookup has no Column-expression equivalent.
-    * Missing groups fail loudly (NoSuchElementException), matching the
-    * inner-join semantics of the projection it replaces. */
+    *
+    * Semantics match the inner join + [[cmsEst]] projection it replaces:
+    * a `keys` row whose group is null or absent from `sketches` (and a
+    * null key) is DROPPED, not failed — the UDF returns null for such rows
+    * and the result filters them out (estimates themselves are never null,
+    * so the filter only removes non-matching rows).
+    *
+    * The cardinality guard collects at most `maxGroups + 1` rows, so a
+    * mistakenly high-cardinality group column fails loudly BEFORE the
+    * driver materializes it. Each call creates one broadcast whose
+    * lifetime is tied (via ContextCleaner GC) to the returned plan's
+    * reachability; batch callers in long-lived sessions (benchmark reps,
+    * notebooks) should call [[releaseBroadcasts]] once prior results are
+    * fully consumed. */
   def estimateAll(keys: org.apache.spark.sql.DataFrame, sketches: org.apache.spark.sql.DataFrame,
                   groupCol: String, sketchCol: String, keyCol: String,
-                  out: String = "est"): org.apache.spark.sql.DataFrame = {
+                  out: String = "est", maxGroups: Int = 10000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, udf}
-    val m = sketches.select(col(groupCol), col(sketchCol)).collect()
+    val rows = sketches.select(col(groupCol), col(sketchCol))
+      .limit(maxGroups + 1).collect()
+    require(rows.length <= maxGroups,
+      s"estimateAll: over $maxGroups sketch groups. Group cardinality is a " +
+        "driver-side job parameter (roles, languages, shards); for " +
+        "high-cardinality groups use join + graft_cms_est instead, or raise " +
+        "maxGroups if the driver can hold groups x sketchBytes.")
+    val m = rows.filter(!_.isNullAt(0))
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
     val bc = keys.sparkSession.sparkContext.broadcast(new CmsLookup(m))
-    val estU = udf((g: String, k: String) => bc.value.decoded(g).estimate(k))
+    trackBroadcast(bc)
+    val estU = udf { (g: String, k: String) =>
+      if (g == null || k == null) None
+      else bc.value.decoded.get(g).map(_.estimate(k)): Option[Long]
+    }
     keys.withColumn(out, estU(col(groupCol), col(keyCol)))
+      .filter(col(out).isNotNull) // inner-join drop of null/missing groups
+  }
+
+  // Broadcasts created by estimateAll, weakly held so normal GC +
+  // ContextCleaner still reclaim them when the caller never releases.
+  private val liveBroadcasts =
+    scala.collection.mutable.ListBuffer
+      .empty[java.lang.ref.WeakReference[org.apache.spark.broadcast.Broadcast[CmsLookup]]]
+
+  private def trackBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[CmsLookup]): Unit =
+    liveBroadcasts.synchronized {
+      liveBroadcasts += new java.lang.ref.WeakReference(bc)
+    }
+
+  /** Destroy every still-live broadcast a prior [[estimateAll]] created
+    * (round-4 ADVICE: repeated calls accumulate broadcast blocks until the
+    * ContextCleaner catches up). Call only after those results are fully
+    * materialized — a destroyed broadcast fails any later action on a plan
+    * that still references it. Returns the number destroyed. */
+  def releaseBroadcasts(): Int = liveBroadcasts.synchronized {
+    var n = 0
+    liveBroadcasts.foreach { ref =>
+      val b = ref.get()
+      if (b != null) { b.destroy(); n += 1 }
+    }
+    liveBroadcasts.clear()
+    n
   }
 
   private def intLit(e: Expression, what: String): Int = e match {

@@ -532,15 +532,34 @@ final class IcebergLite(val root: String) {
     Option(mapper.readTree(Files.readAllBytes(metaDir.resolve("table.json")))
       .get("expiryHorizon")).map(_.asLong())
 
-  private def recordExpiryHorizon(epoch: Long): Unit = synchronized {
+  /** Monotonic read-modify-write on table.json's `expiryHorizon`. Two
+    * processes (or two instances) running [[expireMetadata]] could
+    * interleave read→write so a stale reader rolls the horizon back —
+    * weakening the new-reader fail-loud contract (round-4 ADVICE). So the
+    * re-read + compare + replace runs under an OS-level file lock on a
+    * sidecar (`table.json.lock` — locking table.json itself would race the
+    * atomic rename in [[atomicReplace]]), with
+    * [[IcebergLite.horizonLock]] serializing same-JVM callers first. */
+  private[table] def recordExpiryHorizon(epoch: Long): Unit =
+      IcebergLite.horizonLock.synchronized {
     val p = metaDir.resolve("table.json")
-    val t = mapper.readTree(Files.readAllBytes(p))
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    val prior = Option(t.get("expiryHorizon")).map(_.asLong()).getOrElse(Long.MinValue)
-    if (epoch > prior) {
-      t.put("expiryHorizon", epoch)
-      atomicReplace(p, mapper.writeValueAsBytes(t))
-    }
+    val lockPath = metaDir.resolve("table.json.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until any concurrent expirer releases
+      try {
+        // re-read INSIDE the lock: another process may have advanced it
+        val t = mapper.readTree(Files.readAllBytes(p))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val prior = Option(t.get("expiryHorizon")).map(_.asLong()).getOrElse(Long.MinValue)
+        if (epoch > prior) {
+          t.put("expiryHorizon", epoch)
+          atomicReplace(p, mapper.writeValueAsBytes(t))
+        }
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** Row-count per partition across epochs — per-partition lineage metrics
@@ -624,6 +643,14 @@ final case class FileSet(numBuckets: Int, files: Seq[DataFileMeta])
 
 object IcebergLite {
   private val TaskFilePattern = """part-(\d+)-.*""".r
+
+  /** JVM-wide monitor for the expiry-horizon RMW: `FileChannel.lock` throws
+    * `OverlappingFileLockException` (instead of blocking) when the SAME JVM
+    * already holds the lock through another instance, so in-process callers
+    * serialize here first and the file lock only arbitrates across
+    * processes. Horizon writes are rare (one per expireMetadata), so one
+    * global monitor is enough. */
+  private[table] val horizonLock = new Object
 
   /** Shuffle-partition index from a Spark task output file name. */
   def taskPartitionId(fileName: String): Option[Int] = fileName match {

@@ -79,6 +79,40 @@ class CmsExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
+  test("estimateAll matches join semantics: null/missing groups dropped, not failed") {
+    import spark.implicits._
+    val keys = Seq(
+      ("user", "a"), ("tool", "a"), (null: String, "a"), // null group
+      ("ghost", "a"),                                    // group with no sketch
+      ("user", null: String)                             // null key
+    ).toDF("role", "token")
+    val sk = Seq(("user", "a"), ("user", "a"), ("tool", "b"))
+      .toDF("role", "token")
+      .groupBy("role").agg(CmsAggExpr.cmsSketch(col("token")).as("sk"))
+    val out = CmsAggExpr.estimateAll(keys, sk, "role", "sk", "token")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // exactly the rows an inner join would keep, with correct estimates
+    assert(out === Set(("user", "a", 2L), ("tool", "a", 0L)))
+    assert(CmsAggExpr.releaseBroadcasts() >= 1)
+  }
+
+  test("estimateAll fails loudly past the group-cardinality guard") {
+    import spark.implicits._
+    val keys = Seq(("g0", "a")).toDF("g", "token")
+    val manyGroups = spark.range(0, 50, 1, 4)
+      .select(concat(lit("g"), col("id")).as("g"), lit("a").as("token"))
+      .groupBy("g").agg(CmsAggExpr.cmsSketch(col("token")).as("sk"))
+    val e = intercept[IllegalArgumentException] {
+      CmsAggExpr.estimateAll(keys, manyGroups, "g", "sk", "token", maxGroups = 10)
+    }
+    assert(e.getMessage.contains("graft_cms_est"), "remediation text present")
+    // at or under the guard it runs
+    val ok = CmsAggExpr.estimateAll(
+      keys, manyGroups, "g", "sk", "token", maxGroups = 50)
+    assert(ok.count() === 1L)
+    CmsAggExpr.releaseBroadcasts()
+  }
+
   test("SQL surface: graft_cms_sketch / graft_cms_est after registration") {
     GraftFunctions.register(spark)
     val out = spark.sql(

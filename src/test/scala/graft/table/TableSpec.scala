@@ -144,6 +144,20 @@ class TableSpec extends SparkSpec {
     assert(table.expiryHorizon === Some(2L)) // highest expired epoch
   }
 
+  test("expiry horizon stays monotonic under concurrent multi-instance writers") {
+    val root = tmpDir("t-horizon-race")
+    val a = mkTable(root)
+    val b = new IcebergLite(root) // second instance over the same table.json
+    // interleave ascending + descending horizon claims from both instances;
+    // a lost-update would let a stale low value overwrite a higher one
+    val claims = (0L until 64L)
+    val t1 = new Thread(() => claims.foreach(a.recordExpiryHorizon))
+    val t2 = new Thread(() => claims.reverse.foreach(b.recordExpiryHorizon))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(a.expiryHorizon === Some(63L))
+    assert(b.expiryHorizon === Some(63L))
+  }
+
   test("staleReaders surfaces heartbeat-dead registrations; " +
     "unregisterReader is the documented admin override") {
     val table = mkTable(tmpDir("t-stale"))
