@@ -78,6 +78,31 @@ class KillResumeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("restore enforces StateFormatVersion: v1 and pre-stamp checkpoints " +
+    "fail with the migration message, matching stamps resume cleanly") {
+    val sliceDir = tmpDir("slices-sf")
+    StreamFixtures.writeSlices(spark, spec, sliceDir, k = 2)
+    val root = tmpDir("tableSF"); val cp = tmpDir("cpSF")
+    runAll(sliceDir, root, cp) // fresh run stamps the checkpoint
+    val stamp = Paths.get(cp, "graft-state-format.json")
+    assert(new String(Files.readAllBytes(stamp), "UTF-8")
+      .contains(s""""stateFormatVersion":${Pipeline.StateFormatVersion}"""))
+
+    // matching stamp: restart is clean (idempotent no-new-data drain)
+    runAll(sliceDir, root, cp)
+
+    // simulated v1 checkpoint: loud engine message, not Spark's encoder error
+    Files.write(stamp, """{"stateFormatVersion":1}""".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException] { runAll(sliceDir, root, cp) }
+    assert(e1.getMessage.contains("state format v1") &&
+      e1.getMessage.contains("FRESH checkpoint"), e1.getMessage)
+
+    // pre-versioning checkpoint (Spark offsets present, no stamp at all)
+    Files.delete(stamp)
+    val e2 = intercept[IllegalStateException] { runAll(sliceDir, root, cp) }
+    assert(e2.getMessage.contains("pre-versioning"), e2.getMessage)
+  }
+
   test("staged-without-snapshot files are invisible to readers") {
     import spark.implicits._
     val root = tmpDir("tableC")
