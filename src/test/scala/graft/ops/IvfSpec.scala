@@ -67,13 +67,51 @@ class IvfSpec extends SparkSpec {
     // the list filter is a partition-column predicate: the scan PLANS only
     // the probed lists' partitions (query cost independent of the rest of
     // the corpus)
-    val pruned = spark.read.parquet(dir + "/data")
+    val pruned = spark.read.parquet(Similarity.ivfDataDir(dir))
       .filter(col("list").isin(0, 1))
     val scanParts = pruned.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.partitionCount
     }.head
     assert(scanParts === 2, s"expected 2 partition dirs scanned, got $scanParts")
+  }
+
+  test("index lifecycle: epoch-keyed versions, loud staleness, idempotent " +
+    "rebuild, version GC") {
+    import graft.table.IcebergLite
+    val srcRoot = tmpDir("ivf-src")
+    val dir = tmpDir("ivf-lifecycle")
+    val src = new IcebergLite(srcRoot)
+    src.create("vec_id bigint, vec array<double>", 2)
+    src.commitEpoch(embs.select("vec_id", "vec"), "emb-load", 0L, 2)
+
+    Similarity.ivfBuildIndex(embs, "vec_id", "vec", dir, nlist = 16,
+      sourceRoot = srcRoot)
+    assert(Similarity.ivfDataDir(dir).contains("v000000000000"))
+    assert(Similarity.ivfTopKIndexed(spark, dir, nprobe = 8).count() > 0L)
+
+    // rebuild at the SAME source epoch: idempotent no-op (same version dir)
+    Similarity.ivfBuildIndex(embs, "vec_id", "vec", dir, nlist = 16,
+      sourceRoot = srcRoot)
+    assert(Similarity.ivfDataDir(dir).contains("v000000000000"))
+
+    // a newer source epoch makes the index stale: loud failure, opt-in read
+    src.commitEpoch(embs.select("vec_id", "vec"), "emb-load", 1L, 2)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfTopKIndexed(spark, dir, nprobe = 8)
+    }
+    assert(e.getMessage.contains("epoch 0") &&
+      e.getMessage.contains("Rebuild"), e.getMessage)
+    assert(Similarity.ivfTopKIndexed(spark, dir, nprobe = 8,
+      allowStale = true).count() > 0L)
+
+    // rebuild against the new epoch: fresh version serves, old one expirable
+    Similarity.ivfBuildIndex(embs, "vec_id", "vec", dir, nlist = 16,
+      sourceRoot = srcRoot)
+    assert(Similarity.ivfDataDir(dir).contains("v000000000001"))
+    assert(Similarity.ivfTopKIndexed(spark, dir, nprobe = 8).count() > 0L)
+    assert(Similarity.ivfExpireVersions(dir) === Seq("v000000000000"))
+    assert(Similarity.ivfTopKIndexed(spark, dir, nprobe = 8).count() > 0L)
   }
 
   test("recall grows with nprobe and reaches 1.0 at nprobe = nlist") {
