@@ -82,6 +82,15 @@ object SparkEntry {
       implicit val enc = org.apache.spark.sql.Encoders.product[MultiModal.MediaRow]
       MultiModal.kindStats(MultiModal.extractFeatures(media.as[MultiModal.MediaRow]))
         .select("kind", "n_items", "total_bytes")
+    }),
+    // real-format gate: PNG/BMP/WAV header fields parsed from the container
+    // bytes on the Spark side, re-derived by the oracle slicing hex(payload)
+    // at the published layouts' offsets (round-4 VERDICT #8)
+    "q25_media_headers" -> ((s, dir) => {
+      import graft.ops.MultiModal
+      val media = Fixtures.media(s, dir)
+      implicit val enc = org.apache.spark.sql.Encoders.product[MultiModal.MediaRow]
+      MultiModal.headerStats(media.as[MultiModal.MediaRow])
     })
   )
 
@@ -359,6 +368,63 @@ object SparkEntry {
       """SELECT kind, count(*) AS n_items,
         |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes
         |FROM read_parquet('/root/repo/data/media_sf0.01/*.parquet')
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // Header fields re-parsed IN SQL from the container bytes: hex(payload)
+    // sliced at the published PNG (network-order) / BMP / WAV (little-endian)
+    // layouts — byte i is substring(hx, 2i-1, 2); LE ints concatenate the
+    // bytes reversed before the 0x cast (same trick as the SimHash oracle).
+    // Format detection mirrors HeaderCodec.parse's order + length guards.
+    // WAV offsets assume the canonical fmt-first layout the fixtures write
+    // (the Spark parser walks chunks generically).
+    "q25_media_headers" ->
+      """WITH h AS (
+        |  SELECT hex(payload) AS hx, octet_length(payload) AS len
+        |  FROM read_parquet('/root/repo/data/media_sf0.01/*.parquet')
+        |), f AS (
+        |  SELECT hx, CASE
+        |    WHEN len >= 33 AND substring(hx,1,16) = '89504E470D0A1A0A'
+        |         AND substring(hx,25,8) = '49484452' THEN 'png'
+        |    WHEN len >= 54 AND substring(hx,1,4) = '424D' THEN 'bmp'
+        |    WHEN len >= 44 AND substring(hx,1,8) = '52494646'
+        |         AND substring(hx,17,8) = '57415645' THEN 'wav'
+        |    ELSE 'raw' END AS format
+        |  FROM h
+        |), p AS (
+        |  SELECT format,
+        |    CASE format
+        |      WHEN 'png' THEN CAST(('0x' || substring(hx,33,8)) AS BIGINT)
+        |      WHEN 'bmp' THEN CAST(('0x' || substring(hx,43,2) || substring(hx,41,2)
+        |                            || substring(hx,39,2) || substring(hx,37,2)) AS BIGINT)
+        |      ELSE 0 END AS width,
+        |    CASE format
+        |      WHEN 'png' THEN CAST(('0x' || substring(hx,41,8)) AS BIGINT)
+        |      WHEN 'bmp' THEN CAST(('0x' || substring(hx,51,2) || substring(hx,49,2)
+        |                            || substring(hx,47,2) || substring(hx,45,2)) AS BIGINT)
+        |      ELSE 0 END AS height,
+        |    CASE format
+        |      WHEN 'png' THEN CASE substring(hx,51,2) WHEN '00' THEN 1 WHEN '02' THEN 3
+        |                           WHEN '03' THEN 1 WHEN '04' THEN 2 WHEN '06' THEN 4
+        |                           ELSE 0 END
+        |      WHEN 'bmp' THEN CAST(('0x' || substring(hx,59,2) || substring(hx,57,2)) AS BIGINT) // 8
+        |      WHEN 'wav' THEN CAST(('0x' || substring(hx,47,2) || substring(hx,45,2)) AS BIGINT)
+        |      ELSE 0 END AS channels,
+        |    CASE format
+        |      WHEN 'wav' THEN CAST(('0x' || substring(hx,55,2) || substring(hx,53,2)
+        |                            || substring(hx,51,2) || substring(hx,49,2)) AS BIGINT)
+        |      ELSE 0 END AS sample_rate,
+        |    CASE format
+        |      WHEN 'png' THEN CAST(('0x' || substring(hx,49,2)) AS BIGINT)
+        |      WHEN 'bmp' THEN CAST(('0x' || substring(hx,59,2) || substring(hx,57,2)) AS BIGINT)
+        |      WHEN 'wav' THEN CAST(('0x' || substring(hx,71,2) || substring(hx,69,2)) AS BIGINT)
+        |      ELSE 0 END AS bit_depth
+        |  FROM f
+        |)
+        |SELECT format, count(*) AS n_items,
+        |       CAST(sum(width) AS BIGINT) AS sum_width,
+        |       CAST(sum(height) AS BIGINT) AS sum_height,
+        |       CAST(sum(channels) AS BIGINT) AS sum_channels,
+        |       CAST(sum(sample_rate) AS BIGINT) AS sum_sample_rate,
+        |       CAST(sum(bit_depth) AS BIGINT) AS sum_bit_depth
+        |FROM p GROUP BY 1""".stripMargin
   )
 }

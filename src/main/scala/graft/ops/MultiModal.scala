@@ -13,11 +13,16 @@ import graft.gen.Mix
   * amortize model/library init per partition, the JVM analogue of a Pandas
   * UDF over `mapInPandas` batches).
   *
-  * The decode step itself is a clearly marked STUB: no image/audio codecs
-  * exist in this sandbox, so [[FakeDecoder]] derives a deterministic feature
-  * vector from the bytes. Everything around it — row shape, batching,
-  * partition strategy, null handling — is real and tested, and a codec drops
-  * in by replacing one function.
+  * Container HEADERS are parsed for real (round-4 VERDICT #8):
+  * [[HeaderCodec]] recognizes PNG / BMP / WAV by magic bytes and extracts
+  * the genuine header fields (dimensions, channels, sample rate, bit depth)
+  * with pure-JVM byte parsing — no codec jar — and the fixtures are valid
+  * canonical containers built by the same codec. Only the PAYLOAD decode
+  * (pixels/samples → features) remains a clearly marked stub
+  * ([[FakeDecoder]]): inflating IDAT or rasterizing needs codec libraries
+  * this sandbox doesn't ship. A real decoder drops in by replacing exactly
+  * that one function; rows whose payload is no known container take the
+  * same fallback, so extraction stays total.
   */
 object MultiModal {
 
@@ -26,12 +31,179 @@ object MultiModal {
   final case class MediaMeta(width: Int, height: Int, sample_rate: Int)
   final case class MediaRow(media_id: Long, kind: String, meta: MediaMeta,
                             payload: Array[Byte])
-  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                                 checksum: Long, features: Array[Float])
+  final case class MediaFeatures(media_id: Long, kind: String, format: String,
+                                 n_bytes: Long, checksum: Long,
+                                 features: Array[Float])
+
+  /** Header fields parsed from a real container (zero where the format has
+    * no such field: wav has no dimensions, bmp/png no sample rate). */
+  final case class MediaHeader(format: String, width: Int, height: Int,
+                               channels: Int, sample_rate: Int, bit_depth: Int)
+
+  /** Pure-JVM container codec: synthesizes and parses CANONICAL PNG / BMP
+    * (BITMAPINFOHEADER) / WAV (PCM) containers, byte-for-byte per the
+    * published layouts — magic signatures, endianness (PNG network order,
+    * BMP/WAV little-endian), chunk walking for WAV's `fmt `, real CRC-32 on
+    * PNG chunks. This is the real-format path the feature pipeline runs;
+    * only pixel/sample decode stays stubbed (see object Scaladoc). */
+  object HeaderCodec {
+    private val PngMagic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
+    }
+    private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
+      b(o + 2) = (v >>> 16).toByte; b(o + 3) = (v >>> 24).toByte
+    }
+    private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+      b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+    }
+    private def putAscii(b: Array[Byte], o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(b, o)
+    private def hasAscii(b: Array[Byte], o: Int, s: String): Boolean =
+      o + s.length <= b.length &&
+        s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => b(o + i) == c }
+
+    /** 54-byte BITMAPINFOHEADER BMP, 24 bpp, `content` as the pixel area. */
+    def wrapBmp(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](54 + content.length)
+      putAscii(b, 0, "BM")
+      putLe32(b, 2, b.length)       // file size
+      putLe32(b, 10, 54)            // pixel-data offset
+      putLe32(b, 14, 40)            // DIB header size (BITMAPINFOHEADER)
+      putLe32(b, 18, width)
+      putLe32(b, 22, height)
+      putLe16(b, 26, 1)             // planes
+      putLe16(b, 28, 24)            // bpp
+      putLe32(b, 34, content.length) // image size
+      putLe32(b, 38, 2835); putLe32(b, 42, 2835) // 72 dpi in px/m
+      content.copyToArray(b, 54)
+      b
+    }
+
+    /** Canonical PCM WAV: RIFF/WAVE + 16-byte `fmt ` + `data` chunk. */
+    def wrapWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                content: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](44 + content.length)
+      putAscii(b, 0, "RIFF"); putLe32(b, 4, 36 + content.length)
+      putAscii(b, 8, "WAVE")
+      putAscii(b, 12, "fmt "); putLe32(b, 16, 16)
+      putLe16(b, 20, 1) // PCM
+      putLe16(b, 22, channels)
+      putLe32(b, 24, sampleRate)
+      putLe32(b, 28, sampleRate * channels * bitsPerSample / 8) // byte rate
+      putLe16(b, 32, channels * bitsPerSample / 8)              // block align
+      putLe16(b, 34, bitsPerSample)
+      putAscii(b, 36, "data"); putLe32(b, 40, content.length)
+      content.copyToArray(b, 44)
+      b
+    }
+
+    /** PNG with a real IHDR (8-bit truecolor) + one IDAT chunk carrying
+      * `content` + IEND, all chunk CRC-32s genuine. The IDAT body is not
+      * valid zlib — headers are the decoded surface here (object Scaladoc);
+      * [[parse]] never inflates. */
+    def wrapPng(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](8 + 25 + (12 + content.length) + 12)
+      PngMagic.copyToArray(b, 0)
+      var o = 8
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        putBe32(b, o, data.length)
+        putAscii(b, o + 4, typ)
+        data.copyToArray(b, o + 8)
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, o + 4, 4 + data.length)
+        putBe32(b, o + 8 + data.length, crc.getValue.toInt)
+        o += 12 + data.length
+      }
+      val ihdr = new Array[Byte](13)
+      putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+      ihdr(8) = 8  // bit depth
+      ihdr(9) = 2  // color type: truecolor (3 channels)
+      chunk("IHDR", ihdr)
+      chunk("IDAT", content)
+      chunk("IEND", Array.emptyByteArray)
+      b
+    }
+
+    /** Detect + parse a container header; null when the payload is none of
+      * the known formats (the caller's fallback path — never a throw). */
+    def parse(b: Array[Byte]): MediaHeader = {
+      if (b == null) return null
+      if (b.length >= 33 && b.startsWith(PngMagic) && hasAscii(b, 12, "IHDR")) {
+        val colorType = b(25) & 0xff
+        val channels = colorType match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => 0
+        }
+        MediaHeader("png", be32(b, 16), be32(b, 20), channels, 0, b(24) & 0xff)
+      } else if (b.length >= 54 && hasAscii(b, 0, "BM")) {
+        val bpp = le16(b, 28)
+        MediaHeader("bmp", le32(b, 18), le32(b, 22), bpp / 8, 0, bpp)
+      } else if (b.length >= 44 && hasAscii(b, 0, "RIFF") && hasAscii(b, 8, "WAVE")) {
+        // walk chunks for `fmt ` — real WAVs may front-load LIST/JUNK
+        var o = 12
+        while (o + 8 <= b.length) {
+          val size = le32(b, o + 4)
+          if (hasAscii(b, o, "fmt ") && o + 8 + 16 <= b.length)
+            return MediaHeader("wav", 0, 0, le16(b, o + 10), le32(b, o + 12),
+              le16(b, o + 22))
+          o += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        null
+      } else null
+    }
+
+    /** The payload area past the parsed header (what a real decoder would
+      * inflate/rasterize): BMP pixel array, WAV `data` body, PNG IDAT body.
+      * Falls back to the whole buffer if the structure disagrees. */
+    def content(b: Array[Byte], h: MediaHeader): Array[Byte] = h.format match {
+      case "bmp" =>
+        val off = le32(b, 10)
+        if (off > 0 && off <= b.length) java.util.Arrays.copyOfRange(b, off, b.length) else b
+      case "wav" =>
+        var o = 12
+        while (o + 8 <= b.length) {
+          val size = le32(b, o + 4)
+          if (hasAscii(b, o, "data"))
+            return java.util.Arrays.copyOfRange(b, o + 8,
+              math.min(o + 8 + size, b.length))
+          o += 8 + size + (size & 1)
+        }
+        b
+      case "png" =>
+        var o = 8
+        while (o + 8 <= b.length) {
+          val size = be32(b, o)
+          if (hasAscii(b, o + 4, "IDAT"))
+            return java.util.Arrays.copyOfRange(b, o + 8,
+              math.min(o + 8 + size, b.length))
+          o += 12 + size
+        }
+        b
+      case _ => b
+    }
+  }
 
   val Kinds = Array("image", "audio", "video")
 
-  /** Deterministic synthetic media corpus (seeded bytes; no external data). */
+  /** Deterministic synthetic media corpus (seeded bytes; no external data).
+    * Payloads are REAL canonical containers built by [[HeaderCodec]]:
+    * images alternate BMP / PNG around the seeded content bytes, audio is
+    * PCM WAV, and video stays a raw byte blob (no pure-header container
+    * format fits it honestly) — which also keeps the no-container fallback
+    * path exercised by every corpus. */
   def dataset(spark: SparkSession, nRows: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, nRows.toLong, 1,
@@ -39,17 +211,25 @@ object MultiModal {
       .map { id =>
         val kind = Kinds(Mix.draw(seed, id, 1L, Kinds.length))
         val n = 256 + Mix.draw(seed, id, 2L, 1024)
-        val payload = new Array[Byte](n)
+        val content = new Array[Byte](n)
         var i = 0
         while (i < n) {
-          payload(i) = (Mix.mix(seed, id, 100L + i) & 0xff).toByte
+          content(i) = (Mix.mix(seed, id, 100L + i) & 0xff).toByte
           i += 1
         }
-        MediaRow(id, kind,
-          MediaMeta(32 + Mix.draw(seed, id, 3L, 480),
-            32 + Mix.draw(seed, id, 4L, 480),
-            if (kind == "audio") 16000 else 0),
-          payload)
+        val meta = MediaMeta(32 + Mix.draw(seed, id, 3L, 480),
+          32 + Mix.draw(seed, id, 4L, 480),
+          if (kind == "audio") 16000 else 0)
+        val payload = kind match {
+          case "image" if id % 2 == 0 =>
+            HeaderCodec.wrapBmp(meta.width, meta.height, content)
+          case "image" => HeaderCodec.wrapPng(meta.width, meta.height, content)
+          case "audio" =>
+            HeaderCodec.wrapWav(meta.sample_rate,
+              1 + Mix.draw(seed, id, 5L, 2), 16, content)
+          case _ => content
+        }
+        MediaRow(id, kind, meta, payload)
       }
   }
 
@@ -87,10 +267,37 @@ object MultiModal {
       // (real pipeline: val codec = Codec.load() — once per partition)
       rows.map { r =>
         val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-        MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
-          FakeDecoder.checksum(bytes), FakeDecoder.decode(bytes))
+        // real header parse picks the format + payload area; the feature
+        // vector over that area is the one remaining stub (object Scaladoc)
+        val hdr = HeaderCodec.parse(bytes)
+        val content = if (hdr == null) bytes else HeaderCodec.content(bytes, hdr)
+        MediaFeatures(r.media_id, r.kind,
+          if (hdr == null) "raw" else hdr.format,
+          bytes.length.toLong,
+          FakeDecoder.checksum(bytes), FakeDecoder.decode(content))
       }
     }
+  }
+
+  /** Per-format header-field aggregate over PARSED container headers — the
+    * q25 gate surface: every non-zero number below comes out of real
+    * PNG/BMP/WAV header bytes, cross-checked by a DuckDB oracle that slices
+    * the same bytes in SQL. */
+  def headerStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hdr = HeaderCodec.parse(r.payload)
+        if (hdr == null) MediaHeader("raw", 0, 0, 0, 0, 0) else hdr
+      }
+    }.toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("width")).cast("long").as("sum_width"),
+        sum(col("height")).cast("long").as("sum_height"),
+        sum(col("channels")).cast("long").as("sum_channels"),
+        sum(col("sample_rate")).cast("long").as("sum_sample_rate"),
+        sum(col("bit_depth")).cast("long").as("sum_bit_depth"))
   }
 
   /** Per-kind aggregate over extracted features — the downstream shape
