@@ -79,6 +79,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new IcebergLiteTable(root, IcebergLiteSource.fullSchema(root))
   }
 
+  /** SQL `VERSION AS OF <epoch>` — versions ARE epoch ids (the snapshot
+    * log's commit numbers). Validation of the epoch happens at scan
+    * planning ([[graft.table.IcebergLite.fileSetsAsOf]]), which also fails
+    * loudly when gc/expiry made the historical view unreproducible. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val epoch =
+      try version.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF '$version' on $catalogName.${ident}: versions are " +
+            "epoch ids (integers from the table's snapshot log)")
+      }
+    val root = dir.toString
+    new IcebergLiteTable(root, IcebergLiteSource.fullSchema(root), Some(epoch))
+  }
+
+  /** `TIMESTAMP AS OF` is rejected by design: snapshots deliberately carry
+    * no wall-clock commit time (byte-identical replay is part of the sink
+    * contract — a clock stamp would break it), so there is nothing
+    * deterministic to resolve a timestamp against. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      s"TIMESTAMP AS OF is not supported by catalog '$catalogName': " +
+        "IcebergLite snapshots record no wall-clock commit time (replay " +
+        "determinism). Use VERSION AS OF <epoch> — epochs are the snapshot " +
+        "log's commit numbers.")
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {

@@ -86,8 +86,15 @@ final class IcebergLiteSource extends TableProvider {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new IcebergLiteTable(properties.get("path"), schema)
+                        properties: JMap[String, String]): Table = {
+    // time travel via the path-based API: .option("asOfEpoch", N). Pinning
+    // at the TABLE level (not just the scan) is what lets the write path
+    // and the stream planner reject the pin loudly instead of silently
+    // ignoring a read-only option.
+    val opts = new CaseInsensitiveStringMap(properties)
+    new IcebergLiteTable(properties.get("path"), schema,
+      Option(opts.get("asOfEpoch")).map(_.toLong))
+  }
 }
 
 object IcebergLiteSource {
@@ -231,9 +238,11 @@ object PrunePredicate {
     }
 }
 
-final class IcebergLiteTable(root: String, tableSchema: StructType)
+final class IcebergLiteTable(root: String, tableSchema: StructType,
+                             asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"iceberglite:$root"
+  override def name(): String =
+    s"iceberglite:$root" + asOf.map(e => s"@$e").getOrElse("")
   // V1_BATCH_WRITE: the write delegates to IcebergLite.commitEpoch via the
   // InsertableRelation fallback — deliberately, so the DSv2 path shares the
   // EXACT deterministic layout (conv_id bucketing, (conv_id, turn_idx)
@@ -261,6 +270,9 @@ final class IcebergLiteTable(root: String, tableSchema: StructType)
     * default "batch-save"), `createIfAbsent` + `buckets` (create the table
     * from the data schema on first write). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"cannot write to the time-travel view $name — writes always append " +
+        "to the table's current snapshot log")
     val opts = info.options()
     new WriteBuilder {
       override def build(): Write = new V1Write {
@@ -313,34 +325,57 @@ final class IcebergLiteTable(root: String, tableSchema: StructType)
                 // need the exact predicate
       }
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan =
+      override def build(): Scan = {
+        // time travel: catalog pin (VERSION AS OF) or reader option; both
+        // present must agree — a silent winner would read the wrong epoch
+        val optEpoch = Option(options.get("asOfEpoch")).map(_.toLong)
+        (optEpoch, asOf) match {
+          case (Some(a), Some(b)) if a != b =>
+            throw new IllegalArgumentException(
+              s"conflicting time-travel epochs for $root: VERSION AS OF $b " +
+                s"vs .option(\"asOfEpoch\", $a)")
+          case _ =>
+        }
         new IcebergLiteScan(root, required, PrunePredicate.from(pushed.toSeq),
-          options.getBoolean("startAtExpiryHorizon", false))
+          options.getBoolean("startAtExpiryHorizon", false),
+          optEpoch.orElse(asOf))
+      }
     }
 }
 
 final class IcebergLiteScan(root: String, schema: StructType,
                             pred: PrunePredicate,
-                            startAtExpiryHorizon: Boolean = false) extends Scan {
+                            startAtExpiryHorizon: Boolean = false,
+                            asOf: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"IcebergLiteScan($root, pruneBy=$pred)"
+    s"IcebergLiteScan($root, pruneBy=$pred" +
+      asOf.map(e => s", asOf=$e").getOrElse("") + ")"
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      IcebergLiteSource.packPartitions(root,
-        pred.prune(new IcebergLite(root).effectiveFileSets))
+    override def planInputPartitions(): Array[InputPartition] = {
+      val table = new IcebergLite(root)
+      // manifest pruning composes with time travel: the historical file
+      // sets carry the same footer stats and bucketing as the live view
+      val sets = asOf.fold(table.effectiveFileSets)(table.fileSetsAsOf)
+      IcebergLiteSource.packPartitions(root, pred.prune(sets))
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new ParquetColumnarReaderFactory(schema)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"time-travel reads are batch-only: a stream over $root pinned to " +
+        s"epoch ${asOf.get} could never make progress. Stream the live " +
+        "table and bound it with a ts predicate instead.")
     new IcebergLiteMicroBatchStream(root, schema, pred,
       // stable per-checkpoint reader id: the same logical stream keeps one
       // registry entry across restarts
       "cp-" + org.apache.commons.codec.digest.DigestUtils
         .md5Hex(checkpointLocation).take(12),
       startAtExpiryHorizon)
+  }
 }
 
 /** Offset = highest committed epoch id (−1 before any commit). */

@@ -335,6 +335,56 @@ final class IcebergLite(val root: String) {
     else spark.read.parquet(files: _*)
   }
 
+  /** Time-travel view: the file sets of every snapshot with
+    * `epochId <= epoch`, each under its own recorded bucketing — the state
+    * a reader at that epoch would have seen. `epoch` must be a COMMITTED
+    * snapshot (the `VERSION AS OF` contract: versions are epoch ids; an
+    * arbitrary in-between number is almost always a typo, so it fails
+    * loudly rather than rounding down). Two ways a historical view can be
+    * unreproducible, both loud:
+    *  - the snapshot manifest was retired by [[expireMetadata]] (the epoch
+    *    no longer lists as committed — the error cites the expiry horizon);
+    *  - [[gc]] reclaimed data files of a superseded epoch (the manifest
+    *    survives but its files do not).
+    * Compaction alone does NOT break time travel: replaced epochs' files
+    * stay on disk until gc, precisely for in-flight and historical
+    * readers. */
+  def fileSetsAsOf(epoch: Long): Seq[FileSet] = {
+    val snaps = snapshots
+    if (!snaps.exists(_.epochId == epoch)) {
+      val horizon = expiryHorizon
+        .map(h => s" (epochs <= $h were expired — their snapshots are gone)")
+        .getOrElse("")
+      throw new IllegalArgumentException(
+        s"epoch $epoch is not a committed snapshot of $root$horizon; " +
+          s"committed epochs: ${snaps.map(_.epochId).mkString("[", ", ", "]")}")
+    }
+    // AS OF the latest epoch == the live view by construction, so serve
+    // the effective (possibly compacted) file sets — this keeps
+    // `VERSION AS OF <latest>` working even after gc reclaimed the
+    // pre-compaction per-epoch files
+    if (epoch == snaps.last.epochId) return effectiveFileSets
+    val sets = snaps.filter(_.epochId <= epoch)
+      .map(s => FileSet(s.numBuckets, s.files))
+    val missing = sets.flatMap(_.files)
+      .filterNot(f => Files.exists(Paths.get(root, f.path)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"time-travel to epoch $epoch of $root is not reproducible: " +
+        s"${missing.size} data file(s) of epochs <= $epoch were reclaimed " +
+        s"by compaction gc (first missing: ${missing.head.path}). Only " +
+        "epochs whose files survive the last gc are replayable; raise gc " +
+        "retention if historical reads must reach further back.")
+    sets
+  }
+
+  /** Batch read of the table AS OF `epoch` (see [[fileSetsAsOf]]). */
+  def readAsOf(spark: SparkSession, epoch: Long): DataFrame = {
+    val files = fileSetsAsOf(epoch).flatMap(_.files).map(f => s"$root/${f.path}")
+    if (files.isEmpty)
+      spark.read.schema("conv_id string").parquet() // empty frame w/ no files
+    else spark.read.parquet(files: _*)
+  }
+
   /** Manifest-pruned file selection for an event-time range: only data
     * files whose [minTs, maxTs] stats overlap the range are touched — the
     * Iceberg-manifest analogue of the reference's listing-time predicate

@@ -475,4 +475,67 @@ class IcebergLiteSourceSpec extends SparkSpec {
     // nothing new -> empty incremental batch
     assert(runOnce() === 0L)
   }
+
+  test("time travel: asOfEpoch reads the historical view; gc'd history and " +
+    "unknown epochs fail loudly; streams reject the pin") {
+    import spark.implicits._
+    val tableRoot = tmpDir("tt-table")
+    val table = new IcebergLite(tableRoot)
+    table.create("conv_id string, turn_idx int, ts timestamp", 2)
+    def commit(epoch: Long, n: Int): Unit = {
+      val df = (0 until n).map { i =>
+        (s"c$epoch-${i % 3}", i,
+          new java.sql.Timestamp((1767225600L + epoch * 100 + i) * 1000L))
+      }.toDF("conv_id", "turn_idx", "ts")
+      assert(table.commitEpoch(df, "w", epoch, 2))
+    }
+    commit(0L, 10); commit(1L, 20); commit(2L, 5)
+
+    def connRead(epoch: Long) = spark.read
+      .format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).option("asOfEpoch", epoch.toString).load()
+
+    // the historical view is exactly the epochs <= pin
+    assert(connRead(0L).count() === 10L)
+    assert(connRead(1L).count() === 30L)
+    assert(connRead(2L).count() === 35L)
+    // native form agrees with the connector
+    assert(table.readAsOf(spark, 1L).count() === 30L)
+    // manifest pruning composes with the pin: conv_id pushdown still
+    // returns exact rows on the historical view
+    assert(connRead(1L).filter(col("conv_id") === "c1-0").count() ===
+      table.readAsOf(spark, 1L).filter(col("conv_id") === "c1-0").count())
+
+    // a version that is not a committed snapshot is a loud error
+    val unknown = intercept[Exception] { connRead(7L).count() }
+    assert(unknown.getMessage.contains("not a committed snapshot"))
+
+    // streams cannot pin a version
+    val streamPin = intercept[Exception] {
+      spark.readStream.format("graft.sources.IcebergLiteSource")
+        .option("path", tableRoot).option("asOfEpoch", "1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("tt-cp"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(streamPin.getMessage.contains("batch-only"))
+
+    // compact + gc: pre-compaction epochs become unreplayable — loudly —
+    // while AS OF the latest epoch keeps working (== the live view)
+    table.compact(spark, 2, sortCols = Seq("conv_id", "turn_idx"))
+    table.gc()
+    val gone = intercept[Exception] { connRead(1L).count() }
+    assert(gone.getMessage.contains("reclaimed"))
+    assert(connRead(2L).count() === 35L)
+
+    // writes never accept a time-travel pin
+    val wpin = intercept[Exception] {
+      Seq(("x", 1, new java.sql.Timestamp(1767225600L * 1000L)))
+        .toDF("conv_id", "turn_idx", "ts")
+        .write.format("graft.sources.IcebergLiteSource")
+        .option("path", tableRoot).option("asOfEpoch", "2")
+        .mode("append").save()
+    }
+    assert(wpin.getMessage.contains("append"))
+  }
 }
