@@ -91,6 +91,33 @@ object SparkEntry {
       val media = Fixtures.media(s, dir)
       implicit val enc = org.apache.spark.sql.Encoders.product[MultiModal.MediaRow]
       MultiModal.headerStats(media.as[MultiModal.MediaRow])
+    }),
+    // catalog gate: the full user-facing surface — SQL DDL, writeTo(...)
+    // .append(), spark.table — against the DuckDB oracle reading the SAME
+    // fixture rows directly. Proves the catalog+write+read round-trip is
+    // content-identical, not just runnable (round-5; catalog shipped this
+    // round). Each call rebuilds the table (DROP + CREATE + INSERT) so a
+    // stale warehouse can never serve old fixture bytes.
+    "q26_catalog_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.tx")
+      s.sql(
+        """CREATE TABLE graft.gate.tx (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      tx.select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.tx")
+        .option("epoch", "0").option("queryId", "gate").append()
+      s.table("graft.gate.tx")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     })
   )
 
@@ -425,6 +452,13 @@ object SparkEntry {
         |       CAST(sum(channels) AS BIGINT) AS sum_channels,
         |       CAST(sum(sample_rate) AS BIGINT) AS sum_sample_rate,
         |       CAST(sum(bit_depth) AS BIGINT) AS sum_bit_depth
-        |FROM p GROUP BY 1""".stripMargin
+        |FROM p GROUP BY 1""".stripMargin,
+    // q26: the catalog round-trip must reproduce the fixture rows exactly —
+    // the oracle reads the SAME parquet the Spark side fed through
+    // CREATE TABLE + writeTo().append() + spark.table
+    "q26_catalog_roundtrip" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T""".stripMargin
   )
 }
