@@ -6,7 +6,8 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,7 +46,8 @@ import graft.table.IcebergLite
   *    schema is part of the snapshot contract;
   *  - identifier parts are restricted to `[A-Za-z0-9_][A-Za-z0-9_.-]*` so a
   *    crafted table name can never traverse outside the warehouse. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -184,6 +186,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NonEmptyNamespaceException(namespace)
     deleteRecursively(dir)
     true
+  }
+
+  // ---- procedures ----------------------------------------------------------
+
+  /** `CALL graft.system.<proc>('db.t', ...)` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = GraftProcedures.procedures(resolveTableRoot)
+    if (!(ident.namespace().sameElements(GraftProcedures.Namespace) &&
+        known.contains(ident.name())))
+      throw new UnsupportedOperationException(
+        s"unknown procedure $catalogName.${ident}: available are " +
+          known.keys.toSeq.sorted
+            .map(p => s"$catalogName.system.$p").mkString(", "))
+    known(ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.identifiers(resolveTableRoot)
+    else Array.empty
+
+  /** Dotted table name (procedure argument, relative to this catalog) →
+    * IcebergLite root, with the same identifier-part safety as table
+    * resolution. */
+  private def resolveTableRoot(dotted: String): String = {
+    val parts = dotted.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table identifier '$dotted' (expected e.g. 'db.t')")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    dir.toString
   }
 
   // ---- path mapping --------------------------------------------------------

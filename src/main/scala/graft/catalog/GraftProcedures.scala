@@ -1,0 +1,138 @@
+package graft.catalog
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.IcebergLite
+
+/** SQL `CALL` surface for table maintenance — the operations a table owner
+  * schedules, reachable without JVM access:
+  *
+  * {{{
+  *   CALL graft.system.compact('db.t')          -- rewrite into one generation
+  *   CALL graft.system.gc('db.t')               -- reclaim superseded files
+  *   CALL graft.system.expire_metadata('db.t')  -- retire settled manifests
+  *   CALL graft.system.snapshots('db.t')        -- inspect the snapshot log
+  * }}}
+  *
+  * All procedures delegate to the existing [[IcebergLite]] maintenance
+  * methods, so the SQL path carries the same guarantees the programmatic
+  * one does: compaction is atomic (manifest swap), gc respects registered
+  * incremental readers mechanically, expiry records the horizon that makes
+  * fresh readers below it fail loudly. Results come back as rows (a
+  * [[LocalScan]]) so `CALL` output is inspectable in SQL.
+  *
+  * Procedures run on the driver, like the programmatic calls they wrap —
+  * the heavy lifting inside (compaction's rewrite) is still a distributed
+  * Spark job.
+  */
+private[catalog] object GraftProcedures {
+  /** One row per committed epoch of each helper's result. */
+  private def row(values: Any*): InternalRow =
+    new GenericInternalRow(values.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other.asInstanceOf[AnyRef]
+    }.toArray[Any])
+
+  private val tableParam =
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to this catalog, e.g. 'db.t'")
+      .build()
+
+  /** A fixed-signature maintenance procedure: `bind` is the identity (the
+    * declared parameters already carry defaults; Spark coerces and fills
+    * them before `call`). */
+  private final class Proc(
+      procName: String,
+      params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      run: (IcebergLite, InternalRow) => Array[InternalRow],
+      resolve: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String =
+      s"IcebergLite maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    // every procedure mutates or inspects table state as of the call
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val table = new IcebergLite(resolve(input.getUTF8String(0).toString))
+      val resultRows = run(table, input)
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = resultSchema
+        override def rows(): Array[InternalRow] = resultRows
+        override def description(): String = s"GraftProcedureResult($procName)"
+      }).iterator()
+    }
+  }
+
+  /** Procedure registry for a catalog whose `resolve` maps a dotted table
+    * name to an IcebergLite root (validated + path-safe). */
+  def procedures(resolve: String => String): Map[String, UnboundProcedure] = Map(
+    "compact" -> new Proc("compact",
+      Array(tableParam,
+        ProcedureParameter.in("buckets", IntegerType)
+          .defaultValue("-1")
+          .comment("target bucket count; -1 keeps the table's declared count")
+          .build()),
+      StructType(Seq(
+        StructField("generation", LongType, nullable = false),
+        StructField("compacted_files", IntegerType, nullable = false))),
+      (table, in) => {
+        val buckets = in.getInt(1) match {
+          case -1 => table.declaredNumBuckets.getOrElse(8)
+          case n =>
+            require(n > 0, s"buckets must be positive, got $n"); n
+        }
+        val gen = table.compact(SparkSession.active, buckets)
+        val files =
+          if (gen < 0) 0
+          else table.compactions.find(_.gen == gen).map(_.files.size).getOrElse(0)
+        Array(row(gen, files))
+      }, resolve),
+
+    "gc" -> new Proc("gc",
+      Array(tableParam),
+      StructType(Seq(
+        StructField("deleted_files", IntegerType, nullable = false))),
+      (table, _) => Array(row(table.gc().size)), resolve),
+
+    "expire_metadata" -> new Proc("expire_metadata",
+      Array(tableParam,
+        ProcedureParameter.in("retain_last", IntegerType)
+          .defaultValue("8")
+          .comment("keep at least this many trailing snapshot manifests")
+          .build()),
+      StructType(Seq(
+        StructField("expired_manifests", IntegerType, nullable = false),
+        StructField("expiry_horizon", LongType, nullable = false))),
+      (table, in) => {
+        val expired = table.expireMetadata(in.getInt(1))
+        Array(row(expired.size, table.expiryHorizon.getOrElse(-1L)))
+      }, resolve),
+
+    "snapshots" -> new Proc("snapshots",
+      Array(tableParam),
+      StructType(Seq(
+        StructField("epoch_id", LongType, nullable = false),
+        StructField("query_id", StringType, nullable = false),
+        StructField("num_files", IntegerType, nullable = false),
+        StructField("num_rows", LongType, nullable = false))),
+      (table, _) => table.snapshots.map { s =>
+        row(s.epochId, s.queryId, s.files.size, s.files.map(_.rowCount).sum)
+      }.toArray, resolve)
+  )
+
+  val Namespace: Array[String] = Array("system")
+
+  def identifiers(resolve: String => String): Array[Identifier] =
+    procedures(resolve).keys.toArray.sorted.map(Identifier.of(Namespace, _))
+}

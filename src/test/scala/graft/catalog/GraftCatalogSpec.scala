@@ -222,4 +222,58 @@ class GraftCatalogSpec extends SparkSpec {
           |SELECT conv_id, turn_idx, role, tool, text, ts FROM src_rows""".stripMargin)
     }
   }
+
+  test("CALL graft.system.{snapshots,compact,gc,expire_metadata} runs the " +
+    "maintenance lifecycle through SQL") {
+    spark.sql(
+      """CREATE TABLE graft.db.m (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='2')""".stripMargin)
+    (0L until 10L).foreach { e =>
+      sampleDf(8, base = 1767225600L + e * 1000).writeTo("graft.db.m")
+        .option("epoch", e.toString).option("queryId", "m").append()
+    }
+    val lite = new IcebergLite(s"$warehouse/db/m")
+
+    // inspection: one row per committed epoch, row counts from the manifest
+    val snaps = spark.sql("CALL graft.system.snapshots('db.m')").collect()
+    assert(snaps.length === 10)
+    assert(snaps.map(_.getLong(0)).toSeq === (0L until 10L))
+    assert(snaps.map(_.getLong(3)).sum === 80L)
+
+    // compact: one generation over all 10 epochs; table content unchanged
+    val before = spark.table("graft.db.m").count()
+    val comp = spark.sql("CALL graft.system.compact('db.m')").collect().head
+    assert(comp.getLong(0) === 0L && comp.getInt(1) > 0)
+    assert(spark.table("graft.db.m").count() === before)
+    // idempotent: nothing left to compact -> generation -1
+    assert(spark.sql("CALL graft.system.compact('db.m')")
+      .collect().head.getLong(0) === -1L)
+
+    // gc reclaims the replaced per-epoch files
+    val gced = spark.sql("CALL graft.system.gc('db.m')").collect().head.getInt(0)
+    assert(gced > 0)
+    assert(spark.table("graft.db.m").count() === before)
+
+    // expiry retires settled manifests outside the retention window and
+    // records the horizon
+    val exp = spark.sql(
+      "CALL graft.system.expire_metadata('db.m', retain_last => 2)")
+      .collect().head
+    assert(exp.getInt(0) === 8 && exp.getLong(1) === 7L)
+    assert(lite.snapshots.map(_.epochId) === Seq(8L, 9L))
+    assert(lite.expiryHorizon === Some(7L))
+
+    // unknown procedure and unknown table both fail loudly
+    val unknownProc = intercept[Exception] {
+      spark.sql("CALL graft.system.vacuum('db.m')")
+    }
+    // Spark wraps the catalog's error as FAILED_TO_LOAD_ROUTINE
+    assert(unknownProc.getMessage.contains("unknown procedure") ||
+      unknownProc.getMessage.toLowerCase.contains("failed to load routine"))
+    intercept[Exception] {
+      spark.sql("CALL graft.system.gc('db.nope')").collect()
+    }
+  }
 }
