@@ -263,6 +263,25 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def schema(): StructType = tableSchema
 
+  /** Live table state for `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` —
+    * metadata-listing only, no data I/O. */
+  override def properties(): java.util.Map[String, String] = {
+    val table = new IcebergLite(root)
+    if (!table.exists) return java.util.Collections.emptyMap()
+    val snaps = table.snapshots
+    val m = new java.util.LinkedHashMap[String, String]()
+    m.put("format", "iceberglite")
+    m.put("location", root)
+    table.declaredNumBuckets.foreach(b => m.put("buckets", b.toString))
+    m.put("num_snapshots", snaps.size.toString)
+    snaps.lastOption.foreach(s => m.put("latest_epoch", s.epochId.toString))
+    m.put("num_data_files", table.effectiveFiles.size.toString)
+    m.put("num_rows", table.effectiveFiles.map(_.rowCount).sum.toString)
+    table.expiryHorizon.foreach(h => m.put("expiry_horizon", h.toString))
+    asOf.foreach(e => m.put("as_of_epoch", e.toString))
+    m
+  }
+
   /** Append via `df.write.format("graft.sources.IcebergLiteSource")
     * .option("path", root).mode("append").save()`.
     * Options: `epoch` (explicit epoch id — pass it to make retries

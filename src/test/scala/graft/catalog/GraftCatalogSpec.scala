@@ -275,5 +275,14 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("CALL graft.system.gc('db.nope')").collect()
     }
+
+    // table state surfaces through SHOW TBLPROPERTIES (metadata only)
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.m").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("format") === "iceberglite")
+    assert(props("buckets") === "2")
+    assert(props("latest_epoch") === "9")
+    assert(props("num_rows") === "80")
+    assert(props("expiry_horizon") === "7")
   }
 }
