@@ -118,6 +118,39 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("text"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }),
+    // schema-evolution gate: half the fixture is committed BEFORE
+    // `ALTER TABLE ADD COLUMN tool` (under a 5-column schema), half after
+    // (carrying tool values). The read must serve the evolved schema with
+    // NULLs for pre-evolution rows — proven content-identical to the oracle
+    // recomputing the same split from the fixture parquet (round-5;
+    // add-only evolution shipped this round).
+    "q27_schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.evo")
+      s.sql(
+        """CREATE TABLE graft.gate.evo (
+          |  conv_id STRING, turn_idx INT, role STRING, text STRING,
+          |  ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      tx.filter(col("turn_idx") % 2 === 0)
+        .select("conv_id", "turn_idx", "role", "text", "ts")
+        .writeTo("graft.gate.evo")
+        .option("epoch", "0").option("queryId", "gate").append()
+      s.sql("ALTER TABLE graft.gate.evo ADD COLUMN tool STRING")
+      tx.filter(col("turn_idx") % 2 === 1)
+        .select("conv_id", "turn_idx", "role", "text", "ts", "tool")
+        .writeTo("graft.gate.evo")
+        .option("epoch", "1").option("queryId", "gate").append()
+      s.table("graft.gate.evo")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     })
   )
 
@@ -458,6 +491,14 @@ object SparkEntry {
     // CREATE TABLE + writeTo().append() + spark.table
     "q26_catalog_roundtrip" ->
       s"""SELECT conv_id, turn_idx, role, tool, text,
+         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T""".stripMargin,
+    // q27: rows committed before the ADD COLUMN read tool as NULL; rows
+    // committed after carry the fixture's tool values
+    "q27_schema_evolution" ->
+      s"""SELECT conv_id, turn_idx, role,
+         |       CASE WHEN turn_idx % 2 = 1 THEN tool END AS tool,
+         |       text,
          |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
          |FROM $T""".stripMargin
   )

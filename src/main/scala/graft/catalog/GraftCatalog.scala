@@ -42,8 +42,11 @@ import graft.table.IcebergLite
   *    (the table advertises ACCEPT_ANY_SCHEMA because readers see the two
   *    sink-appended lineage columns, so Spark's by-position resolution is
   *    off and the write validates names itself);
-  *  - ALTER TABLE is rejected: committed epochs are immutable and the
-  *    schema is part of the snapshot contract;
+  *  - ALTER TABLE supports ADD COLUMN only (add-only schema evolution:
+  *    nullable, appended at the end; pre-evolution files read the column
+  *    as NULL; time travel serves each snapshot's own schema version).
+  *    Drops / renames / retypes are rejected: they would reinterpret
+  *    committed immutable bytes;
   *  - identifier parts are restricted to `[A-Za-z0-9_][A-Za-z0-9_.-]*` so a
   *    crafted table name can never traverse outside the warehouse. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -96,7 +99,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "epoch ids (integers from the table's snapshot log)")
       }
     val root = dir.toString
-    new IcebergLiteTable(root, IcebergLiteSource.fullSchema(root), Some(epoch))
+    new IcebergLiteTable(root, IcebergLiteSource.fullSchemaAt(root, epoch),
+      Some(epoch))
   }
 
   /** `TIMESTAMP AS OF` is rejected by design: snapshots deliberately carry
@@ -122,11 +126,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE is not supported by catalog '$catalogName': IcebergLite " +
-        "epochs are immutable and the declared schema is part of the " +
-        "snapshot contract. Create a new table and backfill instead.")
+  /** Add-only schema evolution: `ALTER TABLE graft.db.t ADD COLUMN c TYPE`
+    * appends a nullable column to the declared schema
+    * ([[graft.table.IcebergLite.addColumn]]). Committed epochs stay
+    * immutable — pre-evolution files read the column as NULL. Everything
+    * that would REINTERPRET committed bytes (drop / rename / retype /
+    * reposition / nullability) stays a loud error. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val table = new IcebergLite(dir.toString)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"ALTER TABLE $catalogName.$ident: nested column additions are " +
+            s"not supported (got ${add.fieldNames().mkString(".")})")
+        require(add.isNullable,
+          s"ALTER TABLE $catalogName.$ident: added columns must be " +
+            "nullable — epochs committed before the change read the " +
+            "column as NULL")
+        require(add.position() == null,
+          s"ALTER TABLE $catalogName.$ident: FIRST/AFTER is not " +
+            "supported — evolved columns append at the end of the schema")
+        table.addColumn(add.fieldNames()(0), add.dataType().catalogString)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE $catalogName.$ident: only ADD COLUMN (nullable, " +
+          "top-level) is supported — committed epochs are immutable, so " +
+          "columns can be added (old files read them as NULL) but never " +
+          s"dropped, renamed, retyped or repositioned; got $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)

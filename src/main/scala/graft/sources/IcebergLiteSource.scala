@@ -82,7 +82,10 @@ final class IcebergLiteSource extends TableProvider {
         s"IcebergLite table does not exist at $r — create it first, or " +
           "write with .option(\"createIfAbsent\", \"true\")")
       new StructType()
-    } else IcebergLiteSource.fullSchema(r)
+    } else Option(options.get("asOfEpoch")) match {
+      case Some(e) => IcebergLiteSource.fullSchemaAt(r, e.toLong)
+      case None => IcebergLiteSource.fullSchema(r)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -100,9 +103,15 @@ final class IcebergLiteSource extends TableProvider {
 object IcebergLiteSource {
   /** Business schema from table.json + the sink's lineage columns. */
   def fullSchema(root: String): StructType =
-    StructType.fromDDL(new IcebergLite(root).schemaDdl)
-      .add("epoch_id", LongType)
-      .add("partition_id", IntegerType)
+    new IcebergLite(root).fullReadSchema
+
+  /** Schema served by `VERSION AS OF epoch` / `asOfEpoch` — the version the
+    * snapshot was stamped with, so a pre-evolution epoch reads without the
+    * later-added columns. */
+  def fullSchemaAt(root: String, epoch: Long): StructType = {
+    val t = new IcebergLite(root)
+    t.fullReadSchemaAt(t.schemaVersionAt(epoch))
+  }
 
   /** Pack data files into scan tasks — the FileSourceScan split-packing
     * analogue, by manifest row counts (sizes aren't in the manifest; rows
@@ -273,6 +282,7 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
     m.put("format", "iceberglite")
     m.put("location", root)
     table.declaredNumBuckets.foreach(b => m.put("buckets", b.toString))
+    m.put("schema_version", table.schemaVersion.toString)
     m.put("num_snapshots", snaps.size.toString)
     snaps.lastOption.foreach(s => m.put("latest_epoch", s.epochId.toString))
     m.put("num_data_files", table.effectiveFiles.size.toString)

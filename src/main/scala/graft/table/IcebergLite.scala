@@ -96,6 +96,81 @@ final class IcebergLite(val root: String) {
     mapper.readTree(Files.readAllBytes(metaDir.resolve("table.json")))
       .get("schema").asText()
 
+  /** Schema version counter: 1 at [[create]], +1 per [[addColumn]]. */
+  def schemaVersion: Int =
+    Option(mapper.readTree(Files.readAllBytes(metaDir.resolve("table.json")))
+      .get("schemaVersion")).map(_.asInt()).getOrElse(1)
+
+  /** Declared schema DDL at `version` — time-travel reads serve the schema
+    * their snapshot was committed under, so `VERSION AS OF` a pre-evolution
+    * epoch does not grow phantom all-null columns. */
+  def schemaDdlAt(version: Int): String = {
+    val t = mapper.readTree(Files.readAllBytes(metaDir.resolve("table.json")))
+    val cur = Option(t.get("schemaVersion")).map(_.asInt()).getOrElse(1)
+    if (version == cur) t.get("schema").asText()
+    else Option(t.get("schemas")).flatMap(s => Option(s.get(version.toString)))
+      .map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(
+        s"schema version $version of $root does not exist (current: $cur)"))
+  }
+
+  /** Schema version epoch `epoch` was committed under (1 for snapshots
+    * predating version stamping; falls back to the current version for an
+    * unknown epoch — scan planning validates the epoch itself, loudly). */
+  def schemaVersionAt(epoch: Long): Int =
+    snapshots.find(_.epochId == epoch).map(_.schemaVersion)
+      .getOrElse(schemaVersion)
+
+  /** Add-only schema evolution: append a nullable column to the declared
+    * schema. Committed epochs stay immutable — data files written before
+    * the change simply lack the column, and every read path serves it as
+    * NULL via parquet by-name clipping against the declared schema (the
+    * same mechanism real Iceberg uses for add-column). Drops / renames /
+    * retypes are rejected at the catalog: they would reinterpret committed
+    * bytes. The whole read-validate-bump runs under the cross-process
+    * table.json lock so two concurrent evolutions cannot both claim the
+    * same version (or silently drop one another's column).
+    * Returns the new schema version. */
+  def addColumn(name: String, ddlType: String): Int = {
+    require(exists, s"IcebergLite table does not exist at $root")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    var newVersion = -1
+    lockedTableJsonUpdate { t =>
+      val curDdl = t.get("schema").asText()
+      val cur = org.apache.spark.sql.types.StructType.fromDDL(curDdl)
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists in $root (declared: ${cur.toDDL})")
+      require(!Seq("epoch_id", "partition_id").exists(_.equalsIgnoreCase(name)),
+        s"column name '$name' collides with a sink lineage column")
+      val v = Option(t.get("schemaVersion")).map(_.asInt()).getOrElse(1)
+      newVersion = v + 1
+      val schemas =
+        if (t.has("schemas"))
+          t.get("schemas").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else { val o = t.putObject("schemas"); o.put(v.toString, curDdl); o }
+      val next = cur.add(name, dt, nullable = true)
+      schemas.put(newVersion.toString, next.toDDL)
+      t.put("schema", next.toDDL)
+      t.put("schemaVersion", newVersion)
+      true
+    }
+    newVersion
+  }
+
+  /** Physical schema of data files at schema `version`: declared business
+    * columns + the sink lineage columns. Table reads pass it explicitly —
+    * after an [[addColumn]] the effective files MIX schema versions, and
+    * parquet inference would pick one file's schema at random (silently
+    * dropping or failing on the evolved column); the declared schema makes
+    * old files read the new column as NULL deterministically. */
+  def fullReadSchemaAt(version: Int): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(schemaDdlAt(version))
+      .add("epoch_id", org.apache.spark.sql.types.LongType)
+      .add("partition_id", org.apache.spark.sql.types.IntegerType)
+
+  def fullReadSchema: org.apache.spark.sql.types.StructType =
+    fullReadSchemaAt(schemaVersion)
+
   /** Full idempotent commit: stage → publish files → write snapshot.
     * Returns false if the epoch was already committed (replay no-op).
     *
@@ -181,6 +256,9 @@ final class IcebergLite(val root: String) {
     snap.put("queryId", queryId)
     snap.put("epochId", java.lang.Long.valueOf(epochId))
     snap.put("numBuckets", Integer.valueOf(numBuckets))
+    // schema version the epoch's files were written under — time travel
+    // serves this version's schema (deterministic: part of the snapshot)
+    snap.put("schemaVersion", Integer.valueOf(schemaVersion))
     val list: JList[Object] = new JArrayList[Object]()
     files.foreach { f =>
       val m = new JHashMap[String, Object]()
@@ -202,7 +280,8 @@ final class IcebergLite(val root: String) {
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
         SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(),
-          parseFiles(n), parseBuckets(n))
+          parseFiles(n), parseBuckets(n),
+          if (n.has("schemaVersion")) n.get("schemaVersion").asInt() else 1)
       }
   }
 
@@ -316,12 +395,13 @@ final class IcebergLite(val root: String) {
   }
 
   /** Committed view: union of effective files — staged or orphaned files
-    * are invisible (the exactly-once reader contract). */
+    * are invisible (the exactly-once reader contract). The declared schema
+    * is passed explicitly (see [[fullReadSchemaAt]]): after an
+    * [[addColumn]] the files mix schema versions and inference would be
+    * nondeterministic; as a bonus no footer is opened at plan time. */
   def read(spark: SparkSession): DataFrame = {
     val files = effectiveFiles.map(f => s"$root/${f.path}")
-    if (files.isEmpty)
-      spark.read.schema("conv_id string").parquet() // empty frame w/ no files
-    else spark.read.parquet(files: _*)
+    spark.read.schema(fullReadSchema).parquet(files: _*)
   }
 
   /** Incremental scan: only epochs after `afterEpochId` (streaming-source
@@ -330,9 +410,7 @@ final class IcebergLite(val root: String) {
   def readSince(spark: SparkSession, afterEpochId: Long): DataFrame = {
     val files = snapshots.filter(_.epochId > afterEpochId)
       .flatMap(_.files).map(f => s"$root/${f.path}")
-    if (files.isEmpty)
-      spark.read.schema("conv_id string").parquet() // empty frame w/ no files
-    else spark.read.parquet(files: _*)
+    spark.read.schema(fullReadSchema).parquet(files: _*)
   }
 
   /** Time-travel view: the file sets of every snapshot with
@@ -377,12 +455,11 @@ final class IcebergLite(val root: String) {
     sets
   }
 
-  /** Batch read of the table AS OF `epoch` (see [[fileSetsAsOf]]). */
+  /** Batch read of the table AS OF `epoch` (see [[fileSetsAsOf]]), under
+    * the schema that epoch was committed with. */
   def readAsOf(spark: SparkSession, epoch: Long): DataFrame = {
     val files = fileSetsAsOf(epoch).flatMap(_.files).map(f => s"$root/${f.path}")
-    if (files.isEmpty)
-      spark.read.schema("conv_id string").parquet() // empty frame w/ no files
-    else spark.read.parquet(files: _*)
+    spark.read.schema(fullReadSchemaAt(schemaVersionAt(epoch))).parquet(files: _*)
   }
 
   /** Manifest-pruned file selection for an event-time range: only data
@@ -402,8 +479,8 @@ final class IcebergLite(val root: String) {
     * range with TIMESTAMP_MICROS data (manifest pruning is already exact). */
   def readRange(spark: SparkSession, minTsMicros: Long, maxTsMicros: Long): DataFrame = {
     val files = filesForRange(minTsMicros, maxTsMicros)
-    if (files.isEmpty) return spark.read.schema("conv_id string").parquet()
-    spark.read.parquet(files: _*)
+    if (files.isEmpty) return spark.read.schema(fullReadSchema).parquet()
+    spark.read.schema(fullReadSchema).parquet(files: _*)
       .filter(col("ts") >= timestamp_micros(lit(minTsMicros)) &&
         col("ts") <= timestamp_micros(lit(maxTsMicros)))
   }
@@ -585,29 +662,35 @@ final class IcebergLite(val root: String) {
   /** Monotonic read-modify-write on table.json's `expiryHorizon`. Two
     * processes (or two instances) running [[expireMetadata]] could
     * interleave read→write so a stale reader rolls the horizon back —
-    * weakening the new-reader fail-loud contract (round-4 ADVICE). So the
-    * re-read + compare + replace runs under an OS-level file lock on a
-    * sidecar (`table.json.lock` — locking table.json itself would race the
-    * atomic rename in [[atomicReplace]]), with
-    * [[IcebergLite.horizonLock]] serializing same-JVM callers first. */
+    * weakening the new-reader fail-loud contract (round-4 ADVICE); the RMW
+    * runs under [[lockedTableJsonUpdate]]. */
   private[table] def recordExpiryHorizon(epoch: Long): Unit =
-      IcebergLite.horizonLock.synchronized {
+    lockedTableJsonUpdate { t =>
+      val prior = Option(t.get("expiryHorizon")).map(_.asLong()).getOrElse(Long.MinValue)
+      if (epoch > prior) { t.put("expiryHorizon", epoch); true }
+      else false
+    }
+
+  /** Serialized read-modify-write on table.json (expiry horizon, schema
+    * evolution): re-read INSIDE the lock, mutate the tree, write back iff
+    * `f` returns true. The lock is an OS-level file lock on a sidecar
+    * (`table.json.lock` — locking table.json itself would race the atomic
+    * rename in [[atomicReplace]]), with [[IcebergLite.tableJsonLock]]
+    * serializing same-JVM callers first. */
+  private def lockedTableJsonUpdate(
+      f: com.fasterxml.jackson.databind.node.ObjectNode => Boolean): Unit =
+      IcebergLite.tableJsonLock.synchronized {
     val p = metaDir.resolve("table.json")
     val lockPath = metaDir.resolve("table.json.lock")
     val ch = java.nio.channels.FileChannel.open(lockPath,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
     try {
-      val lock = ch.lock() // blocks until any concurrent expirer releases
+      val lock = ch.lock() // blocks until any concurrent updater releases
       try {
-        // re-read INSIDE the lock: another process may have advanced it
         val t = mapper.readTree(Files.readAllBytes(p))
           .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        val prior = Option(t.get("expiryHorizon")).map(_.asLong()).getOrElse(Long.MinValue)
-        if (epoch > prior) {
-          t.put("expiryHorizon", epoch)
-          atomicReplace(p, mapper.writeValueAsBytes(t))
-        }
+        if (f(t)) atomicReplace(p, mapper.writeValueAsBytes(t))
       } finally lock.release()
     } finally ch.close()
   }
@@ -682,7 +765,8 @@ final class IcebergLite(val root: String) {
 final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
                               minTsMicros: Long, maxTsMicros: Long)
 final case class SnapshotMeta(queryId: String, epochId: Long,
-                              files: Seq[DataFileMeta], numBuckets: Int = -1)
+                              files: Seq[DataFileMeta], numBuckets: Int = -1,
+                              schemaVersion: Int = 1)
 final case class CompactionMeta(gen: Long, replaces: Seq[Long],
                                 files: Seq[DataFileMeta], numBuckets: Int = -1)
 
@@ -694,13 +778,14 @@ final case class FileSet(numBuckets: Int, files: Seq[DataFileMeta])
 object IcebergLite {
   private val TaskFilePattern = """part-(\d+)-.*""".r
 
-  /** JVM-wide monitor for the expiry-horizon RMW: `FileChannel.lock` throws
+  /** JVM-wide monitor for table.json RMWs (expiry horizon, schema
+    * evolution): `FileChannel.lock` throws
     * `OverlappingFileLockException` (instead of blocking) when the SAME JVM
     * already holds the lock through another instance, so in-process callers
     * serialize here first and the file lock only arbitrates across
-    * processes. Horizon writes are rare (one per expireMetadata), so one
-    * global monitor is enough. */
-  private[table] val horizonLock = new Object
+    * processes. These writes are rare (one per expireMetadata/addColumn),
+    * so one global monitor is enough. */
+  private[table] val tableJsonLock = new Object
 
   /** Shuffle-partition index from a Spark task output file name. */
   def taskPartitionId(fileName: String): Option[Int] = fileName match {

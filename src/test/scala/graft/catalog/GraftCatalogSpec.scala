@@ -124,11 +124,12 @@ class GraftCatalogSpec extends SparkSpec {
       spark.table("graft.tmp.a").count()
     }
 
-    // schema evolution is rejected loudly, not ignored
+    // evolution is add-only: reinterpreting committed bytes is rejected
+    // loudly, not ignored (ADD COLUMN itself is covered by its own test)
     val alter = intercept[UnsupportedOperationException] {
-      spark.sql("ALTER TABLE graft.tmp.b ADD COLUMN extra STRING")
+      spark.sql("ALTER TABLE graft.tmp.b RENAME COLUMN turn_idx TO idx")
     }
-    assert(alter.getMessage.contains("immutable"))
+    assert(alter.getMessage.contains("only ADD COLUMN"))
 
     assert(spark.sql("DROP TABLE graft.tmp.b").collect().isEmpty)
     intercept[org.apache.spark.sql.AnalysisException] {
@@ -284,5 +285,68 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props("latest_epoch") === "9")
     assert(props("num_rows") === "80")
     assert(props("expiry_horizon") === "7")
+  }
+
+  test("ALTER TABLE ADD COLUMN: add-only evolution, null-fill, versioned time travel") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE graft.db.evo (
+        |  conv_id STRING, turn_idx INT, role STRING, text STRING,
+        |  ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='2')""".stripMargin)
+    val base = (0 until 10).map { i =>
+      (f"c-$i%02d", i, "user", s"t$i", new Timestamp((1767225600L + i) * 1000L))
+    }.toDF("conv_id", "turn_idx", "role", "text", "ts")
+    base.writeTo("graft.db.evo").option("epoch", "0").option("queryId", "q").append()
+
+    spark.sql("ALTER TABLE graft.db.evo ADD COLUMN tool STRING")
+    val lite = new IcebergLite(s"$warehouse/db/evo")
+    assert(lite.schemaVersion === 2)
+
+    // post-evolution writes carry the evolved column
+    val withTool = base
+      .withColumn("tool", concat(lit("tool-"), col("turn_idx")))
+      .select("conv_id", "turn_idx", "role", "text", "ts", "tool")
+    withTool.writeTo("graft.db.evo").option("epoch", "1").option("queryId", "q").append()
+
+    // pre-evolution rows read the column as NULL through the vectorized
+    // DSv2 scan; post-evolution rows carry their written values
+    val t = spark.table("graft.db.evo")
+    assert(t.count() === 20L)
+    assert(t.filter(col("epoch_id") === 0 && col("tool").isNull).count() === 10L)
+    assert(t.filter(col("epoch_id") === 1 &&
+      col("tool") === concat(lit("tool-"), col("turn_idx"))).count() === 10L)
+
+    // time travel serves the snapshot's own schema version: AS OF the
+    // pre-evolution epoch has no phantom all-null column
+    val v0 = spark.sql("SELECT * FROM graft.db.evo VERSION AS OF 0")
+    assert(!v0.columns.contains("tool") && v0.count() === 10L)
+    assert(spark.sql("SELECT * FROM graft.db.evo VERSION AS OF 1")
+      .columns.contains("tool"))
+
+    // SHOW TBLPROPERTIES surfaces the version; compaction rewrites all
+    // files under the current schema and the nulls survive
+    assert(spark.sql("SHOW TBLPROPERTIES graft.db.evo").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("schema_version") === "2")
+    lite.compact(spark, numBuckets = 2)
+    assert(spark.table("graft.db.evo").filter(col("tool").isNull).count() === 10L)
+
+    // everything that reinterprets committed bytes stays a loud error
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.evo DROP COLUMN role")
+    }.getMessage.contains("only ADD COLUMN"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.evo ADD COLUMN tool STRING")
+    }.getMessage.contains("already exists"))
+    // a lineage-column collision is caught by Spark's own analyzer (the
+    // sink-appended columns are part of the resolved read schema); the
+    // engine-level guard for direct addColumn calls is in TableSpec
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.evo ADD COLUMN epoch_id BIGINT")
+    }.getMessage.contains("epoch_id"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.evo ADD COLUMN nn STRING NOT NULL")
+    }.getMessage.contains("nullable"))
   }
 }

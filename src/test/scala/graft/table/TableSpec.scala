@@ -228,4 +228,48 @@ class TableSpec extends SparkSpec {
     assert(table.isCommitted(0L)) // the epoch is recorded (idempotence)
     assert(table.read(spark).count() === 0L)
   }
+
+  test("addColumn: versioned schemas, null-fill reads, snapshot stamping, guards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    val table = mkTable(tmpDir("t-evolve"))
+    assert(table.schemaVersion === 1)
+    assert(table.snapshots.forall(_.schemaVersion === 1))
+
+    assert(table.addColumn("score", "double") === 2)
+    assert(table.schemaVersion === 2)
+    assert(StructType.fromDDL(table.schemaDdlAt(1)).fieldNames.toSeq ===
+      Seq("conv_id", "turn_idx", "ts"))
+    assert(StructType.fromDDL(table.schemaDdlAt(2)).fieldNames.toSeq ===
+      Seq("conv_id", "turn_idx", "ts", "score"))
+
+    // pre-evolution files (150 rows) read the new column as NULL — the
+    // declared schema drives the read, not per-file inference
+    assert(table.read(spark).filter(col("score").isNull).count() === 150L)
+
+    // a post-evolution epoch carries the column and the bumped version stamp
+    val df = (0 until 10).map { i =>
+      (f"conv-$i%03d", 100 + i,
+        new Timestamp((1767225600L + 7200L + i) * 1000L), i.toDouble)
+    }.toDF("conv_id", "turn_idx", "ts", "score")
+    assert(table.commitEpoch(df, "q", 3L, 2))
+    assert(table.snapshots.last.schemaVersion === 2)
+    assert(table.read(spark).filter(col("score").isNotNull).count() === 10L)
+
+    // time travel serves each snapshot's own schema version
+    assert(!table.readAsOf(spark, 1L).columns.contains("score"))
+    assert(table.readAsOf(spark, 3L).columns.contains("score"))
+
+    // guards: duplicate, lineage collision, bogus type, unknown version
+    assert(intercept[IllegalArgumentException] {
+      table.addColumn("SCORE", "int")
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      table.addColumn("epoch_id", "bigint")
+    }.getMessage.contains("lineage"))
+    intercept[Exception] { table.addColumn("x", "no_such_type") }
+    intercept[IllegalArgumentException] { table.schemaDdlAt(99) }
+    assert(table.schemaVersion === 2, "failed evolutions must not bump the version")
+  }
 }
