@@ -151,6 +151,46 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("text"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }),
+    // rate-limited backfill gate: the fixture is committed as 4 source
+    // epochs (sliced by turn_idx % 4); a maxEpochsPerTrigger=1
+    // Trigger.AvailableNow stream must drain them in exactly 4
+    // micro-batches — epoch k delivered in batch k, exactly once, each
+    // batch committed to the sink stamped with its batch id. The oracle
+    // recomputes the slice rule directly from the fixture, so any
+    // admission-control bug (epoch split across batches, skipped, or
+    // double-delivered) is a content mismatch, not just a count drift
+    // (round-5; backfill admission control shipped this round).
+    "q28_rate_limited_backfill" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+        .select("conv_id", "turn_idx", "role", "text", "ts")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-gate-rate").toString
+      val src = new graft.table.IcebergLite(s"$base/src")
+      src.create(
+        "conv_id string, turn_idx int, role string, text string, ts timestamp", 4)
+      (0 until 4).foreach { ep =>
+        src.commitEpoch(tx.filter(col("turn_idx") % 4 === ep), "gate", ep.toLong, 4)
+      }
+      val sink = new graft.table.IcebergLite(s"$base/sink")
+      sink.create("conv_id string, turn_idx int, role string, text string, " +
+        "ts timestamp, batch_id int", 4)
+      val q = s.readStream.format("graft.sources.IcebergLiteSource")
+        .option("path", s"$base/src")
+        .option("maxEpochsPerTrigger", "1").load()
+        .select("conv_id", "turn_idx", "role", "text", "ts")
+        .writeStream.option("checkpointLocation", s"$base/cp")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          sink.commitEpoch(df.withColumn("batch_id", lit(id.toInt)),
+            "gate-sink", id, 4)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sink.read(s).select(col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("batch_id"))
     })
   )
 
@@ -500,6 +540,14 @@ object SparkEntry {
          |       CASE WHEN turn_idx % 2 = 1 THEN tool END AS tool,
          |       text,
          |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T""".stripMargin,
+    // q28: under maxEpochsPerTrigger=1, source epoch k (= the turn_idx % 4
+    // slice) must land in micro-batch k — so batch_id is recomputable from
+    // the fixture alone
+    "q28_rate_limited_backfill" ->
+      s"""SELECT conv_id, turn_idx, role, text,
+         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |       CAST(turn_idx % 4 AS INTEGER) AS batch_id
          |FROM $T""".stripMargin
   )
 }

@@ -365,9 +365,20 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
                 s"vs .option(\"asOfEpoch\", $a)")
           case _ =>
         }
+        def posLong(key: String): Option[Long] =
+          Option(options.get(key)).map { v =>
+            val n = try v.toLong catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"option $key must be a positive integer, got '$v'")
+            }
+            require(n > 0, s"option $key must be positive, got $n")
+            n
+          }
         new IcebergLiteScan(root, required, PrunePredicate.from(pushed.toSeq),
           options.getBoolean("startAtExpiryHorizon", false),
-          optEpoch.orElse(asOf))
+          optEpoch.orElse(asOf),
+          posLong("maxEpochsPerTrigger"), posLong("maxRowsPerTrigger"))
       }
     }
 }
@@ -375,7 +386,9 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
 final class IcebergLiteScan(root: String, schema: StructType,
                             pred: PrunePredicate,
                             startAtExpiryHorizon: Boolean = false,
-                            asOf: Option[Long] = None) extends Scan {
+                            asOf: Option[Long] = None,
+                            maxEpochsPerTrigger: Option[Long] = None,
+                            maxRowsPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"IcebergLiteScan($root, pruneBy=$pred" +
@@ -403,7 +416,7 @@ final class IcebergLiteScan(root: String, schema: StructType,
       // registry entry across restarts
       "cp-" + org.apache.commons.codec.digest.DigestUtils
         .md5Hex(checkpointLocation).take(12),
-      startAtExpiryHorizon)
+      startAtExpiryHorizon, maxEpochsPerTrigger, maxRowsPerTrigger)
   }
 }
 
@@ -419,7 +432,9 @@ final case class FilePartition(paths: Seq[String], rowCount: Long) extends Input
 final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
                                         pred: PrunePredicate,
                                         readerId: String,
-                                        startAtExpiryHorizon: Boolean = false)
+                                        startAtExpiryHorizon: Boolean = false,
+                                        maxEpochsPerTrigger: Option[Long] = None,
+                                        maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def table = new IcebergLite(root)
   private def latestEpoch: Long =
@@ -438,9 +453,48 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
   private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(latestEpoch)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    EpochOffset(availableNowTarget.getOrElse(latestEpoch))
+  // Admission control (backfill rate limiting): a fresh checkpoint over a
+  // table with thousands of committed epochs must NOT drain them all in one
+  // micro-batch — one giant batch means one giant state commit, unbounded
+  // executor memory pressure, and zero progress durability until the very
+  // end. `maxEpochsPerTrigger` / `maxRowsPerTrigger` cap each batch at
+  // EPOCH granularity (offsets are epoch ids; an epoch is never split, so
+  // the row cap is a soft cap: at least one epoch is always admitted to
+  // guarantee progress, and row accounting uses manifest counts — no data
+  // I/O at planning time). Under Trigger.AvailableNow the capped stream
+  // drains to the pinned target across multiple batches, each committing
+  // its own offset durably — a 10^12-turn backfill becomes resumable at
+  // epoch granularity instead of all-or-nothing.
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows(_): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EpochOffset].epoch
+    val target = availableNowTarget.getOrElse(latestEpoch)
+    EpochOffset(cappedEnd(s, target))
+  }
+  /** Last admissible epoch in `(startEpoch, target]` under the per-trigger
+    * caps (authoritative here, from the scan options — the `ReadLimit`
+    * Spark hands back is just [[getDefaultReadLimit]] echoed). */
+  private def cappedEnd(startEpoch: Long, target: Long): Long = {
+    if (maxEpochsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) return target
+    val pending = table.snapshots
+      .filter(sn => sn.epochId > startEpoch && sn.epochId <= target)
+    if (pending.isEmpty) return target
+    var rows = 0L
+    var n = 0L
+    var end = startEpoch
+    val it = pending.iterator
+    var stop = false
+    while (!stop && it.hasNext) {
+      val sn = it.next()
+      val snRows = sn.files.map(_.rowCount).sum
+      if (maxEpochsPerTrigger.exists(n >= _) ||
+          maxRowsPerTrigger.exists(m => n > 0 && rows + snRows > m)) stop = true
+      else { rows += snRows; n += 1; end = sn.epochId }
+    }
+    end
+  }
   override def reportLatestOffset(): Offset = EpochOffset(latestEpoch)
 
   override def initialOffset(): Offset = EpochOffset(-1L)

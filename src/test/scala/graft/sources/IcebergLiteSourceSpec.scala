@@ -538,4 +538,79 @@ class IcebergLiteSourceSpec extends SparkSpec {
     }
     assert(wpin.getMessage.contains("append"))
   }
+
+  /** 5 epochs × `rowsPerEpoch` rows with lineage-visible epoch ids. */
+  private def buildEpochedTable(rowsPerEpoch: Int): String = {
+    import spark.implicits._
+    val tableRoot = tmpDir("rate-table")
+    val table = new IcebergLite(tableRoot)
+    table.create("conv_id string, turn_idx int, ts timestamp", 2)
+    val base = 1767225600L * 1000000L
+    (0L until 5L).foreach { ep =>
+      val rows = for (i <- 0 until rowsPerEpoch) yield
+        (s"conv${i % 4}", i, new java.sql.Timestamp(
+          (base + ep * 3600L * 1000000L + i) / 1000L))
+      assert(table.commitEpoch(rows.toDF("conv_id", "turn_idx", "ts"), "w", ep, 2))
+    }
+    tableRoot
+  }
+
+  /** Drain `tableRoot` with AvailableNow under the given source options;
+    * returns per-batch (batchId, distinct source epoch_ids, rowCount). */
+  private def drainBatches(tableRoot: String,
+                           opts: Map[String, String]): Seq[(Long, Seq[Long], Long)] = {
+    val seen = scala.collection.mutable.ListBuffer.empty[(Long, Seq[Long], Long)]
+    val q = opts.foldLeft(
+        spark.readStream.format("graft.sources.IcebergLiteSource")
+          .option("path", tableRoot)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("rate-cp"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val eps = df.select("epoch_id").distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val n = df.count()
+        seen.synchronized { seen += ((id, eps, n)); () }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    seen.sortBy(_._1).toSeq
+  }
+
+  test("maxEpochsPerTrigger bounds each micro-batch; AvailableNow drains " +
+    "the full backlog across batches exactly-once") {
+    val tableRoot = buildEpochedTable(rowsPerEpoch = 20)
+    val batches = drainBatches(tableRoot, Map("maxEpochsPerTrigger" -> "2"))
+      .filter(_._3 > 0)
+    assert(batches.map(_._2) === Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L)),
+      s"epoch slices per batch: ${batches.map(_._2)}")
+    assert(batches.map(_._3).sum === 100L) // 5 epochs x 20, no dupes, no loss
+  }
+
+  test("maxRowsPerTrigger caps batches by manifest row counts — soft cap: " +
+    "one epoch is always admitted even when it alone exceeds the cap") {
+    val tableRoot = buildEpochedTable(rowsPerEpoch = 40)
+    // 80-row cap -> two 40-row epochs per batch
+    val twoPer = drainBatches(tableRoot, Map("maxRowsPerTrigger" -> "80"))
+      .filter(_._3 > 0)
+    assert(twoPer.map(_._2) === Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L)))
+    assert(twoPer.forall(_._3 <= 80L))
+    // cap below a single epoch still makes progress: one epoch per batch
+    val onePer = drainBatches(tableRoot, Map("maxRowsPerTrigger" -> "10"))
+      .filter(_._3 > 0)
+    assert(onePer.map(_._2) === (0L until 5L).map(Seq(_)))
+    assert(onePer.map(_._3).sum === 200L)
+  }
+
+  test("rate-limit options validate loudly") {
+    val bad = intercept[Exception] {
+      spark.readStream.format("graft.sources.IcebergLiteSource")
+        .option("path", buildEpochedTable(2))
+        .option("maxEpochsPerTrigger", "0").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("rate-bad-cp"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(bad.getMessage.contains("maxEpochsPerTrigger"))
+  }
 }
