@@ -191,6 +191,41 @@ object SparkEntry {
       sink.read(s).select(col("conv_id"), col("turn_idx"), col("role"),
         col("text"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("batch_id"))
+    }),
+    // row-level-delete gate: the fixture lands in two epochs, then three
+    // SQL DELETEs run through the catalog — an equality delete spanning
+    // every bucket, a conv_id purge (manifest bucket-pruned rewrite), and
+    // a ts-range + role compound (manifest ts-pruned). The surviving table
+    // must be content-identical to the oracle applying the same three
+    // predicates — a row eaten or leaked by the copy-on-write rewrite is
+    // a hash mismatch (round-5; DELETE FROM shipped this round).
+    "q29_delete" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.del")
+      s.sql(
+        """CREATE TABLE graft.gate.del (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1).foreach { ep =>
+        tx.filter(col("turn_idx") % 2 === ep)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.del")
+          .option("epoch", ep.toString).option("queryId", "gate").append()
+      }
+      s.sql("DELETE FROM graft.gate.del WHERE role = 'tool'")
+      s.sql("DELETE FROM graft.gate.del WHERE conv_id = 'conv-000000'")
+      s.sql("DELETE FROM graft.gate.del WHERE " +
+        "ts < TIMESTAMP '2026-01-01 00:20:00' AND role = 'system'")
+      s.table("graft.gate.del")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     })
   )
 
@@ -548,6 +583,17 @@ object SparkEntry {
       s"""SELECT conv_id, turn_idx, role, text,
          |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
          |       CAST(turn_idx % 4 AS INTEGER) AS batch_id
-         |FROM $T""".stripMargin
+         |FROM $T""".stripMargin,
+    // q29: survivors of the three DELETE predicates — NOT(...) keeps
+    // SQL three-valued semantics aligned with the engine's
+    // rows-where-TRUE-are-deleted contract
+    "q29_delete" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T
+         |WHERE NOT (role = 'tool')
+         |  AND NOT (conv_id = 'conv-000000')
+         |  AND NOT (CAST(ts AS TIMESTAMP) < TIMESTAMP '2026-01-01 00:20:00'
+         |           AND role = 'system')""".stripMargin
   )
 }

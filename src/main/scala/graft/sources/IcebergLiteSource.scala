@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, W
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -104,6 +104,39 @@ object IcebergLiteSource {
   /** Business schema from table.json + the sink's lineage columns. */
   def fullSchema(root: String): StructType =
     new IcebergLite(root).fullReadSchema
+
+  /** Exact `Column` form of a pushed V1 filter — the row-level evaluator
+    * behind SQL `DELETE FROM`: [[IcebergLiteTable.canDeleteWhere]] accepts
+    * a predicate iff every conjunct translates (None = untranslatable →
+    * Spark fails the DELETE loudly instead of us guessing). Translation is
+    * exact, not conservative: the delete REMOVES rows where the predicate
+    * is TRUE, so an approximation in either direction would eat or leak
+    * rows. */
+  def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(not)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 
   /** Schema served by `VERSION AS OF epoch` / `asOfEpoch` — the version the
     * snapshot was stamped with, so a pre-evolution epoch reads without the
@@ -249,7 +282,7 @@ object PrunePredicate {
 
 final class IcebergLiteTable(root: String, tableSchema: StructType,
                              asOf: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String =
     s"iceberglite:$root" + asOf.map(e => s"@$e").getOrElse("")
   // V1_BATCH_WRITE: the write delegates to IcebergLite.commitEpoch via the
@@ -339,6 +372,31 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
       }
     }
   }
+  /** SQL `DELETE FROM <table> WHERE <pred>` — accepted iff every pushed
+    * filter has an exact row-level `Column` translation
+    * ([[IcebergLiteSource.filterToColumn]]); otherwise Spark raises its
+    * standard cannot-delete analysis error. The actual work is
+    * [[IcebergLite.deleteWhere]]'s copy-on-write rewrite, with candidate
+    * files manifest-pruned by the SAME [[PrunePredicate]] the scan path
+    * uses — a `conv_id` purge rewrites one bucket's files, not the
+    * table. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => IcebergLiteSource.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty,
+      s"cannot DELETE from the time-travel view $name — deletes apply to " +
+        "the live table")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.toSeq.flatMap(IcebergLiteSource.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val pred = PrunePredicate.from(filters.toSeq.filter(PrunePredicate.prunable))
+    new IcebergLite(root).deleteWhere(spark, cond,
+      filters.mkString(" AND "), pred.prune)
+    ()
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // column pruning: Catalyst hands us the projected schema; the reader
@@ -535,9 +593,31 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
     // delivers the commit() callback lazily (next-batch cleanup), which
     // alone would leave the registration one batch behind.
     table.registerReader(readerId, s)
-    val sets = table.snapshots
-      .filter(sn => sn.epochId > s && sn.epochId <= e)
-      .map(sn => FileSet(sn.numBuckets, sn.files))
+    val t = table
+    val rangeSnaps = t.snapshots.filter(sn => sn.epochId > s && sn.epochId <= e)
+    val dels = t.deletes
+    // row-level-delete contract for lagging streams: epochs still ahead of
+    // this reader serve their POST-delete deltas (epochFileSetsWithDeletes
+    // patches each epoch's file list), so a purged conversation cannot be
+    // replayed into a slow consumer. The one un-patchable case — a delete
+    // that rewrote compaction-generation data while this reader still needs
+    // epochs that generation replaced (their raw files predate the rewrite)
+    // — fails loudly instead of serving purged rows.
+    if (dels.exists(_.affectsCompacted)) {
+      val replaced = t.compactions.flatMap(_.replaces).toSet
+      val bad = rangeSnaps.filter(sn => replaced.contains(sn.epochId))
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"reader '$readerId' needs epochs " +
+          s"${bad.map(_.epochId).mkString("[", ", ", "]")} of $root, but a " +
+          "row-level delete rewrote compacted data covering them: their " +
+          "pre-compaction files would replay deleted rows. Re-read the " +
+          "current snapshot with a batch scan, or restart the stream from " +
+          "a fresh checkpoint.")
+    }
+    val sets =
+      if (dels.isEmpty)
+        rangeSnaps.map(sn => FileSet(sn.numBuckets, sn.files))
+      else rangeSnaps.flatMap(t.epochFileSetsWithDeletes)
     // deterministic under replay: same offsets -> same files in manifest
     // order -> same packing
     IcebergLiteSource.packPartitions(root, pred.prune(sets))

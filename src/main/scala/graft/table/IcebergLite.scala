@@ -305,12 +305,157 @@ final class IcebergLite(val root: String) {
         val n = mapper.readTree(Files.readAllBytes(p))
         CompactionMeta(n.get("gen").asLong(),
           n.get("replaces").elements().asScala.map(_.asLong()).toSeq,
-          parseFiles(n), parseBuckets(n))
+          parseFiles(n), parseBuckets(n),
+          Option(n.get("foldsDeletes"))
+            .map(_.elements().asScala.map(_.asLong()).toSeq).getOrElse(Nil))
       }
   }
 
+  // ---- row-level delete (GDPR-style copy-on-write purge) -------------------
+
+  private def deletePath(gen: Long) = metaDir.resolve(f"delete-$gen%06d.json")
+
+  /** Committed delete manifests, in gen order. */
+  def deletes: Seq[DeleteMeta] = {
+    if (!Files.exists(metaDir)) return Nil
+    listDir(metaDir)(_.filter(_.getFileName.toString.startsWith("delete-"))
+      .toSeq.sortBy(_.getFileName.toString))
+      .map { p =>
+        val n = mapper.readTree(Files.readAllBytes(p))
+        DeleteMeta(n.get("gen").asLong(), n.get("predicate").asText(),
+          n.get("removes").elements().asScala.map(_.asText()).toSeq,
+          n.get("fileSets").elements().asScala.map { fs =>
+            DeleteFileSet(fs.get("numBuckets").asInt(),
+              fs.get("sourceEpoch").asLong(), parseFiles(fs))
+          }.toSeq,
+          n.get("affectsCompacted").asBoolean())
+      }
+  }
+
+  /** Row-level DELETE by copy-on-write rewrite — the Iceberg-style answer
+    * to "purge this conversation from the training corpus" without
+    * rewriting the table. Candidate files (manifest-pruned via `prune` —
+    * the DSv2 [[graft.sources.PrunePredicate]] at the SQL surface, so a
+    * `conv_id` purge touches one bucket's files per epoch, not the table)
+    * are probed with a column-pruned count first (only the predicate's
+    * columns are decoded — a false-positive candidate never pays a text
+    * read); files with no matching row are left untouched (path, stats and
+    * bucket unchanged), files fully matched are dropped,
+    * partially-matched files are rewritten without the matching rows —
+    * preserving row order, bucket `partitionId`, lineage columns and
+    * per-file ts stats (recomputed), so manifest pruning stays exact.
+    * The atomic `delete-<gen>.json` manifest records removed paths and
+    * surviving rewrites grouped by source epoch; the effective view, the
+    * incremental stream ([[epochFileSetsWithDeletes]]) and [[readSince]]
+    * all serve the post-delete rows immediately.
+    *
+    * `condition` must evaluate the SQL predicate EXACTLY (rows where it is
+    * TRUE are deleted; FALSE or NULL survive). Declared columns missing
+    * from a pre-evolution file are supplied as typed NULLs first, so
+    * e.g. `WHERE tool IS NULL` deletes old-schema rows correctly.
+    *
+    * What this is NOT: a physical purge. Originals stay on disk for
+    * time travel ([[fileSetsAsOf]] of a pre-delete epoch still serves
+    * them — the same contract as real Iceberg, where DELETE creates a new
+    * snapshot and history retains the old one). Full physical purge =
+    * deleteWhere → [[compact]] → [[gc]] → [[expireMetadata]].
+    *
+    * Returns the number of rows deleted. Maintenance op: callers
+    * serialize externally like [[compact]]; in-process calls serialize on
+    * this instance. */
+  def deleteWhere(spark: SparkSession, condition: org.apache.spark.sql.Column,
+                  predicateText: String,
+                  prune: Seq[FileSet] => Seq[DataFileMeta] = _.flatMap(_.files)): Long =
+    synchronized {
+      require(exists, s"IcebergLite table does not exist at $root")
+      val base = effectiveFileSets
+      val candidates = prune(base)
+      if (candidates.isEmpty) return 0L
+      val bucketsOf: Map[String, Int] =
+        base.flatMap(fs => fs.files.map(_.path -> fs.numBuckets)).toMap
+      // source epoch per path: epoch snapshots, else the delete add-set
+      // that produced it, else −1 (compaction-generation data)
+      val srcEpoch: Map[String, Long] =
+        snapshots.flatMap(s => s.files.map(_.path -> s.epochId)).toMap ++
+          deletes.flatMap(_.fileSets.flatMap(fs =>
+            fs.files.map(_.path -> fs.sourceEpoch)))
+      val gen = deletes.map(_.gen).foldLeft(0L)(math.max) + 1L
+      val staging = Paths.get(root, "_staging", s"delete-$gen")
+      deleteRecursively(staging)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      val hit = coalesce(condition, lit(false))
+      var removes = Vector.empty[String]
+      var adds = Vector.empty[(Long, Int, DataFileMeta)]
+      var removedRows = 0L
+      var seq = 0
+      candidates.foreach { f =>
+        var df = spark.read.parquet(s"$root/${f.path}")
+        declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
+          df = df.withColumn(c.name, lit(null).cast(c.dataType))
+        }
+        val matched = df.filter(hit).count()
+        if (matched > 0L) {
+          removes :+= f.path
+          removedRows += matched
+          if (matched < f.rowCount) {
+            val out = staging.resolve(s"f$seq")
+            df.filter(!hit).coalesce(1).write.mode("overwrite").parquet(out.toString)
+            val part = listDir(out)(
+              _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+            val name = f"part-d$gen%04d-$seq%05d.parquet"
+            val dst = dataDir.resolve(name)
+            Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE)
+            adds :+= ((srcEpoch.getOrElse(f.path, -1L),
+              bucketsOf.getOrElse(f.path, -1),
+              footerStats(dst, gen, f.partitionId, s"data/$name")))
+            seq += 1
+          }
+        }
+      }
+      deleteRecursively(staging)
+      if (removes.isEmpty) return 0L
+      val m = new JHashMap[String, Object]()
+      m.put("gen", java.lang.Long.valueOf(gen))
+      m.put("predicate", predicateText)
+      // true when compaction-generation data was touched: per-epoch stream
+      // patching is impossible for replaced epochs (their raw files predate
+      // the generation), so lagging streams must fail loudly instead of
+      // replaying purged rows — see the DSv2 source guard
+      m.put("affectsCompacted",
+        java.lang.Boolean.valueOf(removes.exists(p => !srcEpoch.contains(p))))
+      val rl: JList[Object] = new JArrayList[Object]()
+      removes.foreach(rl.add)
+      m.put("removes", rl)
+      val fsl: JList[Object] = new JArrayList[Object]()
+      adds.groupBy(a => (a._1, a._2)).toSeq.sortBy(_._1).foreach {
+        case ((se, nb), group) =>
+          val fs = new JHashMap[String, Object]()
+          fs.put("sourceEpoch", java.lang.Long.valueOf(se))
+          fs.put("numBuckets", Integer.valueOf(nb))
+          val fl: JList[Object] = new JArrayList[Object]()
+          group.map(_._3).sortBy(_.path).foreach { df =>
+            val fm = new JHashMap[String, Object]()
+            fm.put("path", df.path)
+            fm.put("partitionId", Integer.valueOf(df.partitionId))
+            fm.put("rowCount", java.lang.Long.valueOf(df.rowCount))
+            fm.put("minTs", java.lang.Long.valueOf(df.minTsMicros))
+            fm.put("maxTs", java.lang.Long.valueOf(df.maxTsMicros))
+            fl.add(fm)
+          }
+          fs.put("files", fl)
+          fsl.add(fs)
+      }
+      m.put("fileSets", fsl)
+      atomicWrite(deletePath(gen), mapper.writeValueAsBytes(m))
+      removedRows
+    }
+
   /** Effective file set: the LATEST compaction generation plus epochs not
-    * replaced by any generation.
+    * replaced by any generation, with un-folded [[deleteWhere row-level
+    * deletes]] applied on top (removed files subtracted, their rewritten
+    * survivors added).
     *
     * Each [[compact]] call reads the full effective view (earlier
     * generations included) and rewrites it, so generation N strictly
@@ -329,10 +474,42 @@ final class IcebergLite(val root: String) {
     val latestGen =
       if (comps.isEmpty) Nil
       else { val c = comps.maxBy(_.gen); Seq(FileSet(c.numBuckets, c.files)) }
-    latestGen ++
+    val base = latestGen ++
       snapshots.filterNot(s => replaced.contains(s.epochId))
         .map(s => FileSet(s.numBuckets, s.files))
+    // deletes folded into the latest generation are already reflected in
+    // its files — applying them again would double-add their survivors
+    val folded: Set[Long] =
+      if (comps.isEmpty) Set.empty else comps.maxBy(_.gen).foldsDeletes.toSet
+    applyDeletes(base, deletes.filterNot(d => folded.contains(d.gen)))
   }
+
+  /** Ordered application of delete manifests to a file-set view: each
+    * delete subtracts its removed paths from EVERY set (a later delete may
+    * remove an earlier delete's rewritten file — chains compose), then
+    * appends its surviving rewritten files as their own sets.
+    * `epochFilter` restricts the appended sets to one source epoch — the
+    * incremental-stream patch, which serves epoch deltas post-delete. */
+  private def applyDeletes(base: Seq[FileSet], ds: Seq[DeleteMeta],
+                           epochFilter: Option[Long] = None): Seq[FileSet] =
+    ds.sortBy(_.gen).foldLeft(base) { (sets, d) =>
+      val rm = d.removes.toSet
+      sets.map(fs => fs.copy(files = fs.files.filterNot(f => rm.contains(f.path))))
+        .filter(_.files.nonEmpty) ++
+        d.fileSets.filter(fs => epochFilter.forall(_ == fs.sourceEpoch))
+          .map(fs => FileSet(fs.numBuckets, fs.files))
+          .filter(_.files.nonEmpty)
+    }
+
+  /** Epoch `sn`'s file set as an incremental reader must see it: the raw
+    * snapshot manifest patched by ALL delete manifests (folded ones too —
+    * streams read per-epoch files, never compaction generations, so a
+    * folded delete still rewrites the epoch's delta). A stream that plans
+    * this epoch AFTER [[deleteWhere]] committed serves the post-delete
+    * rows — a purged conversation cannot leak into a lagging consumer. */
+  def epochFileSetsWithDeletes(sn: SnapshotMeta): Seq[FileSet] =
+    applyDeletes(Seq(FileSet(sn.numBuckets, sn.files)), deletes,
+      epochFilter = Some(sn.epochId))
 
   /** Rewrite the full effective view (previous generation + un-replaced
     * epochs) into `numBuckets` files — one new compaction generation that
@@ -389,6 +566,12 @@ final class IcebergLite(val root: String) {
       fl.add(fm)
     }
     m.put("files", fl)
+    // every delete manifest present is reflected in the rows just
+    // rewritten (compaction reads the post-delete effective view), so
+    // record them as folded: the effective view must not re-apply them
+    val dl: JList[Object] = new JArrayList[Object]()
+    deletes.foreach(d => dl.add(java.lang.Long.valueOf(d.gen)))
+    m.put("foldsDeletes", dl)
     atomicWrite(metaDir.resolve(f"compact-$gen%06d.json"), mapper.writeValueAsBytes(m))
     deleteRecursively(staging)
     gen
@@ -405,11 +588,13 @@ final class IcebergLite(val root: String) {
   }
 
   /** Incremental scan: only epochs after `afterEpochId` (streaming-source
-    * delta read over the snapshot log). Exact only for `afterEpochId` at or
-    * past the last compacted epoch. */
+    * delta read over the snapshot log), with row-level deletes applied per
+    * epoch ([[epochFileSetsWithDeletes]]). Exact only for `afterEpochId` at
+    * or past the last compacted epoch. */
   def readSince(spark: SparkSession, afterEpochId: Long): DataFrame = {
     val files = snapshots.filter(_.epochId > afterEpochId)
-      .flatMap(_.files).map(f => s"$root/${f.path}")
+      .flatMap(epochFileSetsWithDeletes).flatMap(_.files)
+      .map(f => s"$root/${f.path}")
     spark.read.schema(fullReadSchema).parquet(files: _*)
   }
 
@@ -577,12 +762,25 @@ final class IcebergLite(val root: String) {
     // min live epoch: the smallest epoch some registered reader has NOT yet
     // processed; replaced epochs at/above it must survive this gc pass
     val minLive = readerOffsets.values.minOption.map(_ + 1L)
+    // rewritten survivors of deletes folded into a generation are
+    // superseded by that generation's files — reclaimable once no lagging
+    // incremental reader still needs the source epoch's patched delta
+    // (gen-sourced rewrites, sourceEpoch −1, are never streamed)
+    val foldedGens = comps.flatMap(_.foldsDeletes).toSet
+    val foldedDeleteFiles = deletes.filter(d => foldedGens.contains(d.gen))
+      .flatMap(_.fileSets)
+      .filter(fs => fs.sourceEpoch == -1L || minLive.forall(fs.sourceEpoch < _))
+      .flatMap(_.files.map(_.path))
+    // never reclaim anything the live view still references (belt and
+    // braces: folded implies not effective, but the invariant is cheap)
+    val live = effectiveFiles.map(_.path).toSet
     val doomed =
       comps.filter(_.gen < latest).flatMap(_.files.map(_.path)) ++
         snapshots.filter(s => replacedEpochs.contains(s.epochId) &&
             minLive.forall(s.epochId < _))
-          .flatMap(_.files.map(_.path))
-    doomed.distinct.flatMap { rel =>
+          .flatMap(_.files.map(_.path)) ++
+        foldedDeleteFiles
+    doomed.distinct.filterNot(live.contains).flatMap { rel =>
       val p = Paths.get(root, rel)
       if (Files.deleteIfExists(p)) Some(rel) else None
     }
@@ -645,7 +843,26 @@ final class IcebergLite(val root: String) {
         val p = metaDir.resolve(f"compact-${c.gen}%06d.json")
         if (Files.deleteIfExists(p)) Some(p.getFileName.toString) else None
       }
-    deletedSnaps ++ deletedComps
+    // a folded delete manifest can retire once it patches nothing a reader
+    // could still plan: its survivors are gone (gc ran), the originals it
+    // removed are gone, and every source epoch's snapshot is expired —
+    // earlier removal would un-patch those epochs for lagging streams and
+    // replay purged rows
+    val foldedGens = comps.flatMap(_.foldsDeletes).toSet
+    val deletedDels = deletes
+      .filter { d =>
+        foldedGens.contains(d.gen) &&
+          d.fileSets.forall(fs => fs.sourceEpoch == -1L ||
+            !liveEpochs.contains(fs.sourceEpoch)) &&
+          d.fileSets.forall(_.files.forall(f =>
+            !Files.exists(Paths.get(root, f.path)))) &&
+          d.removes.forall(p => !Files.exists(Paths.get(root, p)))
+      }
+      .flatMap { d =>
+        val p = deletePath(d.gen)
+        if (Files.deleteIfExists(p)) Some(p.getFileName.toString) else None
+      }
+    deletedSnaps ++ deletedComps ++ deletedDels
   }
 
   /** Streaming-history floor: the highest epoch whose snapshot
@@ -768,7 +985,21 @@ final case class SnapshotMeta(queryId: String, epochId: Long,
                               files: Seq[DataFileMeta], numBuckets: Int = -1,
                               schemaVersion: Int = 1)
 final case class CompactionMeta(gen: Long, replaces: Seq[Long],
-                                files: Seq[DataFileMeta], numBuckets: Int = -1)
+                                files: Seq[DataFileMeta], numBuckets: Int = -1,
+                                foldsDeletes: Seq[Long] = Nil)
+
+/** Surviving rewritten files of one source file-set touched by a delete:
+  * `sourceEpoch` is the epoch whose delta these rows belong to (−1 when the
+  * source was compaction-generation data — un-patchable for streams). */
+final case class DeleteFileSet(numBuckets: Int, sourceEpoch: Long,
+                               files: Seq[DataFileMeta])
+
+/** One committed [[IcebergLite.deleteWhere]]: subtract `removes` from the
+  * view, add the rewritten survivors in `fileSets`. */
+final case class DeleteMeta(gen: Long, predicate: String,
+                            removes: Seq[String],
+                            fileSets: Seq[DeleteFileSet],
+                            affectsCompacted: Boolean)
 
 /** A group of data files that share one bucketing layout (`numBuckets` = −1
   * when the manifest predates bucket recording → conv_id pruning disabled

@@ -349,4 +349,43 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.db.evo ADD COLUMN nn STRING NOT NULL")
     }.getMessage.contains("nullable"))
   }
+
+  test("SQL DELETE FROM: row-level copy-on-write delete through the " +
+    "catalog, exact under =, IN, range and compound predicates") {
+    spark.sql(
+      """CREATE TABLE graft.db.del (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='4')""".stripMargin)
+    sampleDf(40).writeTo("graft.db.del")
+      .option("epoch", "0").option("queryId", "spec").append()
+
+    spark.sql("DELETE FROM graft.db.del WHERE conv_id = 'conv-003'")
+    assert(spark.table("graft.db.del").count() === 39L)
+    spark.sql(
+      "DELETE FROM graft.db.del WHERE conv_id IN ('conv-004', 'conv-005') " +
+        "OR turn_idx >= 38")
+    assert(spark.table("graft.db.del")
+      .select("conv_id").collect().map(_.getString(0)).toSet ===
+      (0 until 38).filterNot(Set(3, 4, 5).contains).map(i => f"conv-$i%03d").toSet)
+    // the deletes are manifest-recorded on the underlying table
+    assert(new IcebergLite(s"$warehouse/db/del").deletes.map(_.gen) ===
+      Seq(1L, 2L))
+
+    // appends after a delete land in new epochs, both visible
+    sampleDf(2, base = 1767312000L).writeTo("graft.db.del")
+      .option("epoch", "1").option("queryId", "spec").append()
+    assert(spark.table("graft.db.del").count() === 35L + 2L)
+
+    // deleting from a time-travel view is rejected
+    assert(intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.del VERSION AS OF 0 WHERE turn_idx = 1")
+    }.getMessage.nonEmpty)
+
+    // TRUNCATE TABLE rides the same path (SupportsDeleteV2 extends
+    // TruncatableTable: truncate == delete where TRUE)
+    spark.sql("TRUNCATE TABLE graft.db.del")
+    assert(spark.table("graft.db.del").count() === 0L)
+    assert(new IcebergLite(s"$warehouse/db/del").exists)
+  }
 }
