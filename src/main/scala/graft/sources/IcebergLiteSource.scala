@@ -302,7 +302,7 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def schema(): StructType = tableSchema
 
   /** Live table state for `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` —
@@ -336,12 +336,26 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
       s"cannot write to the time-travel view $name — writes always append " +
         "to the table's current snapshot log")
     val opts = info.options()
-    new WriteBuilder {
+    // SQL `INSERT OVERWRITE` (static, whole-table): Spark calls truncate()
+    // on the builder, and the insert runs as a row-level delete-everything
+    // (an atomic delete manifest — history and time travel keep the old
+    // rows, exactly like DELETE FROM) followed by the normal idempotent
+    // epoch append. Filter-scoped overwrite is deliberately NOT offered:
+    // the engine's replace-by-predicate story is DELETE FROM + append,
+    // which keeps every mutation an explicit manifest.
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation = new InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
-            require(!overwrite,
-              "IcebergLite tables are append-only snapshot logs; use mode(\"append\")")
+            if (overwrite || truncateFirst) {
+              val t = new IcebergLite(root)
+              if (t.exists)
+                t.deleteWhere(data.sparkSession,
+                  org.apache.spark.sql.functions.lit(true),
+                  "true (INSERT OVERWRITE truncation)")
+            }
             val table = new IcebergLite(root)
             if (!table.exists) {
               require(opts.getBoolean("createIfAbsent", false),

@@ -388,4 +388,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.db.del").count() === 0L)
     assert(new IcebergLite(s"$warehouse/db/del").exists)
   }
+
+  test("SQL INSERT OVERWRITE replaces the table contents atomically " +
+    "(truncation manifest + fresh epoch; history retained)") {
+    spark.sql(
+      """CREATE TABLE graft.db.ow (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='2')""".stripMargin)
+    sampleDf(20).writeTo("graft.db.ow")
+      .option("epoch", "0").option("queryId", "spec").append()
+    sampleDf(6, base = 1767312000L).createOrReplaceTempView("ow_rows")
+    spark.sql(
+      """INSERT OVERWRITE graft.db.ow
+        |SELECT conv_id, turn_idx, role, tool, text, ts FROM ow_rows""".stripMargin)
+    assert(spark.table("graft.db.ow").count() === 6L)
+    val lite = new IcebergLite(s"$warehouse/db/ow")
+    assert(lite.deletes.nonEmpty)          // overwrite = recorded truncation
+    assert(lite.snapshots.size === 2)      // old epoch still in the log
+  }
 }

@@ -431,11 +431,15 @@ class IcebergLiteSourceSpec extends SparkSpec {
     }
     assert(alien.getMessage.contains("refusing idempotent no-op"))
 
-    // overwrite mode is rejected: the table is an append-only snapshot log
-    intercept[Exception] {
-      df.write.format("graft.sources.IcebergLiteSource")
-        .option("path", tableRoot).mode("overwrite").save()
-    }
+    // overwrite mode = atomic truncation (a delete-everything manifest —
+    // the snapshot log itself stays append-only) followed by a fresh epoch
+    val replacement = df.limit(3)
+    replacement.write.format("graft.sources.IcebergLiteSource")
+      .option("path", tableRoot).mode("overwrite").save()
+    val t = new IcebergLite(tableRoot)
+    assert(t.read(spark).count() === 3L)
+    assert(t.deletes.nonEmpty) // the truncation is a recorded delete
+    assert(t.snapshots.size >= 2) // old epochs still in the log (history)
   }
 
   test("restart consumes only NEW epochs (incremental snapshot deltas)") {
