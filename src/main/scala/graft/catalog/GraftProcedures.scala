@@ -20,6 +20,7 @@ import graft.table.IcebergLite
   *   CALL graft.system.compact('db.t')          -- rewrite into one generation
   *   CALL graft.system.gc('db.t')               -- reclaim superseded files
   *   CALL graft.system.expire_metadata('db.t')  -- retire settled manifests
+  *   CALL graft.system.remove_orphans('db.t')   -- drop unreferenced files
   *   CALL graft.system.snapshots('db.t')        -- inspect the snapshot log
   * }}}
   *
@@ -118,6 +119,12 @@ private[catalog] object GraftProcedures {
         val expired = table.expireMetadata(in.getInt(1))
         Array(row(expired.size, table.expiryHorizon.getOrElse(-1L)))
       }, resolve),
+
+    "remove_orphans" -> new Proc("remove_orphans",
+      Array(tableParam),
+      StructType(Seq(
+        StructField("removed_path", StringType, nullable = false))),
+      (table, _) => table.removeOrphans().map(p => row(p)).toArray, resolve),
 
     "snapshots" -> new Proc("snapshots",
       Array(tableParam),

@@ -786,6 +786,72 @@ final class IcebergLite(val root: String) {
     }
   }
 
+  /** Orphan cleanup (the remove_orphan_files of the lifecycle): deletes
+    * data files referenced by NO manifest — snapshot, compaction or delete
+    * — plus settled `_staging/` leftovers. Orphans arise from the one
+    * crash window the atomic protocol leaves on disk: files published by
+    * [[stageAndPublish]] (or a compaction/delete rewrite) whose manifest
+    * never landed AND whose retry wrote a different layout (e.g. a bucket
+    * count change between attempts), so the replay's REPLACE_EXISTING
+    * never reclaimed them.
+    *
+    * In-flight protection without wall clocks: an unreferenced file is
+    * only deleted when its embedded id is at or below the newest COMMITTED
+    * id of its kind (epoch / compaction gen / delete gen) — a concurrent
+    * first-time commit always targets the next id up, so its
+    * staged-then-published files are never touched; its own retry
+    * protocol (REPLACE on re-publish) makes deletion of genuinely stale
+    * files safe even under replay. Like [[compact]], concurrent
+    * out-of-order writers are outside the maintenance contract.
+    * Returns the deleted relative paths. */
+  def removeOrphans(): Seq[String] = {
+    if (!Files.exists(dataDir)) return Nil
+    val referenced: Set[String] =
+      (snapshots.flatMap(_.files) ++ compactions.flatMap(_.files) ++
+        deletes.flatMap(_.fileSets.flatMap(_.files))).map(_.path).toSet
+    val maxEpoch = snapshots.lastOption.map(_.epochId).getOrElse(-1L)
+    val maxGen = compactions.map(_.gen).foldLeft(-1L)(math.max)
+    val maxDel = deletes.map(_.gen).foldLeft(-1L)(math.max)
+    val CompFile = """part-c(\d+)-\d+\.parquet""".r
+    val DelFile = """part-d(\d+)-\d+\.parquet""".r
+    val EpochFile = """part-(\d+)-\d+\.parquet""".r
+    val doomedData = listDir(dataDir)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString))
+      .filter(p => !referenced.contains(s"data/${p.getFileName}"))
+      .filter { p =>
+        p.getFileName.toString match {
+          case CompFile(g) => g.toLong <= maxGen
+          case DelFile(g) => g.toLong <= maxDel
+          case EpochFile(e) => e.toLong <= maxEpoch
+          case _ => true // not a name any writer of this table produces
+        }
+      }
+    val deletedData = doomedData.flatMap { p =>
+      val rel = s"data/${p.getFileName}"
+      if (Files.deleteIfExists(p)) Some(rel) else None
+    }
+    // settled staging dirs: their commit landed (or their id is settled),
+    // so nothing will come back for the leftovers
+    val stagingRoot = Paths.get(root, "_staging")
+    val CompDir = """compact-(\d+)""".r
+    val DelDir = """delete-(\d+)""".r
+    val EpochDir = """ep-(\d+)""".r
+    val deletedStaging =
+      if (!Files.exists(stagingRoot)) Nil
+      else listDir(stagingRoot)(_.toSeq.sortBy(_.getFileName.toString))
+        .filter { d =>
+          d.getFileName.toString match {
+            case EpochDir(e) => isCommitted(e.toLong)
+            case CompDir(g) => g.toLong <= maxGen
+            case DelDir(g) => g.toLong <= maxDel
+            case _ => false
+          }
+        }
+        .map { d => deleteRecursively(d); s"_staging/${d.getFileName}" }
+    deletedData ++ deletedStaging
+  }
+
   /** Metadata expiry (completes [[gc]]: gc deletes superseded DATA files,
     * this retires the snapshot/compaction MANIFESTS that only described
     * them — without it the metadata dir grows one JSON per epoch forever,

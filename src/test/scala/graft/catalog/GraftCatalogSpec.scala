@@ -389,6 +389,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(new IcebergLite(s"$warehouse/db/del").exists)
   }
 
+  test("CALL graft.system.remove_orphans drops files no manifest " +
+    "references while protecting in-flight publishes") {
+    spark.sql(
+      """CREATE TABLE graft.db.orph (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='4')""".stripMargin)
+    val lite = new IcebergLite(s"$warehouse/db/orph")
+    val df = sampleDf(40)
+    // crash window: epoch 0 published under buckets=4, snapshot never
+    // written; the retry committed under buckets=2, whose REPLACE only
+    // reclaimed two of the four stale files
+    lite.stageAndPublish(df, 0L, 4)
+    assert(lite.commitEpoch(df, "spec", 0L, 2))
+    val dataDir = new java.io.File(s"$warehouse/db/orph/data")
+    assert(dataDir.listFiles().count(_.getName.endsWith(".parquet")) === 4)
+    // an uncommitted FUTURE epoch (an in-flight writer) must survive
+    lite.stageAndPublish(sampleDf(4), 1L, 2)
+
+    val removed = spark.sql("CALL graft.system.remove_orphans('db.orph')")
+      .collect().map(_.getString(0)).sorted
+    assert(removed.count(_.startsWith("data/part-000000")) === 2, removed.toSeq)
+    assert(removed.forall(!_.startsWith("data/part-000001")), removed.toSeq)
+    // reads unaffected; epoch 1 still commits cleanly afterwards
+    assert(spark.table("graft.db.orph").count() === 40L)
+    assert(lite.commitEpoch(sampleDf(4), "spec", 1L, 2))
+    assert(spark.table("graft.db.orph").count() === 44L)
+    // idempotent: nothing left to remove but the settled staging dirs
+    assert(lite.removeOrphans().forall(_.startsWith("_staging/")))
+  }
+
   test("SQL INSERT OVERWRITE replaces the table contents atomically " +
     "(truncation manifest + fresh epoch; history retained)") {
     spark.sql(
