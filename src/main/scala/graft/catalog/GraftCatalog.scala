@@ -5,8 +5,9 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, Transform}
 import org.apache.spark.sql.types.StructType
@@ -50,7 +51,7 @@ import graft.table.IcebergLite
   *  - identifier parts are restricted to `[A-Za-z0-9_][A-Za-z0-9_.-]*` so a
   *    crafted table name can never traverse outside the warehouse. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -236,6 +237,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.isEmpty || namespace.sameElements(GraftProcedures.Namespace))
       GraftProcedures.identifiers(resolveTableRoot)
     else Array.empty
+
+  // ---- functions -----------------------------------------------------------
+
+  /** The `bucket` V2 function ([[GraftFunctions]]) — served from the EMPTY
+    * namespace because that is where Spark's transform resolution
+    * (`V2ExpressionUtils`) looks when the scan reports
+    * `KeyGroupedPartitioning(bucket(N, conv_id))`; also listed under
+    * `system` alongside the procedures for discoverability. */
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if ((ident.namespace().isEmpty ||
+        ident.namespace().sameElements(GraftProcedures.Namespace)) &&
+        ident.name() == GraftFunctions.BucketUnbound.name())
+      GraftFunctions.BucketUnbound
+    else throw new NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(GraftProcedures.Namespace))
+      Array(Identifier.of(namespace, GraftFunctions.BucketUnbound.name()))
+    else if (isNamespaceDir(nsPath(namespace))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
 
   /** Dotted table name (procedure argument, relative to this catalog) →
     * IcebergLite root, with the same identifier-part safety as table

@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.hadoop.fs.{Path => HPath}
@@ -305,6 +306,17 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def schema(): StructType = tableSchema
 
+  /** The declared physical layout, as a V2 transform: `bucket(N, conv_id)`.
+    * Surfaced in DESCRIBE and — through the scan's
+    * [[SupportsReportPartitioning]] report — the basis for shuffle-free
+    * conv_id aggregation and storage-partitioned joins. */
+  override def partitioning(): Array[Transform] = {
+    val table = new IcebergLite(root)
+    if (!table.exists) Array.empty
+    else table.declaredNumBuckets.filter(_ > 0)
+      .map(n => Expressions.bucket(n, "conv_id")).toArray
+  }
+
   /** Live table state for `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` —
     * metadata-listing only, no data I/O. */
   override def properties(): java.util.Map[String, String] = {
@@ -460,20 +472,76 @@ final class IcebergLiteScan(root: String, schema: StructType,
                             startAtExpiryHorizon: Boolean = false,
                             asOf: Option[Long] = None,
                             maxEpochsPerTrigger: Option[Long] = None,
-                            maxRowsPerTrigger: Option[Long] = None) extends Scan {
+                            maxRowsPerTrigger: Option[Long] = None)
+    extends Scan with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"IcebergLiteScan($root, pruneBy=$pred" +
       asOf.map(e => s", asOf=$e").getOrElse("") + ")"
 
+  // planned once per scan (driver-side): file sets + manifest pruning are
+  // shared between outputPartitioning() and planInputPartitions(), which
+  // MUST agree on the layout
+  private lazy val pruned: (Seq[FileSet], Seq[DataFileMeta]) = {
+    val table = new IcebergLite(root)
+    // manifest pruning composes with time travel: the historical file
+    // sets carry the same footer stats and bucketing as the live view
+    val sets = asOf.fold(table.effectiveFileSets)(table.fileSetsAsOf)
+    (sets, pred.prune(sets))
+  }
+
+  /** Storage-partitioned read: when every effective file set shares ONE
+    * conv_id bucket layout, the scan can group files by bucket id and
+    * report `KeyGroupedPartitioning(bucket(N, conv_id))` — Spark then
+    * plans conv_id aggregations with no Exchange and graft↔graft conv_id
+    * equi-joins as storage-partitioned joins (the catalog serves the
+    * `bucket` function the report resolves against,
+    * [[graft.catalog.GraftFunctions]]). A table with mixed layouts
+    * (epochs committed under different bucket counts) always falls back to
+    * packed partitions — correctness never depends on the report.
+    *
+    * Grouping costs scan parallelism (one task per bucket), so it applies
+    * when `buckets >= defaultParallelism` — the regime every at-scale
+    * table lives in (buckets are sized to the cluster), where the grouped
+    * scan is parallelism-neutral and every downstream conv_id shuffle
+    * disappears. `spark.sql.graft.preserveDataGrouping=true|false`
+    * overrides the heuristic per session (a 4-bucket toy table CAN opt
+    * into SPJ; a pathological query CAN opt out); Spark's own
+    * `spark.sql.sources.v2.bucketing.enabled` (default on) still gates
+    * everything, as it does for all V2 sources. */
+  private lazy val keyGroupedBuckets: Option[Int] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val (sets, files) = pruned
+    val layouts = sets.map(_.numBuckets).distinct
+    val uniform = files.nonEmpty && layouts.sizeIs == 1 && layouts.head > 0
+    lazy val wanted =
+      SQLConf.get.getConfString("spark.sql.graft.preserveDataGrouping", "auto") match {
+        case "true" => true
+        case "false" => false
+        case _ => layouts.head >=
+          org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+      }
+    if (SQLConf.get.getConf(SQLConf.V2_BUCKETING_ENABLED) && uniform && wanted)
+      Some(layouts.head)
+    else None
+  }
+
+  private lazy val batchPartitions: Array[InputPartition] =
+    if (keyGroupedBuckets.isDefined)
+      pruned._2.groupBy(_.partitionId).toSeq.sortBy(_._1).map { case (b, fs) =>
+        BucketFilePartition(b, fs.map(f => s"$root/${f.path}"),
+          fs.map(_.rowCount).sum): InputPartition
+      }.toArray
+    else IcebergLiteSource.packPartitions(root, pruned._2)
+
+  override def outputPartitioning(): Partitioning = keyGroupedBuckets match {
+    case Some(n) => new KeyGroupedPartitioning(
+      Array(Expressions.bucket(n, "conv_id")), batchPartitions.length)
+    case None => new UnknownPartitioning(0)
+  }
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
-      val table = new IcebergLite(root)
-      // manifest pruning composes with time travel: the historical file
-      // sets carry the same footer stats and bucketing as the live view
-      val sets = asOf.fold(table.effectiveFileSets)(table.fileSetsAsOf)
-      IcebergLiteSource.packPartitions(root, pred.prune(sets))
-    }
+    override def planInputPartitions(): Array[InputPartition] = batchPartitions
     override def createReaderFactory(): PartitionReaderFactory =
       new ParquetColumnarReaderFactory(schema)
   }
@@ -500,6 +568,16 @@ final case class EpochOffset(epoch: Long) extends Offset {
 /** One scan task over one or more data files (packed by
   * [[IcebergLiteSource.packPartitions]]); `rowCount` is the packed total. */
 final case class FilePartition(paths: Seq[String], rowCount: Long) extends InputPartition
+
+/** One scan task = ALL files of one conv_id hash bucket — the key-grouped
+  * layout behind storage-partitioned reads ([[IcebergLiteScan]]). The
+  * partition key row carries the bucket id, typed to match the reported
+  * `bucket(N, conv_id)` transform's result (int). */
+final case class BucketFilePartition(bucketId: Int, paths: Seq[String],
+                                     rowCount: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucketId)
+}
 
 final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
                                         pred: PrunePredicate,
@@ -659,13 +737,19 @@ final class ParquetColumnarReaderFactory(schema: StructType)
   override def supportColumnarReads(partition: InputPartition): Boolean =
     schema.nonEmpty
 
+  private def filesOf(p: InputPartition): (Seq[String], Long) = p match {
+    case FilePartition(paths, n) => (paths, n)
+    case BucketFilePartition(_, paths, n) => (paths, n)
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new MultiFileColumnarReader(partition.asInstanceOf[FilePartition].paths, schema)
+    new MultiFileColumnarReader(filesOf(partition)._1, schema)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val fp = partition.asInstanceOf[FilePartition]
-    if (schema.isEmpty) new CountRowsReader(fp.rowCount)
-    else new RowsFromBatchReader(new MultiFileColumnarReader(fp.paths, schema))
+    val (paths, rowCount) = filesOf(partition)
+    if (schema.isEmpty) new CountRowsReader(rowCount)
+    else new RowsFromBatchReader(new MultiFileColumnarReader(paths, schema))
   }
 }
 

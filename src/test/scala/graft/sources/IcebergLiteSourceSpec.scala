@@ -107,11 +107,14 @@ class IcebergLiteSourceSpec extends SparkSpec {
         b.scan.asInstanceOf[IcebergLiteScan]
     }.head
 
-  /** Number of data FILES the scan would open (partitions are packed, so
-    * partition count is not the pruning signal). */
+  /** Number of data FILES the scan would open (partitions are packed or
+    * bucket-grouped, so partition count is not the pruning signal). */
   private def scanFileCount(df: org.apache.spark.sql.DataFrame): Int =
     scanOf(df).toBatch.planInputPartitions()
-      .map(_.asInstanceOf[FilePartition].paths.length).sum
+      .map {
+        case FilePartition(paths, _) => paths.length
+        case BucketFilePartition(_, paths, _) => paths.length
+      }.sum
 
   test("ts-range + conv_id filter pushdown prunes files at the manifest level") {
     import spark.implicits._
