@@ -226,6 +226,39 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("text"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }),
+    // storage-partitioned-read gate (round-5): the fixture goes through a
+    // catalog table bucketed to the session's core count, so the scan takes
+    // the KEY-GROUPED path (buckets >= defaultParallelism → grouping on by
+    // default); the per-conv aggregate then plans with no Exchange and the
+    // enrich-join consumes it. Content must match the oracle recomputing
+    // the same enrichment from the raw fixture — proving the grouped scan
+    // serves exactly the table's rows (plan-shape assertions live in
+    // StoragePartitionSpec).
+    "q30_spj_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.spj")
+      val buckets = s.sparkContext.defaultParallelism
+      s.sql(
+        s"""CREATE TABLE graft.gate.spj (
+           |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+           |  text STRING, ts TIMESTAMP)
+           |TBLPROPERTIES ('buckets'='$buckets')""".stripMargin)
+      tx.select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.spj")
+        .option("epoch", "0").option("queryId", "gate").append()
+      val t = s.table("graft.gate.spj")
+      val convStats = t.groupBy("conv_id").agg(
+        count(lit(1)).as("n_turns"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts_s"))
+      t.select("conv_id", "turn_idx", "role").join(convStats, "conv_id")
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          col("n_turns"), col("first_ts_s"))
     })
   )
 
@@ -594,6 +627,15 @@ object SparkEntry {
          |WHERE NOT (role = 'tool')
          |  AND NOT (conv_id = 'conv-000000')
          |  AND NOT (CAST(ts AS TIMESTAMP) < TIMESTAMP '2026-01-01 00:20:00'
-         |           AND role = 'system')""".stripMargin
+         |           AND role = 'system')""".stripMargin,
+    // q30: per-conv enrichment recomputed from the raw fixture — any row
+    // the key-grouped scan dropped/duplicated would shift n_turns/first_ts
+    "q30_spj_enrich" ->
+      s"""SELECT t.conv_id, t.turn_idx, t.role, c.n_turns, c.first_ts_s
+         |FROM $T t
+         |JOIN (SELECT conv_id, count(*) AS n_turns,
+         |             strftime(min(CAST(ts AS TIMESTAMP)),
+         |                      '%Y-%m-%d %H:%M:%S') AS first_ts_s
+         |      FROM $T GROUP BY 1) c USING (conv_id)""".stripMargin
   )
 }
