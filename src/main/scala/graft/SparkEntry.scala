@@ -259,6 +259,52 @@ object SparkEntry {
       t.select("conv_id", "turn_idx", "role").join(convStats, "conv_id")
         .select(col("conv_id"), col("turn_idx"), col("role"),
           col("n_turns"), col("first_ts_s"))
+    }),
+    // SQL UPDATE gate (round-5): row-level copy-on-write UPDATE through
+    // the GraftExtensions post-hoc rule (UpdateTable → engine updateWhere,
+    // manifest-pruned). The rule lives in session extensions, which bind at
+    // session build — so the gate derives a sibling session on the SAME
+    // SparkContext with the extensions + catalog configured, and restores
+    // the global default/active sessions immediately. The oracle recomputes
+    // the post-update table from the raw fixture with CASE WHEN — a row the
+    // rewrite missed, double-applied, dropped or reordered into a different
+    // file is a content mismatch.
+    "q31_update" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val prevD = SparkSession.getDefaultSession
+      val prevA = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      val s2 = try SparkSession.builder()
+        .withExtensions(new graft.catalog.GraftExtensions()(_))
+        .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        .config("spark.sql.catalog.graft.warehouse",
+          s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(prevD.orNull)
+        SparkSession.setActiveSession(prevA.orNull)
+      }
+      val tx = Fixtures.transcripts(s2, dir)
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s2.sql("DROP TABLE IF EXISTS graft.gate.upd")
+      s2.sql(
+        """CREATE TABLE graft.gate.upd (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      tx.select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.upd")
+        .option("epoch", "0").option("queryId", "gate").append()
+      s2.sql(
+        """UPDATE graft.gate.upd
+          |SET tool = upper(coalesce(tool, 'none')),
+          |    text = concat(text, ' [v2]')
+          |WHERE role = 'tool' AND ts < TIMESTAMP '2026-01-01 00:30:00'""".stripMargin)
+      s2.table("graft.gate.upd")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     })
   )
 
@@ -636,6 +682,18 @@ object SparkEntry {
          |JOIN (SELECT conv_id, count(*) AS n_turns,
          |             strftime(min(CAST(ts AS TIMESTAMP)),
          |                      '%Y-%m-%d %H:%M:%S') AS first_ts_s
-         |      FROM $T GROUP BY 1) c USING (conv_id)""".stripMargin
+         |      FROM $T GROUP BY 1) c USING (conv_id)""".stripMargin,
+    // q31: the post-UPDATE table recomputed from the raw fixture — both
+    // CASE branches mirror the UPDATE's SET exprs exactly
+    "q31_update" ->
+      s"""SELECT conv_id, turn_idx, role,
+         |  CASE WHEN role = 'tool'
+         |        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2026-01-01 00:30:00'
+         |       THEN upper(coalesce(tool, 'none')) ELSE tool END AS tool,
+         |  CASE WHEN role = 'tool'
+         |        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2026-01-01 00:30:00'
+         |       THEN concat(text, ' [v2]') ELSE text END AS text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T""".stripMargin
   )
 }

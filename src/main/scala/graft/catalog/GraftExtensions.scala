@@ -1,0 +1,209 @@
+package graft.catalog
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, PlanExpression, And => CatalystAnd}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.sources.Filter
+
+import graft.sources.{IcebergLiteTable, PrunePredicate}
+import graft.table.IcebergLite
+
+/** Session extensions for the graft engine — `--conf
+  * spark.sql.extensions=graft.catalog.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions()(_))`).
+  *
+  * Adds the SQL row-level-mutation surface Spark's built-in planner only
+  * offers to `SupportsRowLevelOperations` tables:
+  * `UPDATE graft.db.t SET col = expr, ... WHERE pred`. The post-hoc rule
+  * rewrites a resolved [[UpdateTable]] over a graft relation into
+  * [[GraftUpdateCommand]], planned by [[GraftCommandStrategy]] into an
+  * eager command exec that calls [[IcebergLite.updateWhere]] — the engine's
+  * manifest-pruned copy-on-write rewrite. Deliberately NOT Spark's generic
+  * group-based `ReplaceData` path: that rewrite streams every row of every
+  * affected group through a full distributed write and loses the engine's
+  * per-epoch lineage grouping, while the engine rewrite touches only
+  * matched files, preserves source epochs (incremental streams serve
+  * patched deltas), row order, bucket ids and recomputed stats, and prunes
+  * candidates with the same manifest stats the scan path uses.
+  *
+  * Scale note: the conjuncts of the WHERE clause that translate to pushable
+  * V1 filters feed [[PrunePredicate]] (ts-interval + conv_id-bucket file
+  * pruning) — a conv-scoped UPDATE at 10^12-turn scale rewrites one
+  * bucket's files per epoch, not the table. Untranslatable conjuncts only
+  * cost pruning, never correctness (the full predicate is re-evaluated
+  * exactly per candidate row).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(session => GraftUpdateRewrite(session))
+    ext.injectPlannerStrategy(_ => GraftCommandStrategy)
+  }
+}
+
+/** Logical command carrying everything [[GraftUpdateExec]] needs, with
+  * expressions already rendered to SQL text: per-file rewrites re-resolve
+  * them against each data file's own relation, so carrying resolved
+  * `AttributeReference`s (whose expr-ids belong to the UPDATE's relation)
+  * would be wrong — the text form is the stable cross-plan contract. */
+final case class GraftUpdateCommand(root: String,
+                                    assignSql: Seq[(String, String)],
+                                    condSql: Option[String],
+                                    pruneFilters: Seq[Filter],
+                                    predicateText: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** Post-hoc resolution rule: resolved `UPDATE` over a graft table →
+  * [[GraftUpdateCommand]]. Fires after the main resolution batch (names and
+  * types are resolved) and before Spark's check rules would reject
+  * `UpdateTable` for a table without `SupportsRowLevelOperations`. */
+final case class GraftUpdateRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def relationOf(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+    case r: DataSourceV2Relation => Some(r)
+    case SubqueryAlias(_, child) => relationOf(child)
+    case _                       => None
+  }
+
+  /** Qualifier-free SQL text: attribute references are rendered as bare
+    * column names so `functions.expr` re-resolves them against the per-file
+    * DataFrame (where no alias qualifier exists). */
+  private def toSql(e: Expression): String =
+    e.transform { case a: AttributeReference => UnresolvedAttribute(Seq(a.name)) }.sql
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CatalystAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other             => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(tableChild, assignments, condition) if u.resolved =>
+      relationOf(tableChild) match {
+        case Some(r) if r.table.isInstanceOf[IcebergLiteTable] =>
+          val t = r.table.asInstanceOf[IcebergLiteTable]
+          if (t.asOfEpoch.isDefined)
+            throw new UnsupportedOperationException(
+              s"cannot UPDATE the time-travel view ${t.name()} — updates " +
+                "apply to the live table")
+          val exprs = condition.toSeq ++ assignments.flatMap(a => Seq(a.key, a.value))
+          if (exprs.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
+            throw new UnsupportedOperationException(
+              "graft UPDATE does not support subqueries in SET or WHERE — " +
+                "materialize the subquery and use literal predicates")
+          val assignSql = assignments.map { a =>
+            a.key match {
+              case k: AttributeReference => k.name -> toSql(a.value)
+              case other => throw new UnsupportedOperationException(
+                s"graft UPDATE targets top-level columns only, got: ${other.sql}")
+            }
+          }
+          val pruneFilters = condition.toSeq.flatMap(conjuncts)
+            .flatMap(GraftUpdateRewrite.toV1Filter)
+          GraftUpdateCommand(t.rootPath, assignSql, condition.map(toSql),
+            pruneFilters, u.simpleString(50))
+        case _ => plan
+      }
+    case _ => plan
+  }
+}
+
+object GraftUpdateRewrite {
+  import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr}
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+  import org.apache.spark.sql.types.{StringType, TimestampType}
+  import org.apache.spark.sql.{sources => v1}
+
+  /** Catalyst-literal internal value → the external form
+    * [[PrunePredicate]] matches on (`java.time.Instant` for ts bounds,
+    * `String` for conv_id sets). */
+  private def external(l: Literal): Option[Any] = l.dataType match {
+    case StringType    => Option(l.value).map(_.toString)
+    case TimestampType =>
+      Option(l.value).map(v => DateTimeUtils.microsToInstant(v.asInstanceOf[Long]))
+    case _ => None
+  }
+
+  /** Conservative catalyst→V1 translation of exactly the shapes
+    * [[PrunePredicate]] can prune on (conv_id equality/IN, ts comparisons,
+    * And/Or of those). `None` means "cannot prune on this conjunct" — the
+    * full predicate is still evaluated row-exactly per candidate file, so
+    * a miss here costs candidate breadth, never correctness. Spark's own
+    * `DataSourceStrategy.translateFilter` is `protected[sql]`, hence this
+    * narrow public-API reimplementation. */
+  def toV1Filter(e: Expression): Option[Filter] = e match {
+    case CEqualTo(a: AttributeReference, l: Literal) =>
+      external(l).map(v1.EqualTo(a.name, _))
+    case CEqualTo(l: Literal, a: AttributeReference) =>
+      external(l).map(v1.EqualTo(a.name, _))
+    case CEqualNullSafe(a: AttributeReference, l: Literal) =>
+      external(l).map(v1.EqualNullSafe(a.name, _))
+    case CGreaterThan(a: AttributeReference, l: Literal) =>
+      external(l).map(v1.GreaterThan(a.name, _))
+    case CGreaterThan(l: Literal, a: AttributeReference) =>
+      external(l).map(v1.LessThan(a.name, _))
+    case CGreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      external(l).map(v1.GreaterThanOrEqual(a.name, _))
+    case CGreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      external(l).map(v1.LessThanOrEqual(a.name, _))
+    case CLessThan(a: AttributeReference, l: Literal) =>
+      external(l).map(v1.LessThan(a.name, _))
+    case CLessThan(l: Literal, a: AttributeReference) =>
+      external(l).map(v1.GreaterThan(a.name, _))
+    case CLessThanOrEqual(a: AttributeReference, l: Literal) =>
+      external(l).map(v1.LessThanOrEqual(a.name, _))
+    case CLessThanOrEqual(l: Literal, a: AttributeReference) =>
+      external(l).map(v1.GreaterThanOrEqual(a.name, _))
+    case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      val ext = vs.map(v => external(v.asInstanceOf[Literal]))
+      if (ext.forall(_.isDefined)) Some(v1.In(a.name, ext.flatten.toArray))
+      else None
+    case CatalystAnd(l, r) =>
+      for (lf <- toV1Filter(l); rf <- toV1Filter(r)) yield v1.And(lf, rf)
+    case COr(l, r) =>
+      for (lf <- toV1Filter(l); rf <- toV1Filter(r)) yield v1.Or(lf, rf)
+    case _ => None
+  }
+}
+
+object GraftCommandStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftUpdateCommand(root, assignSql, condSql, pruneFilters, text) =>
+      GraftUpdateExec(root, assignSql, condSql, pruneFilters, text) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Eager command exec: one engine call, no distributed plan of its own —
+  * the engine's per-file rewrites run their own (small, column-pruned)
+  * Spark jobs. */
+final case class GraftUpdateExec(root: String,
+                                 assignSql: Seq[(String, String)],
+                                 condSql: Option[String],
+                                 pruneFilters: Seq[Filter],
+                                 predicateText: String)
+    extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Unit = {
+    val spark = SparkSession.active
+    val cond = condSql.map(functions.expr).getOrElse(functions.lit(true))
+    val assigns = assignSql.map { case (n, s) => n -> functions.expr(s) }
+    val pred = PrunePredicate.from(pruneFilters.filter(PrunePredicate.prunable))
+    new IcebergLite(root).updateWhere(spark, cond, assigns, predicateText,
+      pred.prune)
+    ()
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = {
+    done; sparkContext.emptyRDD[InternalRow]
+  }
+}

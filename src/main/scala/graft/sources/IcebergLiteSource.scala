@@ -286,6 +286,13 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String =
     s"iceberglite:$root" + asOf.map(e => s"@$e").getOrElse("")
+  /** Table root on disk — the handle row-level commands
+    * ([[graft.catalog.GraftExtensions]] UPDATE rewrite) use to reach the
+    * engine's copy-on-write machinery. */
+  def rootPath: String = root
+  /** Time-travel epoch this relation is pinned to, if any — row-level
+    * mutations reject historical views. */
+  def asOfEpoch: Option[Long] = asOf
   // V1_BATCH_WRITE: the write delegates to IcebergLite.commitEpoch via the
   // InsertableRelation fallback — deliberately, so the DSv2 path shares the
   // EXACT deterministic layout (conv_id bucketing, (conv_id, turn_idx)

@@ -366,6 +366,76 @@ final class IcebergLite(val root: String) {
   def deleteWhere(spark: SparkSession, condition: org.apache.spark.sql.Column,
                   predicateText: String,
                   prune: Seq[FileSet] => Seq[DataFileMeta] = _.flatMap(_.files)): Long =
+    rewriteWhere(spark, condition, predicateText, prune) { (df, hit, matched, f) =>
+      // fully-matched file → dropped outright; partial match → rewrite
+      // without the matching rows (row order preserved — no shuffle)
+      if (matched == f.rowCount) None else Some(df.filter(!hit))
+    }
+
+  /** Row-level UPDATE by copy-on-write rewrite — the same manifest-pruned
+    * per-file machinery as [[deleteWhere]], but matched rows are kept with
+    * `assignments` applied instead of dropped ("fix the tool label on these
+    * turns" without rewriting the table). All assignment values are
+    * evaluated against the ORIGINAL row (SQL UPDATE semantics: `SET a = b,
+    * b = a` swaps) in one projection, cast to the declared column type, and
+    * rewritten files preserve row order, bucket `partitionId`, lineage
+    * columns and recomputed per-file ts stats — so manifest pruning and
+    * storage-partitioned reads stay exact. The rewrite publishes the same
+    * atomic `delete-<gen>.json` manifest shape (removed paths + surviving
+    * rewrites grouped by source epoch), so the effective view, incremental
+    * stream patching, [[compact]] folding, [[gc]] and [[expireMetadata]]
+    * all compose with updates exactly as with deletes.
+    *
+    * Structural columns are REJECTED loudly: `conv_id` fixes a row's hash
+    * bucket (an in-place rewrite would leave bucket pruning and
+    * storage-partitioned reads serving wrong results) and
+    * `(conv_id, turn_idx)` is the table's stable-ordering contract —
+    * correct the row with DELETE + a new-epoch INSERT instead. Lineage
+    * columns (`epoch_id`, `partition_id`) are engine-managed and not in
+    * the declared schema, so they are rejected by the declared-column
+    * check. Returns the number of rows updated. */
+  def updateWhere(spark: SparkSession, condition: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)],
+                  predicateText: String,
+                  prune: Seq[FileSet] => Seq[DataFileMeta] = _.flatMap(_.files)): Long = {
+    require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"duplicate UPDATE assignment targets: ${assignments.map(_._1).mkString(", ")}")
+    val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val typeOf = declared.fields.map(f => f.name -> f.dataType).toMap
+    assignments.foreach { case (n, _) =>
+      require(typeOf.contains(n),
+        s"UPDATE target column '$n' is not in the declared schema " +
+          s"(${declared.fieldNames.mkString(", ")}); lineage columns are " +
+          "engine-managed and cannot be assigned")
+      require(n != "conv_id" && n != "turn_idx",
+        s"refusing to UPDATE structural column '$n': conv_id fixes the row's " +
+          "hash bucket and (conv_id, turn_idx) is the stable-ordering " +
+          "contract — DELETE the rows and INSERT corrected ones instead")
+    }
+    val assign = assignments.toMap
+    rewriteWhere(spark, condition, predicateText, prune) { (df, hit, _, _) =>
+      // ONE projection so every RHS sees original column values
+      Some(df.select(df.columns.toSeq.map { c =>
+        assign.get(c) match {
+          case Some(v) => when(hit, v.cast(typeOf(c))).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*))
+    }
+  }
+
+  /** Shared copy-on-write core of [[deleteWhere]] / [[updateWhere]]:
+    * manifest-pruned candidates are probed with a column-pruned count
+    * (only the predicate's columns are decoded — a false-positive candidate
+    * never pays a text read); `rewrite` maps a matched file to its
+    * replacement rows (None = drop the file). Publishes one atomic
+    * `delete-<gen>.json` manifest; returns total matched rows. */
+  private def rewriteWhere(spark: SparkSession,
+                           condition: org.apache.spark.sql.Column,
+                           predicateText: String,
+                           prune: Seq[FileSet] => Seq[DataFileMeta])(
+      rewrite: (DataFrame, org.apache.spark.sql.Column, Long, DataFileMeta) => Option[DataFrame]): Long =
     synchronized {
       require(exists, s"IcebergLite table does not exist at $root")
       val base = effectiveFileSets
@@ -387,7 +457,7 @@ final class IcebergLite(val root: String) {
       val hit = coalesce(condition, lit(false))
       var removes = Vector.empty[String]
       var adds = Vector.empty[(Long, Int, DataFileMeta)]
-      var removedRows = 0L
+      var matchedRows = 0L
       var seq = 0
       candidates.foreach { f =>
         var df = spark.read.parquet(s"$root/${f.path}")
@@ -397,10 +467,10 @@ final class IcebergLite(val root: String) {
         val matched = df.filter(hit).count()
         if (matched > 0L) {
           removes :+= f.path
-          removedRows += matched
-          if (matched < f.rowCount) {
+          matchedRows += matched
+          rewrite(df, hit, matched, f).foreach { replacement =>
             val out = staging.resolve(s"f$seq")
-            df.filter(!hit).coalesce(1).write.mode("overwrite").parquet(out.toString)
+            replacement.coalesce(1).write.mode("overwrite").parquet(out.toString)
             val part = listDir(out)(
               _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
             val name = f"part-d$gen%04d-$seq%05d.parquet"
@@ -449,7 +519,7 @@ final class IcebergLite(val root: String) {
       }
       m.put("fileSets", fsl)
       atomicWrite(deletePath(gen), mapper.writeValueAsBytes(m))
-      removedRows
+      matchedRows
     }
 
   /** Effective file set: the LATEST compaction generation plus epochs not
