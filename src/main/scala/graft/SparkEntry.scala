@@ -305,6 +305,63 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("text"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }),
+    // SQL MERGE INTO gate (round-5): upsert through the GraftExtensions
+    // rule — matched rows rewritten copy-on-write with the feed's values,
+    // not-matched feed rows committed as a pending-activation insert epoch,
+    // both made visible by ONE atomic manifest. The feed is derived
+    // deterministically from the fixture so the DuckDB oracle can replay
+    // the merge as CASE WHEN + UNION ALL; a torn merge (updates without
+    // inserts or vice versa), a double-applied update or a lost insert is
+    // a content mismatch.
+    "q32_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val prevD = SparkSession.getDefaultSession
+      val prevA = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      val s2 = try SparkSession.builder()
+        .withExtensions(new graft.catalog.GraftExtensions()(_))
+        .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        .config("spark.sql.catalog.graft.warehouse",
+          s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(prevD.orNull)
+        SparkSession.setActiveSession(prevA.orNull)
+      }
+      val tx = Fixtures.transcripts(s2, dir)
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s2.sql("DROP TABLE IF EXISTS graft.gate.mrg")
+      s2.sql(
+        """CREATE TABLE graft.gate.mrg (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      tx.select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.mrg")
+        .option("epoch", "0").option("queryId", "gate").append()
+      // correction feed: fix turn 0 of the first 50 convs, append a
+      // renumbered copy of turn 1 for the first 20 convs
+      val updates = tx
+        .filter(col("conv_id") < "conv-000050" && col("turn_idx") === 0)
+        .select(col("conv_id"), col("turn_idx"), lit("merged").as("role"),
+          col("tool"), concat(col("text"), lit(" [m]")).as("text"), col("ts"))
+      val inserts = tx
+        .filter(col("conv_id") < "conv-000020" && col("turn_idx") === 1)
+        .select(col("conv_id"), (col("turn_idx") + 1000).as("turn_idx"),
+          col("role"), col("tool"), col("text"), col("ts"))
+      updates.unionAll(inserts).createOrReplaceTempView("gate_merge_feed")
+      s2.sql(
+        """MERGE INTO graft.gate.mrg t USING gate_merge_feed s
+          |ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+          |WHEN MATCHED THEN UPDATE SET role = s.role, text = s.text
+          |WHEN NOT MATCHED THEN INSERT (conv_id, turn_idx, role, tool, text, ts)
+          |  VALUES (s.conv_id, s.turn_idx, s.role, s.tool, s.text, s.ts)""".stripMargin)
+      s2.table("graft.gate.mrg")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     })
   )
 
@@ -694,6 +751,22 @@ object SparkEntry {
          |        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2026-01-01 00:30:00'
          |       THEN concat(text, ' [v2]') ELSE text END AS text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
-         |FROM $T""".stripMargin
+         |FROM $T""".stripMargin,
+    // q32: the merged table replayed relationally — matched updates as
+    // CASE branches, not-matched inserts as a UNION ALL of the same
+    // deterministic feed slice
+    "q32_merge" ->
+      s"""SELECT conv_id, turn_idx,
+         |  CASE WHEN conv_id < 'conv-000050' AND turn_idx = 0
+         |       THEN 'merged' ELSE role END AS role,
+         |  tool,
+         |  CASE WHEN conv_id < 'conv-000050' AND turn_idx = 0
+         |       THEN concat(text, ' [m]') ELSE text END AS text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T
+         |UNION ALL
+         |SELECT conv_id, turn_idx + 1000 AS turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T WHERE conv_id < 'conv-000020' AND turn_idx = 1""".stripMargin
   )
 }

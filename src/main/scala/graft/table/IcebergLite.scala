@@ -249,13 +249,22 @@ final class IcebergLite(val root: String) {
   /** Step 3: atomically publish the snapshot (manifest + lineage).
     * `numBuckets` records the conv_id hash-bucket count the files were
     * written with (−1 = unknown/unbucketed) — the connector uses it for
-    * manifest-level conv_id-equality pruning. */
+    * manifest-level conv_id-equality pruning.
+    *
+    * `pendingGen`: the two-file atomic-commit protocol behind [[merge]].
+    * A snapshot stamped `pendingGen = g` is INVISIBLE to every reader
+    * ([[snapshots]] filters it) until `delete-<g>.json` exists — writing
+    * that one manifest atomically activates the insert epoch AND applies
+    * the rewrite, so a merge's updates and inserts become visible
+    * together or not at all. */
   def writeSnapshot(queryId: String, epochId: Long, files: Seq[DataFileMeta],
-                    numBuckets: Int = -1): Unit = {
+                    numBuckets: Int = -1,
+                    pendingGen: Option[Long] = None): Unit = {
     val snap = new JHashMap[String, Object]()
     snap.put("queryId", queryId)
     snap.put("epochId", java.lang.Long.valueOf(epochId))
     snap.put("numBuckets", Integer.valueOf(numBuckets))
+    pendingGen.foreach(g => snap.put("pendingGen", java.lang.Long.valueOf(g)))
     // schema version the epoch's files were written under — time travel
     // serves this version's schema (deterministic: part of the snapshot)
     snap.put("schemaVersion", Integer.valueOf(schemaVersion))
@@ -273,15 +282,30 @@ final class IcebergLite(val root: String) {
     atomicWrite(snapPath(epochId), mapper.writeValueAsBytes(snap))
   }
 
-  def snapshots: Seq[SnapshotMeta] = {
+  /** Committed snapshots only: a merge-staged snapshot (`pendingGen = g`)
+    * is served iff its activating `delete-<g>.json` landed — every reader
+    * (effective view, streams, time travel, gc, expiry) routes through
+    * here, so pending inserts are invisible everywhere until the merge's
+    * single atomic manifest write. */
+  def snapshots: Seq[SnapshotMeta] =
+    rawSnapshots.collect {
+      case (s, None) => s
+      case (s, Some(g)) if Files.exists(deletePath(g)) => s
+    }
+
+  /** All snapshot manifests on disk, with their pending-activation gen —
+    * the raw view [[merge]] (epoch allocation must not reuse a pending
+    * epoch) and [[removeOrphans]] (dead-pending cleanup) need. */
+  private[table] def rawSnapshots: Seq[(SnapshotMeta, Option[Long])] = {
     if (!Files.exists(metaDir)) return Nil
     listDir(metaDir)(_.filter(_.getFileName.toString.startsWith("snap-"))
       .toSeq.sortBy(_.getFileName.toString))
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
-        SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(),
+        (SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(),
           parseFiles(n), parseBuckets(n),
-          if (n.has("schemaVersion")) n.get("schemaVersion").asInt() else 1)
+          if (n.has("schemaVersion")) n.get("schemaVersion").asInt() else 1),
+          Option(n.get("pendingGen")).map(_.asLong()))
       }
   }
 
@@ -328,7 +352,8 @@ final class IcebergLite(val root: String) {
             DeleteFileSet(fs.get("numBuckets").asInt(),
               fs.get("sourceEpoch").asLong(), parseFiles(fs))
           }.toSeq,
-          n.get("affectsCompacted").asBoolean())
+          n.get("affectsCompacted").asBoolean(),
+          Option(n.get("activatesEpoch")).map(_.asLong()))
       }
   }
 
@@ -425,6 +450,224 @@ final class IcebergLite(val root: String) {
     }
   }
 
+  /** One rewritten data file: written to staging single-part, moved into
+    * `data/` under the rewrite-generation name, stats recomputed from the
+    * parquet footer (ts ranges may have changed). */
+  private def publishRewriteFile(replacement: DataFrame, staging: Path,
+                                 gen: Long, seq: Int,
+                                 partitionId: Int): DataFileMeta = {
+    val out = staging.resolve(s"f$seq")
+    replacement.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val part = listDir(out)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+    val name = f"part-d$gen%04d-$seq%05d.parquet"
+    val dst = dataDir.resolve(name)
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    footerStats(dst, gen, partitionId, s"data/$name")
+  }
+
+  /** SQL-MERGE-style upsert, keyed by the table's natural key
+    * `(conv_id, turn_idx)`: `WHEN MATCHED THEN UPDATE SET *` (or `DELETE`)
+    * over matched target rows, `WHEN NOT MATCHED THEN INSERT *` for source
+    * rows with no target match — "apply this correction feed" in one
+    * atomic commit.
+    *
+    * Execution shape (designed for the 10^12-turn table, not the feed):
+    *  1. the source is validated (the key and every column the actions
+    *     read present, cast; non-null unique keys — SQL MERGE forbids
+    *     multiple source matches per target row) and materialized ONCE
+    *     to staging parquet
+    *     partitioned by the declared conv_id bucket — one shuffle of the
+    *     (small) feed, never of the table;
+    *  2. candidate target files are manifest-pruned by BUCKET SET: for
+    *     each bucket layout in the effective view, the source's occupied
+    *     buckets (a ≤ numBuckets-element aggregate of the feed) select
+    *     the only files that can contain matches — a feed touching k
+    *     conversations probes at most k buckets' files per epoch;
+    *  3. each candidate is probed with a column-pruned key semi-join
+    *     against its bucket's slice of the staged feed (false-positive
+    *     candidates never read the text column) and matched files are
+    *     rewritten — matched rows replaced by source values (all
+    *     non-lineage columns; `_ord` row-id keeps the original row order
+    *     through the join) or anti-joined away for DELETE;
+    *  4. not-matched source rows are committed as a NEW epoch via the
+    *     normal deterministic sink layout, but the snapshot is stamped
+    *     `pendingGen` — invisible to all readers;
+    *  5. ONE `delete-<gen>.json` manifest (removes + rewrites +
+    *     `activatesEpoch`) is the single atomic commit point: rewrites
+    *     and inserts appear together or not at all. Crash before (5)
+    *     leaves the table unchanged (pending snapshot hidden;
+    *     [[removeOrphans]] reclaims dead pendings once their gen is
+    *     settled).
+    *
+    * Downstream semantics compose unchanged: the insert epoch is a normal
+    * epoch (incremental streams replay it exactly-once; time travel serves
+    * it), rewrites patch their source epochs' deltas, compaction folds the
+    * manifest, gc reclaims superseded rewrite files.
+    *
+    * Maintenance op like [[compact]]/[[deleteWhere]]: callers serialize
+    * externally. The insert epoch is allocated as max(all snapshots,
+    * pending included) + 1 — colliding with a concurrent epoch writer is
+    * outside the contract and fails loudly via the `queryId` commit guard.
+    */
+  def merge(spark: SparkSession, source: DataFrame, queryId: String,
+            matched: Option[MergeMatched], insertNotMatched: Boolean,
+            description: String = "MERGE"): MergeStats = synchronized {
+    require(exists, s"IcebergLite table does not exist at $root")
+    require(matched.isDefined || insertNotMatched,
+      "MERGE requires at least one action (WHEN MATCHED and/or WHEN NOT MATCHED)")
+    val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    require(declared.fieldNames.contains("conv_id") &&
+      declared.fieldNames.contains("turn_idx"),
+      "MERGE is keyed by (conv_id, turn_idx); this table does not declare them")
+    val keys = Seq("conv_id", "turn_idx")
+    val updateCols: Set[String] = matched match {
+      case Some(MergeUpdateAll) => declared.fieldNames.toSet -- keys
+      case Some(MergeUpdateCols(cs)) =>
+        val unknown = cs.filterNot(declared.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"MERGE UPDATE target column(s) not in the declared schema: " +
+            unknown.mkString(", "))
+        cs.toSet -- keys
+      case _ => Set.empty
+    }
+    // the source only has to carry what the actions read: the key plus
+    // the assigned columns, or everything when inserting whole rows
+    val needed: Seq[String] =
+      if (insertNotMatched) declared.fieldNames.toSeq
+      else (keys ++ declared.fieldNames.filter(updateCols.contains)).distinct
+    val missing = needed.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"MERGE source is missing required column(s): ${missing.mkString(", ")}")
+    val typeOf = declared.fields.map(f => f.name -> f.dataType).toMap
+    val src0 = source.select(
+      needed.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+
+    val srcCount = src0.count()
+    if (srcCount == 0L) return MergeStats(0L, 0L, None)
+    require(src0.filter(col("conv_id").isNull || col("turn_idx").isNull)
+      .limit(1).count() == 0L, "MERGE source has NULL key column(s)")
+    val distinctKeys = src0.select(keys.map(col): _*).distinct().count()
+    require(distinctKeys == srcCount,
+      s"MERGE source has duplicate (conv_id, turn_idx) keys ($srcCount rows, " +
+        s"$distinctKeys distinct) — SQL MERGE forbids multiple source " +
+        "matches per target row")
+
+    val gen = deletes.map(_.gen).foldLeft(0L)(math.max) + 1L
+    val n = declaredNumBuckets.filter(_ > 0)
+      .orElse(snapshots.lastOption.map(_.numBuckets).filter(_ > 0))
+      .getOrElse(8)
+    // one shuffle of the FEED (partitioned by the table's bucket function:
+    // pmod(hash, n) == bucketOf — Murmur3 seed 42, HashPartitioning route)
+    val stagingSrc = Paths.get(root, "_staging", s"merge-$gen")
+    deleteRecursively(stagingSrc)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    src0.withColumn("_b", pmod(hash(col("conv_id")), lit(n)))
+      .write.partitionBy("_b").mode("overwrite")
+      .parquet(stagingSrc.resolve("src").toString)
+    val srcAll = spark.read.parquet(stagingSrc.resolve("src").toString)
+
+    // per-layout occupied-bucket sets: bounded aggregates of the feed
+    // (≤ numBuckets values each), the manifest-level candidate pruning
+    val base = effectiveFileSets
+    val bucketSets: Map[Int, Set[Int]] =
+      base.map(_.numBuckets).distinct.filter(_ > 0).map { nb =>
+        nb -> srcAll.select(pmod(hash(col("conv_id")), lit(nb)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      }.toMap
+    val candidates: Seq[(DataFileMeta, Int)] = base.flatMap { fs =>
+      fs.files.filter(f => fs.numBuckets <= 0 ||
+        bucketSets(fs.numBuckets).contains(f.partitionId))
+        .map(f => (f, fs.numBuckets))
+    }
+    val bucketsOf: Map[String, Int] =
+      base.flatMap(fs => fs.files.map(_.path -> fs.numBuckets)).toMap
+    val srcEpoch: Map[String, Long] =
+      snapshots.flatMap(s => s.files.map(_.path -> s.epochId)).toMap ++
+        deletes.flatMap(_.fileSets.flatMap(fs =>
+          fs.files.map(_.path -> fs.sourceEpoch)))
+
+    var removes = Vector.empty[String]
+    var adds = Vector.empty[(Long, Int, DataFileMeta)]
+    var matchedRows = 0L
+    var seq = 0
+    if (matched.isDefined) candidates.foreach { case (f, nb) =>
+      var df = spark.read.parquet(s"$root/${f.path}")
+      declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
+        df = df.withColumn(c.name, lit(null).cast(c.dataType))
+      }
+      val srcB =
+        if (nb == n) srcAll.filter(col("_b") === f.partitionId)
+        else srcAll.filter(pmod(hash(col("conv_id")), lit(nb)) === f.partitionId)
+      // column-pruned probe: only the key columns of the file are decoded
+      val m = df.select(keys.map(col): _*).join(srcB, keys, "left_semi").count()
+      if (m > 0L) {
+        removes :+= f.path
+        matchedRows += m
+        // _ord pins the original row order through the join
+        val ordered = df.withColumn("_ord", monotonically_increasing_id())
+        val replacement = matched.get match {
+          case MergeUpdateAll | MergeUpdateCols(_) =>
+            val t = ordered.alias("t")
+            val s = srcB.alias("s")
+            val joined = t.join(s,
+              keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+              "left")
+            val hitS = col("s.conv_id").isNotNull
+            Some(joined.select(ordered.columns.toSeq.map {
+              case "_ord" => col("t._ord")
+              case c if updateCols.contains(c) =>
+                when(hitS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+              case other => col(s"t.$other").as(other)
+            }: _*))
+          case MergeDeleteMatched =>
+            if (m == f.rowCount) None
+            else Some(ordered.join(srcB, keys, "left_anti"))
+        }
+        replacement.foreach { r =>
+          adds :+= ((srcEpoch.getOrElse(f.path, -1L),
+            bucketsOf.getOrElse(f.path, -1),
+            publishRewriteFile(r.orderBy("_ord").drop("_ord"),
+              stagingSrc, gen, seq, f.partitionId)))
+          seq += 1
+        }
+      }
+    }
+
+    var inserted = 0L
+    var insertEpoch: Option[Long] = None
+    if (insertNotMatched) {
+      // anti-join the feed against ONLY the candidate files' keys
+      // (matches cannot live outside the feed's buckets)
+      val keySchema = org.apache.spark.sql.types.StructType(
+        declared.fields.filter(f => keys.contains(f.name)))
+      val targetKeys =
+        if (candidates.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            keySchema)
+        else spark.read.schema(keySchema)
+          .parquet(candidates.map(c => s"$root/${c._1.path}"): _*)
+      val notMatched = srcAll.drop("_b").join(targetKeys, keys, "left_anti")
+      inserted = notMatched.count()
+      if (inserted > 0L) {
+        val epoch = rawSnapshots.map(_._1.epochId).foldLeft(-1L)(math.max) + 1L
+        val files = stageAndPublish(notMatched, epoch, n)
+        writeSnapshot(queryId, epoch, files, n, pendingGen = Some(gen))
+        insertEpoch = Some(epoch)
+      }
+    }
+
+    deleteRecursively(stagingSrc)
+    if (removes.isEmpty && insertEpoch.isEmpty)
+      return MergeStats(matchedRows, 0L, None)
+    // THE atomic commit: rewrites + insert activation in one manifest
+    writeRewriteManifest(gen, description, removes, adds,
+      affectsCompacted = removes.exists(p => !srcEpoch.contains(p)),
+      activatesEpoch = insertEpoch)
+    MergeStats(matchedRows, inserted, insertEpoch)
+  }
+
   /** Shared copy-on-write core of [[deleteWhere]] / [[updateWhere]]:
     * manifest-pruned candidates are probed with a column-pruned count
     * (only the predicate's columns are decoded — a false-positive candidate
@@ -469,58 +712,66 @@ final class IcebergLite(val root: String) {
           removes :+= f.path
           matchedRows += matched
           rewrite(df, hit, matched, f).foreach { replacement =>
-            val out = staging.resolve(s"f$seq")
-            replacement.coalesce(1).write.mode("overwrite").parquet(out.toString)
-            val part = listDir(out)(
-              _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
-            val name = f"part-d$gen%04d-$seq%05d.parquet"
-            val dst = dataDir.resolve(name)
-            Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING,
-              StandardCopyOption.ATOMIC_MOVE)
             adds :+= ((srcEpoch.getOrElse(f.path, -1L),
               bucketsOf.getOrElse(f.path, -1),
-              footerStats(dst, gen, f.partitionId, s"data/$name")))
+              publishRewriteFile(replacement, staging, gen, seq, f.partitionId)))
             seq += 1
           }
         }
       }
       deleteRecursively(staging)
       if (removes.isEmpty) return 0L
-      val m = new JHashMap[String, Object]()
-      m.put("gen", java.lang.Long.valueOf(gen))
-      m.put("predicate", predicateText)
-      // true when compaction-generation data was touched: per-epoch stream
-      // patching is impossible for replaced epochs (their raw files predate
-      // the generation), so lagging streams must fail loudly instead of
-      // replaying purged rows — see the DSv2 source guard
-      m.put("affectsCompacted",
-        java.lang.Boolean.valueOf(removes.exists(p => !srcEpoch.contains(p))))
-      val rl: JList[Object] = new JArrayList[Object]()
-      removes.foreach(rl.add)
-      m.put("removes", rl)
-      val fsl: JList[Object] = new JArrayList[Object]()
-      adds.groupBy(a => (a._1, a._2)).toSeq.sortBy(_._1).foreach {
-        case ((se, nb), group) =>
-          val fs = new JHashMap[String, Object]()
-          fs.put("sourceEpoch", java.lang.Long.valueOf(se))
-          fs.put("numBuckets", Integer.valueOf(nb))
-          val fl: JList[Object] = new JArrayList[Object]()
-          group.map(_._3).sortBy(_.path).foreach { df =>
-            val fm = new JHashMap[String, Object]()
-            fm.put("path", df.path)
-            fm.put("partitionId", Integer.valueOf(df.partitionId))
-            fm.put("rowCount", java.lang.Long.valueOf(df.rowCount))
-            fm.put("minTs", java.lang.Long.valueOf(df.minTsMicros))
-            fm.put("maxTs", java.lang.Long.valueOf(df.maxTsMicros))
-            fl.add(fm)
-          }
-          fs.put("files", fl)
-          fsl.add(fs)
-      }
-      m.put("fileSets", fsl)
-      atomicWrite(deletePath(gen), mapper.writeValueAsBytes(m))
+      // affectsCompacted is true when compaction-generation data was
+      // touched: per-epoch stream patching is impossible for replaced
+      // epochs (their raw files predate the generation), so lagging
+      // streams must fail loudly instead of replaying purged rows — see
+      // the DSv2 source guard
+      writeRewriteManifest(gen, predicateText, removes, adds,
+        affectsCompacted = removes.exists(p => !srcEpoch.contains(p)),
+        activatesEpoch = None)
       matchedRows
     }
+
+  /** Atomic publication of a copy-on-write rewrite: ONE
+    * `delete-<gen>.json` that removes `removes`, adds the rewritten
+    * survivors grouped by source epoch, and (for [[merge]]) activates the
+    * pending insert epoch — the single commit point for DELETE, UPDATE and
+    * MERGE alike. */
+  private def writeRewriteManifest(gen: Long, predicateText: String,
+                                   removes: Seq[String],
+                                   adds: Seq[(Long, Int, DataFileMeta)],
+                                   affectsCompacted: Boolean,
+                                   activatesEpoch: Option[Long]): Unit = {
+    val m = new JHashMap[String, Object]()
+    m.put("gen", java.lang.Long.valueOf(gen))
+    m.put("predicate", predicateText)
+    m.put("affectsCompacted", java.lang.Boolean.valueOf(affectsCompacted))
+    activatesEpoch.foreach(e => m.put("activatesEpoch", java.lang.Long.valueOf(e)))
+    val rl: JList[Object] = new JArrayList[Object]()
+    removes.foreach(rl.add)
+    m.put("removes", rl)
+    val fsl: JList[Object] = new JArrayList[Object]()
+    adds.groupBy(a => (a._1, a._2)).toSeq.sortBy(_._1).foreach {
+      case ((se, nb), group) =>
+        val fs = new JHashMap[String, Object]()
+        fs.put("sourceEpoch", java.lang.Long.valueOf(se))
+        fs.put("numBuckets", Integer.valueOf(nb))
+        val fl: JList[Object] = new JArrayList[Object]()
+        group.map(_._3).sortBy(_.path).foreach { df =>
+          val fm = new JHashMap[String, Object]()
+          fm.put("path", df.path)
+          fm.put("partitionId", Integer.valueOf(df.partitionId))
+          fm.put("rowCount", java.lang.Long.valueOf(df.rowCount))
+          fm.put("minTs", java.lang.Long.valueOf(df.minTsMicros))
+          fm.put("maxTs", java.lang.Long.valueOf(df.maxTsMicros))
+          fl.add(fm)
+        }
+        fs.put("files", fl)
+        fsl.add(fs)
+    }
+    m.put("fileSets", fsl)
+    atomicWrite(deletePath(gen), mapper.writeValueAsBytes(m))
+  }
 
   /** Effective file set: the LATEST compaction generation plus epochs not
     * replaced by any generation, with un-folded [[deleteWhere row-level
@@ -876,8 +1127,28 @@ final class IcebergLite(val root: String) {
     * Returns the deleted relative paths. */
   def removeOrphans(): Seq[String] = {
     if (!Files.exists(dataDir)) return Nil
+    val maxDelCommitted = deletes.map(_.gen).foldLeft(-1L)(math.max)
+    // dead pending snapshots: a merge staged `pendingGen = g` but a LATER
+    // rewrite generation committed without g ever landing — g can never
+    // activate (gens are allocated monotonically under the maintenance
+    // serialization contract), so the pending epoch and its files are
+    // garbage. A pending snap whose gen is still above the committed max
+    // may be an in-flight merge and is left alone (same no-clock rule as
+    // the data-file cases below).
+    val deadPending = rawSnapshots.collect {
+      case (s, Some(g)) if g <= maxDelCommitted &&
+        !Files.exists(deletePath(g)) => s
+    }
+    val deletedPending = deadPending.flatMap { s =>
+      val dataGone = s.files.flatMap { f =>
+        val p = Paths.get(root, f.path)
+        if (Files.deleteIfExists(p)) Some(f.path) else None
+      }
+      Files.deleteIfExists(snapPath(s.epochId))
+      dataGone :+ f"metadata/snap-${s.epochId}%012d.json"
+    }
     val referenced: Set[String] =
-      (snapshots.flatMap(_.files) ++ compactions.flatMap(_.files) ++
+      (rawSnapshots.map(_._1).flatMap(_.files) ++ compactions.flatMap(_.files) ++
         deletes.flatMap(_.fileSets.flatMap(_.files))).map(_.path).toSet
     val maxEpoch = snapshots.lastOption.map(_.epochId).getOrElse(-1L)
     val maxGen = compactions.map(_.gen).foldLeft(-1L)(math.max)
@@ -906,6 +1177,7 @@ final class IcebergLite(val root: String) {
     val stagingRoot = Paths.get(root, "_staging")
     val CompDir = """compact-(\d+)""".r
     val DelDir = """delete-(\d+)""".r
+    val MergeDir = """merge-(\d+)""".r
     val EpochDir = """ep-(\d+)""".r
     val deletedStaging =
       if (!Files.exists(stagingRoot)) Nil
@@ -915,11 +1187,12 @@ final class IcebergLite(val root: String) {
             case EpochDir(e) => isCommitted(e.toLong)
             case CompDir(g) => g.toLong <= maxGen
             case DelDir(g) => g.toLong <= maxDel
+            case MergeDir(g) => g.toLong <= maxDel
             case _ => false
           }
         }
         .map { d => deleteRecursively(d); s"_staging/${d.getFileName}" }
-    deletedData ++ deletedStaging
+    deletedPending ++ deletedData ++ deletedStaging
   }
 
   /** Metadata expiry (completes [[gc]]: gc deletes superseded DATA files,
@@ -1132,10 +1405,26 @@ final case class DeleteFileSet(numBuckets: Int, sourceEpoch: Long,
 
 /** One committed [[IcebergLite.deleteWhere]]: subtract `removes` from the
   * view, add the rewritten survivors in `fileSets`. */
+/** WHEN MATCHED action of [[IcebergLite.merge]]: replace all (or the
+  * listed) non-key, non-lineage columns with the source row's same-name
+  * values, or delete the matched target row. Key columns in
+  * [[MergeUpdateCols]] are ignored — under the ON equality they are
+  * identity assignments. */
+sealed trait MergeMatched
+case object MergeUpdateAll extends MergeMatched
+final case class MergeUpdateCols(cols: Seq[String]) extends MergeMatched
+case object MergeDeleteMatched extends MergeMatched
+
+/** [[IcebergLite.merge]] outcome: matched target rows (updated or
+  * deleted), inserted source rows, and the activated insert epoch. */
+final case class MergeStats(matched: Long, inserted: Long,
+                            insertEpoch: Option[Long])
+
 final case class DeleteMeta(gen: Long, predicate: String,
                             removes: Seq[String],
                             fileSets: Seq[DeleteFileSet],
-                            affectsCompacted: Boolean)
+                            affectsCompacted: Boolean,
+                            activatesEpoch: Option[Long] = None)
 
 /** A group of data files that share one bucketing layout (`numBuckets` = −1
   * when the manifest predates bucket recording → conv_id pruning disabled
