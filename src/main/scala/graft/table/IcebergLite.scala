@@ -588,52 +588,53 @@ final class IcebergLite(val root: String) {
         deletes.flatMap(_.fileSets.flatMap(fs =>
           fs.files.map(_.path -> fs.sourceEpoch)))
 
-    var removes = Vector.empty[String]
-    var adds = Vector.empty[(Long, Int, DataFileMeta)]
-    var matchedRows = 0L
-    var seq = 0
-    if (matched.isDefined) candidates.foreach { case (f, nb) =>
-      var df = spark.read.parquet(s"$root/${f.path}")
-      declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
-        df = df.withColumn(c.name, lit(null).cast(c.dataType))
-      }
-      val srcB =
-        if (nb == n) srcAll.filter(col("_b") === f.partitionId)
-        else srcAll.filter(pmod(hash(col("conv_id")), lit(nb)) === f.partitionId)
-      // column-pruned probe: only the key columns of the file are decoded
-      val m = df.select(keys.map(col): _*).join(srcB, keys, "left_semi").count()
-      if (m > 0L) {
-        removes :+= f.path
-        matchedRows += m
-        // _ord pins the original row order through the join
-        val ordered = df.withColumn("_ord", monotonically_increasing_id())
-        val replacement = matched.get match {
-          case MergeUpdateAll | MergeUpdateCols(_) =>
-            val t = ordered.alias("t")
-            val s = srcB.alias("s")
-            val joined = t.join(s,
-              keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
-              "left")
-            val hitS = col("s.conv_id").isNotNull
-            Some(joined.select(ordered.columns.toSeq.map {
-              case "_ord" => col("t._ord")
-              case c if updateCols.contains(c) =>
-                when(hitS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-              case other => col(s"t.$other").as(other)
-            }: _*))
-          case MergeDeleteMatched =>
-            if (m == f.rowCount) None
-            else Some(ordered.join(srcB, keys, "left_anti"))
+    // candidate files are independent — probe and rewrite them
+    // CONCURRENTLY (same shape as rewriteWhere: serial per-file jobs would
+    // be driver-latency-bound over hundreds of candidates); names use the
+    // candidate index so the mapping is completion-order-independent
+    import scala.collection.parallel.CollectionConverters._
+    val results = if (matched.isEmpty) IndexedSeq.empty else
+      candidates.zipWithIndex.par.flatMap { case ((f, nb), idx) =>
+        var df = spark.read.parquet(s"$root/${f.path}")
+        declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
+          df = df.withColumn(c.name, lit(null).cast(c.dataType))
         }
-        replacement.foreach { r =>
-          adds :+= ((srcEpoch.getOrElse(f.path, -1L),
-            bucketsOf.getOrElse(f.path, -1),
-            publishRewriteFile(r.orderBy("_ord").drop("_ord"),
-              stagingSrc, gen, seq, f.partitionId)))
-          seq += 1
+        val srcB =
+          if (nb == n) srcAll.filter(col("_b") === f.partitionId)
+          else srcAll.filter(pmod(hash(col("conv_id")), lit(nb)) === f.partitionId)
+        // column-pruned probe: only the key columns of the file are decoded
+        val m = df.select(keys.map(col): _*).join(srcB, keys, "left_semi").count()
+        if (m == 0L) None
+        else {
+          // _ord pins the original row order through the join
+          val ordered = df.withColumn("_ord", monotonically_increasing_id())
+          val replacement = matched.get match {
+            case MergeUpdateAll | MergeUpdateCols(_) =>
+              val t = ordered.alias("t")
+              val s = srcB.alias("s")
+              val joined = t.join(s,
+                keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+                "left")
+              val hitS = col("s.conv_id").isNotNull
+              Some(joined.select(ordered.columns.toSeq.map {
+                case "_ord" => col("t._ord")
+                case c if updateCols.contains(c) =>
+                  when(hitS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+                case other => col(s"t.$other").as(other)
+              }: _*))
+            case MergeDeleteMatched =>
+              if (m == f.rowCount) None
+              else Some(ordered.join(srcB, keys, "left_anti"))
+          }
+          Some((idx, f.path, m, replacement.map(r =>
+            (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
+              publishRewriteFile(r.orderBy("_ord").drop("_ord"),
+                stagingSrc, gen, idx, f.partitionId)))))
         }
-      }
-    }
+      }.toIndexedSeq.seq.sortBy(_._1)
+    val removes = results.map(_._2)
+    val matchedRows = results.map(_._3).sum
+    val adds = results.flatMap(_._4)
 
     var inserted = 0L
     var insertEpoch: Option[Long] = None
@@ -698,27 +699,27 @@ final class IcebergLite(val root: String) {
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
       val hit = coalesce(condition, lit(false))
-      var removes = Vector.empty[String]
-      var adds = Vector.empty[(Long, Int, DataFileMeta)]
-      var matchedRows = 0L
-      var seq = 0
-      candidates.foreach { f =>
+      // candidate files are independent — probe and rewrite them
+      // CONCURRENTLY (each is its own small Spark job; a serial loop over
+      // hundreds of candidates would be driver-latency-bound at scale).
+      // Rewrite names use the candidate INDEX, so the name↔content mapping
+      // stays deterministic under any completion order.
+      import scala.collection.parallel.CollectionConverters._
+      val results = candidates.zipWithIndex.par.flatMap { case (f, idx) =>
         var df = spark.read.parquet(s"$root/${f.path}")
         declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
           df = df.withColumn(c.name, lit(null).cast(c.dataType))
         }
         val matched = df.filter(hit).count()
-        if (matched > 0L) {
-          removes :+= f.path
-          matchedRows += matched
-          rewrite(df, hit, matched, f).foreach { replacement =>
-            adds :+= ((srcEpoch.getOrElse(f.path, -1L),
-              bucketsOf.getOrElse(f.path, -1),
-              publishRewriteFile(replacement, staging, gen, seq, f.partitionId)))
-            seq += 1
-          }
-        }
-      }
+        if (matched == 0L) None
+        else Some((idx, f.path, matched,
+          rewrite(df, hit, matched, f).map(replacement =>
+            (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
+              publishRewriteFile(replacement, staging, gen, idx, f.partitionId)))))
+      }.toIndexedSeq.seq.sortBy(_._1)
+      val removes = results.map(_._2)
+      val matchedRows = results.map(_._3).sum
+      val adds = results.flatMap(_._4)
       deleteRecursively(staging)
       if (removes.isEmpty) return 0L
       // affectsCompacted is true when compaction-generation data was
