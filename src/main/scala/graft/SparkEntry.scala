@@ -271,20 +271,8 @@ object SparkEntry {
     // file is a content mismatch.
     "q31_update" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val prevD = SparkSession.getDefaultSession
-      val prevA = SparkSession.getActiveSession
-      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
-      val s2 = try SparkSession.builder()
-        .withExtensions(new graft.catalog.GraftExtensions()(_))
-        .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-        .config("spark.sql.catalog.graft.warehouse",
-          s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-      finally {
-        SparkSession.setDefaultSession(prevD.orNull)
-        SparkSession.setActiveSession(prevA.orNull)
-      }
+      val s2 = graft.catalog.GraftSessions.withExtensions(
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
       val tx = Fixtures.transcripts(s2, dir)
       s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
       s2.sql("DROP TABLE IF EXISTS graft.gate.upd")
@@ -316,20 +304,8 @@ object SparkEntry {
     // a content mismatch.
     "q32_merge" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val prevD = SparkSession.getDefaultSession
-      val prevA = SparkSession.getActiveSession
-      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
-      val s2 = try SparkSession.builder()
-        .withExtensions(new graft.catalog.GraftExtensions()(_))
-        .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-        .config("spark.sql.catalog.graft.warehouse",
-          s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-      finally {
-        SparkSession.setDefaultSession(prevD.orNull)
-        SparkSession.setActiveSession(prevA.orNull)
-      }
+      val s2 = graft.catalog.GraftSessions.withExtensions(
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
       val tx = Fixtures.transcripts(s2, dir)
       s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
       s2.sql("DROP TABLE IF EXISTS graft.gate.mrg")

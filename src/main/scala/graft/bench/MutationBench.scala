@@ -17,10 +17,10 @@ import graft.table.{IcebergLite, MergeUpdateCols}
   *    conversations in k distinct buckets — updateWhere with the same
   *    conv_id IN pruning the SQL path derives, and merge with a k-bucket
   *    feed;
-  *  - corpus sweep: fixed k = 1, corpus scaled ×4 in epochs — flat wall
-  *    time is the pass criterion (candidates per epoch are constant;
-  *    epochs add candidates linearly, so the sweep holds conv count and
-  *    epochs fixed and scales ROWS per file ×4 instead).
+  *  - corpus sweep: fixed k = 1 touch, corpus scaled ×4 by EXTRA epochs
+  *    that exclude the touched bucket — the candidate set (count and
+  *    file sizes) is byte-identical across points, so flat wall time is
+  *    a true measurement of untouched-corpus independence.
   *
   * Prints one JSON line. Timings are single-shot per point (these are
   * multi-second mutation jobs, not micro-benchmarks; the shape, not the
@@ -123,20 +123,38 @@ object MutationBench {
       (k, candidateFiles, updS, mrgS)
     }
 
-    // corpus sweep: same 1-bucket touch, rows per file x4 (turns x4)
+    // corpus sweep: fixed 1-bucket touch, UNTOUCHED corpus scaled — the
+    // extra epochs exclude the touched bucket entirely, so candidate
+    // files stay IDENTICAL (same count, same sizes) while the corpus
+    // grows; any wall-time growth here would mean untouched data leaks
+    // into the mutation's cost
+    val target = convsFor(1, convs).head
+    val targetBucket = IcebergLite.bucketOf(target, buckets)
     val corpus = Seq(1, 4).map { mult =>
       val root = s"/tmp/graft-mutbench-c$mult"
       deleteTree(root)
-      val t = build(root, convs, turns * mult, epochs)
-      val targets = convsFor(1, convs)
+      val t = build(root, convs, turns, epochs)
+      (epochs.toLong until (epochs.toLong * mult)).foreach { ep =>
+        val df = spark.range(convs.toLong * turns)
+          .select(
+            format_string("conv%06d", (col("id") / turns).cast("long")).as("conv_id"),
+            (col("id") % turns + lit(ep * turns)).cast("int").as("turn_idx"),
+            lit("assistant").as("role"),
+            concat(lit("turn text payload "), col("id")).as("text"),
+            timestamp_micros(lit(base) + col("id") * 1000L +
+              lit(ep * 3600L * 1000000L)).as("ts"))
+          .filter(pmod(hash(col("conv_id")), lit(buckets)) =!= targetBucket)
+        require(t.commitEpoch(df, "bench", ep, buckets))
+      }
+      val rows = t.effectiveFiles.map(_.rowCount).sum
       val prune = graft.sources.PrunePredicate.from(Seq(
-        org.apache.spark.sql.sources.In("conv_id", targets.toArray[Any])))
+        org.apache.spark.sql.sources.In("conv_id", Array[Any](target))))
       val updS = timeS {
-        t.updateWhere(spark, col("conv_id").isin(targets: _*) &&
+        t.updateWhere(spark, col("conv_id") === target &&
           col("turn_idx") === 0,
           Seq("role" -> lit("bench")), s"bench x$mult", prune.prune)
       }
-      (mult, convs * turns * mult * epochs, updS)
+      (mult, rows, updS)
     }
 
     val sweepJson = sweep.map { case (k, files, u, m) =>

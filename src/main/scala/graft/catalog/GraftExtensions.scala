@@ -99,6 +99,26 @@ final case class GraftUpdateRewrite(session: SparkSession) extends Rule[LogicalP
             throw new UnsupportedOperationException(
               "graft UPDATE does not support subqueries in SET or WHERE — " +
                 "materialize the subquery and use literal predicates")
+          // the predicate is evaluated per candidate file (probe count +
+          // rewrite projection), not once per statement: rand() would
+          // match one set of rows and rewrite another, and wall-clock
+          // functions would fold to a different instant per file
+          if (exprs.exists(_.exists(!_.deterministic)))
+            throw new UnsupportedOperationException(
+              "graft UPDATE does not support non-deterministic expressions " +
+                "in SET or WHERE — they would evaluate differently per " +
+                "rewritten file")
+          if (exprs.exists(_.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike => true
+            case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
+            case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+            case _ => false
+          }))
+            throw new UnsupportedOperationException(
+              "graft UPDATE does not support wall-clock functions " +
+                "(current_timestamp/current_date/localtimestamp) — they " +
+                "would fold to a different instant per rewritten file; " +
+                "pass the timestamp as a literal")
           val assignSql = assignments.map { a =>
             a.key match {
               case k: AttributeReference => k.name -> toSql(a.value)
@@ -107,7 +127,7 @@ final case class GraftUpdateRewrite(session: SparkSession) extends Rule[LogicalP
             }
           }
           val pruneFilters = condition.toSeq.flatMap(conjuncts)
-            .flatMap(GraftUpdateRewrite.toV1Filter)
+            .flatMap(c => org.apache.spark.sql.GraftInternals.translateFilter(c))
           GraftUpdateCommand(t.rootPath, assignSql, condition.map(toSql),
             pruneFilters, u.simpleString(50))
         case _ => plan
@@ -225,64 +245,6 @@ final case class GraftUpdateRewrite(session: SparkSession) extends Rule[LogicalP
         case _ => plan
       }
     case _ => plan
-  }
-}
-
-object GraftUpdateRewrite {
-  import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr}
-  import org.apache.spark.sql.catalyst.util.DateTimeUtils
-  import org.apache.spark.sql.types.{StringType, TimestampType}
-  import org.apache.spark.sql.{sources => v1}
-
-  /** Catalyst-literal internal value → the external form
-    * [[PrunePredicate]] matches on (`java.time.Instant` for ts bounds,
-    * `String` for conv_id sets). */
-  private def external(l: Literal): Option[Any] = l.dataType match {
-    case StringType    => Option(l.value).map(_.toString)
-    case TimestampType =>
-      Option(l.value).map(v => DateTimeUtils.microsToInstant(v.asInstanceOf[Long]))
-    case _ => None
-  }
-
-  /** Conservative catalyst→V1 translation of exactly the shapes
-    * [[PrunePredicate]] can prune on (conv_id equality/IN, ts comparisons,
-    * And/Or of those). `None` means "cannot prune on this conjunct" — the
-    * full predicate is still evaluated row-exactly per candidate file, so
-    * a miss here costs candidate breadth, never correctness. Spark's own
-    * `DataSourceStrategy.translateFilter` is `protected[sql]`, hence this
-    * narrow public-API reimplementation. */
-  def toV1Filter(e: Expression): Option[Filter] = e match {
-    case CEqualTo(a: AttributeReference, l: Literal) =>
-      external(l).map(v1.EqualTo(a.name, _))
-    case CEqualTo(l: Literal, a: AttributeReference) =>
-      external(l).map(v1.EqualTo(a.name, _))
-    case CEqualNullSafe(a: AttributeReference, l: Literal) =>
-      external(l).map(v1.EqualNullSafe(a.name, _))
-    case CGreaterThan(a: AttributeReference, l: Literal) =>
-      external(l).map(v1.GreaterThan(a.name, _))
-    case CGreaterThan(l: Literal, a: AttributeReference) =>
-      external(l).map(v1.LessThan(a.name, _))
-    case CGreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-      external(l).map(v1.GreaterThanOrEqual(a.name, _))
-    case CGreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-      external(l).map(v1.LessThanOrEqual(a.name, _))
-    case CLessThan(a: AttributeReference, l: Literal) =>
-      external(l).map(v1.LessThan(a.name, _))
-    case CLessThan(l: Literal, a: AttributeReference) =>
-      external(l).map(v1.GreaterThan(a.name, _))
-    case CLessThanOrEqual(a: AttributeReference, l: Literal) =>
-      external(l).map(v1.LessThanOrEqual(a.name, _))
-    case CLessThanOrEqual(l: Literal, a: AttributeReference) =>
-      external(l).map(v1.GreaterThanOrEqual(a.name, _))
-    case CIn(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      val ext = vs.map(v => external(v.asInstanceOf[Literal]))
-      if (ext.forall(_.isDefined)) Some(v1.In(a.name, ext.flatten.toArray))
-      else None
-    case CatalystAnd(l, r) =>
-      for (lf <- toV1Filter(l); rf <- toV1Filter(r)) yield v1.And(lf, rf)
-    case COr(l, r) =>
-      for (lf <- toV1Filter(l); rf <- toV1Filter(r)) yield v1.Or(lf, rf)
-    case _ => None
   }
 }
 

@@ -339,6 +339,16 @@ final class IcebergLite(val root: String) {
 
   private def deletePath(gen: Long) = metaDir.resolve(f"delete-$gen%06d.json")
 
+  /** Next rewrite-generation id: above every COMMITTED delete manifest AND
+    * every gen a pending (merge-staged, not yet activated) snapshot is
+    * waiting on. Reusing a crashed merge's pending gen would let the next
+    * mutation's `delete-<gen>.json` RESURRECT the orphaned insert epoch —
+    * a torn merge (inserts without their matched-row rewrites) computed
+    * against an effective view that never saw those rows. */
+  private def nextRewriteGen(): Long =
+    (deletes.map(_.gen) ++ rawSnapshots.flatMap(_._2))
+      .foldLeft(0L)(math.max) + 1L
+
   /** Committed delete manifests, in gen order. */
   def deletes: Seq[DeleteMeta] = {
     if (!Files.exists(metaDir)) return Nil
@@ -474,12 +484,13 @@ final class IcebergLite(val root: String) {
     * atomic commit.
     *
     * Execution shape (designed for the 10^12-turn table, not the feed):
-    *  1. the source is validated (the key and every column the actions
-    *     read present, cast; non-null unique keys — SQL MERGE forbids
-    *     multiple source matches per target row) and materialized ONCE
-    *     to staging parquet
-    *     partitioned by the declared conv_id bucket — one shuffle of the
-    *     (small) feed, never of the table;
+    *  1. the source is materialized ONCE to staging parquet partitioned
+    *     by the declared conv_id bucket — one shuffle of the (small)
+    *     feed, never of the table — and the STAGED bytes are then
+    *     validated (the key and every column the actions read present,
+    *     cast; non-null unique keys — SQL MERGE forbids multiple source
+    *     matches per target row), so a non-deterministic feed plan
+    *     cannot pass validation with one set of rows and merge another;
     *  2. candidate target files are manifest-pruned by BUCKET SET: for
     *     each bucket layout in the effective view, the source's occupied
     *     buckets (a ≤ numBuckets-element aggregate of the feed) select
@@ -544,21 +555,16 @@ final class IcebergLite(val root: String) {
     val src0 = source.select(
       needed.map(c => col(c).cast(typeOf(c)).as(c)): _*)
 
-    val srcCount = src0.count()
-    if (srcCount == 0L) return MergeStats(0L, 0L, None)
-    require(src0.filter(col("conv_id").isNull || col("turn_idx").isNull)
-      .limit(1).count() == 0L, "MERGE source has NULL key column(s)")
-    val distinctKeys = src0.select(keys.map(col): _*).distinct().count()
-    require(distinctKeys == srcCount,
-      s"MERGE source has duplicate (conv_id, turn_idx) keys ($srcCount rows, " +
-        s"$distinctKeys distinct) — SQL MERGE forbids multiple source " +
-        "matches per target row")
-
-    val gen = deletes.map(_.gen).foldLeft(0L)(math.max) + 1L
+    val gen = nextRewriteGen()
     val n = declaredNumBuckets.filter(_ > 0)
       .orElse(snapshots.lastOption.map(_.numBuckets).filter(_ > 0))
       .getOrElse(8)
-    // one shuffle of the FEED (partitioned by the table's bucket function:
+    // materialize the feed FIRST, then validate the STAGED bytes: the
+    // caller's plan is evaluated exactly once, so a non-deterministic or
+    // concurrently-changing source cannot pass validation with one set of
+    // rows and stage another (duplicate keys slipping past the check
+    // would emit two output rows per matched target row). One shuffle of
+    // the FEED (partitioned by the table's bucket function:
     // pmod(hash, n) == bucketOf — Murmur3 seed 42, HashPartitioning route)
     val stagingSrc = Paths.get(root, "_staging", s"merge-$gen")
     deleteRecursively(stagingSrc)
@@ -566,7 +572,26 @@ final class IcebergLite(val root: String) {
     src0.withColumn("_b", pmod(hash(col("conv_id")), lit(n)))
       .write.partitionBy("_b").mode("overwrite")
       .parquet(stagingSrc.resolve("src").toString)
-    val srcAll = spark.read.parquet(stagingSrc.resolve("src").toString)
+    val stagedSchema = org.apache.spark.sql.types.StructType(
+      declared.fields.filter(f => needed.contains(f.name)) :+
+        org.apache.spark.sql.types.StructField("_b",
+          org.apache.spark.sql.types.IntegerType))
+    val srcAll = spark.read.schema(stagedSchema)
+      .parquet(stagingSrc.resolve("src").toString)
+
+    def failMerge(msg: String): Nothing = {
+      deleteRecursively(stagingSrc)
+      throw new IllegalArgumentException(msg)
+    }
+    val srcCount = srcAll.count()
+    if (srcCount == 0L) { deleteRecursively(stagingSrc); return MergeStats(0L, 0L, None) }
+    if (srcAll.filter(col("conv_id").isNull || col("turn_idx").isNull)
+      .limit(1).count() != 0L) failMerge("MERGE source has NULL key column(s)")
+    val distinctKeys = srcAll.select(keys.map(col): _*).distinct().count()
+    if (distinctKeys != srcCount) failMerge(
+      s"MERGE source has duplicate (conv_id, turn_idx) keys ($srcCount rows, " +
+        s"$distinctKeys distinct) — SQL MERGE forbids multiple source " +
+        "matches per target row")
 
     // per-layout occupied-bucket sets: bounded aggregates of the feed
     // (≤ numBuckets values each), the manifest-level candidate pruning
@@ -601,6 +626,11 @@ final class IcebergLite(val root: String) {
         }
         val srcB =
           if (nb == n) srcAll.filter(col("_b") === f.partitionId)
+          // legacy/unbucketed file sets (numBuckets <= 0): partitionId is
+          // not a conv_id bucket, so no slice of the feed is safe — probe
+          // against the whole feed (pmod(x, -1) would be 0 for every row
+          // and silently skip files with partitionId != 0)
+          else if (nb <= 0) srcAll
           else srcAll.filter(pmod(hash(col("conv_id")), lit(nb)) === f.partitionId)
         // column-pruned probe: only the key columns of the file are decoded
         val m = df.select(keys.map(col): _*).join(srcB, keys, "left_semi").count()
@@ -693,7 +723,7 @@ final class IcebergLite(val root: String) {
         snapshots.flatMap(s => s.files.map(_.path -> s.epochId)).toMap ++
           deletes.flatMap(_.fileSets.flatMap(fs =>
             fs.files.map(_.path -> fs.sourceEpoch)))
-      val gen = deletes.map(_.gen).foldLeft(0L)(math.max) + 1L
+      val gen = nextRewriteGen()
       val staging = Paths.get(root, "_staging", s"delete-$gen")
       deleteRecursively(staging)
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -1221,6 +1251,28 @@ final class IcebergLite(val root: String) {
     * crash mid-expiry leaves a consistent table and the call is idempotent.
     * Returns deleted metadata file names. */
   def expireMetadata(retainLast: Int = 8): Seq[String] = {
+    // PROMOTE activated merge-insert epochs FIRST (before any early
+    // return or manifest retirement): a pending snapshot is visible only
+    // while its activating delete-<g>.json exists, so expiring that
+    // manifest un-promoted would silently DE-COMMIT the insert epoch
+    // (snapshots() would hide it again — lagging streams skip its rows,
+    // time travel loses them). Rewriting the snapshot without
+    // `pendingGen` makes it unconditionally committed; idempotent and
+    // crash-safe (visibility is identical before and after while the
+    // manifest exists).
+    deletes.foreach { d =>
+      d.activatesEpoch.foreach { e =>
+        val p = snapPath(e)
+        if (Files.exists(p)) {
+          val node = mapper.readTree(Files.readAllBytes(p))
+          if (node.has("pendingGen")) {
+            node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              .remove("pendingGen")
+            atomicReplace(p, mapper.writeValueAsBytes(node))
+          }
+        }
+      }
+    }
     val comps = compactions
     if (comps.isEmpty) return Nil
     val latestGen = comps.maxBy(_.gen).gen

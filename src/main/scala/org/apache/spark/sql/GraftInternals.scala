@@ -15,4 +15,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftInternals {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
+  /** Spark's own catalyst→V1 filter translation (`protected[sql]`): the
+    * graft UPDATE rule feeds the translatable WHERE conjuncts to the
+    * manifest-pruning predicate. Values come back in the external forms
+    * `PrunePredicate` matches on (String; java.sql.Timestamp or
+    * java.time.Instant depending on the session's Java-8-datetime
+    * setting — both handled). */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                      supportNestedPredicatePushdown: Boolean = true)
+      : Option[sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown)
 }

@@ -151,6 +151,68 @@ class MergeSpec extends SparkSpec {
       .contains("conv7"))
   }
 
+  test("torn-merge resurrection is impossible: a later mutation never " +
+    "reuses a crashed merge's pending gen") {
+    val (_, t) = buildTable()
+    // a merge crashed after staging its insert epoch, holding gen 1
+    t.writeSnapshot("crashed-merge", 3L, Nil, 4, pendingGen = Some(1L))
+    // the next mutation must allocate gen 2, NOT 1 — committing
+    // delete-1.json would activate the orphaned epoch (inserts visible
+    // WITHOUT the crashed merge's matched-row rewrites)
+    t.deleteWhere(spark, col("conv_id") === "conv7", "purge conv7")
+    assert(t.deletes.map(_.gen) === Seq(2L))
+    assert(t.snapshots.map(_.epochId) === Seq(0L, 1L, 2L))
+    assert(t.read(spark).count() === 105L) // 120 - conv7, no resurrection
+    // and the dead pending is now reclaimable (1 <= committed max 2)
+    val cleaned = t.removeOrphans()
+    assert(cleaned.exists(_.contains("snap-000000000003")), cleaned)
+  }
+
+  test("legacy unbucketed file sets (numBuckets = -1): matched rows in " +
+    "every partition are found — no feed slice by a bogus bucket fn") {
+    val root = tmpDir("merge-legacy")
+    val t = new IcebergLite(root)
+    t.create(
+      "conv_id string, turn_idx int, role string, tool string, ts timestamp", 2)
+    val rows = for (c <- 0 until 8; i <- 0 until 3) yield
+      (s"conv$c", i, "user", null: String, tsOf(c, i))
+    val files = t.stageAndPublish(
+      rows.toDF("conv_id", "turn_idx", "role", "tool", "ts"), 0L, 2)
+    // record the manifest WITHOUT the bucket layout (pre-bucket-recording
+    // manifests parse as numBuckets = -1)
+    t.writeSnapshot("w", 0L, files, -1)
+    assert(files.map(_.partitionId).distinct.sorted === Seq(0, 1))
+    // one matched conv per physical partition
+    val byBucket = (0 until 8).map(i => s"conv$i")
+      .groupBy(IcebergLite.bucketOf(_, 2))
+    val targets = Seq(byBucket(0).head, byBucket(1).head)
+    val feed = targets.map(c => (c, 0, "fixed", null: String, tsOf(0, 0)))
+      .toDF("conv_id", "turn_idx", "role", "tool", "ts")
+    val stats = t.merge(spark, feed, "m", Some(MergeUpdateCols(Seq("role"))),
+      insertNotMatched = false)
+    assert(stats.matched === 2L) // BOTH partitions' rows, incl. partition 1
+    assert(t.read(spark).filter(col("role") === "fixed")
+      .select("conv_id").collect().map(_.getString(0)).toSet === targets.toSet)
+  }
+
+  test("expireMetadata promotes activated insert epochs: losing the " +
+    "activation manifest can never de-commit the epoch") {
+    val (_, t) = buildTable()
+    t.merge(spark, srcDf(Seq(("conv9", 0, "user", null, tsOf(9, 0)))),
+      "merge-promote", None, insertNotMatched = true)
+    assert(t.deletes.head.activatesEpoch === Some(3L))
+    val expect = t.read(spark).select("conv_id", "turn_idx").collect().toSet
+    t.expireMetadata()
+    // the snapshot no longer depends on its activation manifest
+    val pendingAfter = t.snapshots.size
+    assert(pendingAfter === 4)
+    // even if the manifest is later expired/lost, epoch 3 stays committed
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t.root, "metadata", "delete-000001.json"))
+    assert(t.snapshots.map(_.epochId).contains(3L))
+    assert(t.read(spark).select("conv_id", "turn_idx").collect().toSet === expect)
+  }
+
   test("a fresh incremental stream replays the merge exactly-once: " +
     "patched epoch deltas plus the insert epoch as its own batch") {
     val (root, t) = buildTable()
@@ -180,20 +242,7 @@ class MergeSpec extends SparkSpec {
   test("SQL MERGE INTO through GraftExtensions: upsert + tombstone forms " +
     "run the engine merge; unsupported shapes are rejected loudly") {
     val warehouse = tmpDir("merge-warehouse")
-    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
-    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    val s2 = try org.apache.spark.sql.SparkSession.builder()
-      .withExtensions(new graft.catalog.GraftExtensions()(_))
-      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-      .config("spark.sql.catalog.graft.warehouse", warehouse)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    finally {
-      org.apache.spark.sql.SparkSession.setDefaultSession(prevDefault.orNull)
-      org.apache.spark.sql.SparkSession.setActiveSession(prevActive.orNull)
-    }
+    val s2 = graft.catalog.GraftSessions.withExtensions(warehouse)
     s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     s2.sql(
       """CREATE TABLE graft.db.m (

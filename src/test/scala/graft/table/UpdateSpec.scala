@@ -192,20 +192,7 @@ class UpdateSpec extends SparkSpec {
   test("SQL UPDATE ... SET ... WHERE through GraftExtensions: engine " +
     "rewrite, original-value semantics, pruning filters, guard rails") {
     val warehouse = tmpDir("upd-warehouse")
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val s2 = try SparkSession.builder()
-      .withExtensions(new graft.catalog.GraftExtensions()(_))
-      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-      .config("spark.sql.catalog.graft.warehouse", warehouse)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    finally {
-      SparkSession.setDefaultSession(prevDefault.orNull)
-      SparkSession.setActiveSession(prevActive.orNull)
-    }
+    val s2 = graft.catalog.GraftSessions.withExtensions(warehouse)
     s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     s2.sql(
       """CREATE TABLE graft.db.upd (
@@ -259,32 +246,30 @@ class UpdateSpec extends SparkSpec {
     assert(e3.getMessage.contains("subqueries"))
   }
 
-  test("catalyst→V1 prune-filter translation covers the prunable shapes " +
-    "and refuses what it cannot prove") {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEq, GreaterThan => CGt, In => CIn, Literal, Or => COr}
-    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+  test("catalyst→V1 prune-filter translation (GraftInternals bridge) " +
+    "feeds PrunePredicate: conv sets, ts bounds, untranslatable conjuncts " +
+    "only lose pruning") {
+    import org.apache.spark.sql.GraftInternals.translateFilter
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEq, In => CIn, LessThan => CLt, Literal}
     import org.apache.spark.sql.types.{StringType, TimestampType}
-    import org.apache.spark.sql.{sources => v1}
     import org.apache.spark.unsafe.types.UTF8String
-    import graft.catalog.GraftUpdateRewrite.toV1Filter
+    import graft.sources.PrunePredicate
 
     val conv = AttributeReference("conv_id", StringType)()
     val ts = AttributeReference("ts", TimestampType)()
-    assert(toV1Filter(CEq(conv, Literal(UTF8String.fromString("c1"), StringType)))
-      === Some(v1.EqualTo("conv_id", "c1")))
-    // reversed operand order normalizes
-    assert(toV1Filter(CGt(Literal(7L, TimestampType), ts))
-      === Some(v1.LessThan("ts", DateTimeUtils.microsToInstant(7L))))
-    assert(toV1Filter(CIn(conv, Seq(
-      Literal(UTF8String.fromString("a"), StringType),
-      Literal(UTF8String.fromString("b"), StringType)))).exists {
-      case v1.In("conv_id", vs) => vs.toSet == Set[Any]("a", "b")
-      case _ => false
-    })
-    assert(toV1Filter(COr(
-      CEq(conv, Literal(UTF8String.fromString("a"), StringType)),
-      CGt(ts, Literal(5L, TimestampType)))).isDefined)
-    // non-literal RHS → not translatable (no pruning, still correct)
-    assert(toV1Filter(CEq(conv, conv)).isEmpty)
+    val fs = Seq(
+      CEq(conv, Literal(UTF8String.fromString("c1"), StringType)),
+      CLt(ts, Literal(7L, TimestampType)),
+      CIn(conv, Seq(Literal(UTF8String.fromString("a"), StringType),
+        Literal(UTF8String.fromString("b"), StringType))),
+      CEq(conv, conv) // non-literal RHS → not translatable
+    ).map(translateFilter(_))
+    assert(fs.take(3).forall(_.isDefined))
+    assert(fs.last.isEmpty)
+    // the translated values land in the forms PrunePredicate matches on
+    val pred = PrunePredicate.from(
+      fs.flatten.filter(PrunePredicate.prunable))
+    assert(pred.convIdSets === Seq(Set("c1"), Set("a", "b")))
+    assert(pred.tsIntervals === Some(Seq((Long.MinValue, 6L))))
   }
 }
