@@ -151,6 +151,36 @@ class MergeSpec extends SparkSpec {
       .contains("conv7"))
   }
 
+  test("merge over mixed schema versions: pre-evolution files get typed " +
+    "NULLs, updates apply, inserts land under the evolved schema") {
+    val root = tmpDir("merge-evo")
+    val t = new IcebergLite(root)
+    t.create("conv_id string, turn_idx int, role string, ts timestamp", 2)
+    val rows0 = (0 until 6).map(i => (s"conv$i", 0, "user",
+      new java.sql.Timestamp((base + i) / 1000L)))
+    assert(t.commitEpoch(rows0.toDF("conv_id", "turn_idx", "role", "ts"),
+      "w", 0L, 2))
+    t.addColumn("tool", "string")
+    // feed updates a PRE-evolution row (its file lacks the tool column)
+    // and inserts a new row carrying a tool value
+    val feed = Seq(
+      ("conv2", 0, "assistant", "calc",
+        new java.sql.Timestamp((base + 2) / 1000L)),
+      ("conv9", 0, "user", "search",
+        new java.sql.Timestamp((base + 9) / 1000L)))
+      .toDF("conv_id", "turn_idx", "role", "tool", "ts")
+    val stats = t.merge(spark, feed, "merge-evo", Some(MergeUpdateAll),
+      insertNotMatched = true)
+    assert(stats === MergeStats(1L, 1L, Some(1L)))
+    val got = t.read(spark).select("conv_id", "role", "tool").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expect = (0 until 6).map { i =>
+      if (i == 2) ("conv2", "assistant", "calc")
+      else (s"conv$i", "user", null)
+    }.toSet + (("conv9", "user", "search"))
+    assert(got === expect)
+  }
+
   test("torn-merge resurrection is impossible: a later mutation never " +
     "reuses a crashed merge's pending gen") {
     val (_, t) = buildTable()
