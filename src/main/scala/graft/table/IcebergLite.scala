@@ -339,6 +339,38 @@ final class IcebergLite(val root: String) {
 
   private def deletePath(gen: Long) = metaDir.resolve(f"delete-$gen%06d.json")
 
+  /** Mutual exclusion for the maintenance family (DELETE/UPDATE/MERGE
+    * rewrites, compact, gc, removeOrphans, expireMetadata) — engine-
+    * enforced instead of the earlier "callers serialize externally"
+    * contract. Two layers: a per-root JVM monitor (two instances or
+    * threads in one process), then an OS file lock on
+    * `metadata/maintenance.lock` (two processes). Without this, two
+    * concurrent rewrites allocate the SAME generation and
+    * [[atomicWrite]]'s lost-the-race tolerance silently DROPS one of
+    * them. Reentrant per thread (the file lock would otherwise throw
+    * `OverlappingFileLockException` on nesting). */
+  private def withMaintenanceLock[A](f: => A): A = {
+    if (IcebergLite.maintenanceHeld.get().contains(root)) return f
+    val mon = IcebergLite.maintenanceMonitors
+      .computeIfAbsent(root, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(metaDir)
+      val ch = java.nio.channels.FileChannel.open(
+        metaDir.resolve("maintenance.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        IcebergLite.maintenanceHeld.get().add(root)
+        try f
+        finally {
+          IcebergLite.maintenanceHeld.get().remove(root)
+          lock.release()
+        }
+      } finally ch.close()
+    }
+  }
+
   /** Next rewrite-generation id: above every COMMITTED delete manifest AND
     * every gen a pending (merge-staged, not yet activated) snapshot is
     * waiting on. Reusing a crashed merge's pending gen would let the next
@@ -395,9 +427,10 @@ final class IcebergLite(val root: String) {
     * snapshot and history retains the old one). Full physical purge =
     * deleteWhere → [[compact]] → [[gc]] → [[expireMetadata]].
     *
-    * Returns the number of rows deleted. Maintenance op: callers
-    * serialize externally like [[compact]]; in-process calls serialize on
-    * this instance. */
+    * Returns the number of rows deleted. Maintenance op: serialized
+    * against the whole maintenance family by the engine's per-root
+    * JVM + file lock ([[withMaintenanceLock]]) — in-process, cross-
+    * instance and cross-process. */
   def deleteWhere(spark: SparkSession, condition: org.apache.spark.sql.Column,
                   predicateText: String,
                   prune: Seq[FileSet] => Seq[DataFileMeta] = _.flatMap(_.files)): Long =
@@ -517,14 +550,14 @@ final class IcebergLite(val root: String) {
     * it), rewrites patch their source epochs' deltas, compaction folds the
     * manifest, gc reclaims superseded rewrite files.
     *
-    * Maintenance op like [[compact]]/[[deleteWhere]]: callers serialize
-    * externally. The insert epoch is allocated as max(all snapshots,
+    * Maintenance op like [[compact]]/[[deleteWhere]]: serialized by the
+    * engine's maintenance lock. The insert epoch is allocated as max(all snapshots,
     * pending included) + 1 — colliding with a concurrent epoch writer is
     * outside the contract and fails loudly via the `queryId` commit guard.
     */
   def merge(spark: SparkSession, source: DataFrame, queryId: String,
             matched: Option[MergeMatched], insertNotMatched: Boolean,
-            description: String = "MERGE"): MergeStats = synchronized {
+            description: String = "MERGE"): MergeStats = withMaintenanceLock {
     require(exists, s"IcebergLite table does not exist at $root")
     require(matched.isDefined || insertNotMatched,
       "MERGE requires at least one action (WHEN MATCHED and/or WHEN NOT MATCHED)")
@@ -710,7 +743,7 @@ final class IcebergLite(val root: String) {
                            predicateText: String,
                            prune: Seq[FileSet] => Seq[DataFileMeta])(
       rewrite: (DataFrame, org.apache.spark.sql.Column, Long, DataFileMeta) => Option[DataFrame]): Long =
-    synchronized {
+    withMaintenanceLock {
       require(exists, s"IcebergLite table does not exist at $root")
       val base = effectiveFileSets
       val candidates = prune(base)
@@ -871,7 +904,7 @@ final class IcebergLite(val root: String) {
     * until [[gc]]. Incremental `readSince` callers must already be past the
     * replaced epochs. */
   def compact(spark: SparkSession, numBuckets: Int,
-              sortCols: Seq[String] = Seq("conv_id", "turn_idx")): Long = {
+              sortCols: Seq[String] = Seq("conv_id", "turn_idx")): Long = withMaintenanceLock {
     val replaced = {
       val comps = compactions.flatMap(_.replaces).toSet
       snapshots.map(_.epochId).filterNot(comps.contains)
@@ -1106,7 +1139,7 @@ final class IcebergLite(val root: String) {
     * any [[registerReader registered reader]]'s committed offset is below
     * that epoch (snapshot-view readers are unaffected — they see the
     * compaction files). Returns the deleted relative paths. */
-  def gc(): Seq[String] = {
+  def gc(): Seq[String] = withMaintenanceLock {
     val comps = compactions
     if (comps.isEmpty) return Nil
     val latest = comps.maxBy(_.gen).gen
@@ -1156,7 +1189,7 @@ final class IcebergLite(val root: String) {
     * files safe even under replay. Like [[compact]], concurrent
     * out-of-order writers are outside the maintenance contract.
     * Returns the deleted relative paths. */
-  def removeOrphans(): Seq[String] = {
+  def removeOrphans(): Seq[String] = withMaintenanceLock {
     if (!Files.exists(dataDir)) return Nil
     val maxDelCommitted = deletes.map(_.gen).foldLeft(-1L)(math.max)
     // dead pending snapshots: a merge staged `pendingGen = g` but a LATER
@@ -1250,7 +1283,7 @@ final class IcebergLite(val root: String) {
     * double-count their rows. Each deletion is individually safe, so a
     * crash mid-expiry leaves a consistent table and the call is idempotent.
     * Returns deleted metadata file names. */
-  def expireMetadata(retainLast: Int = 8): Seq[String] = {
+  def expireMetadata(retainLast: Int = 8): Seq[String] = withMaintenanceLock {
     // PROMOTE activated merge-insert epochs FIRST (before any early
     // return or manifest retirement): a pending snapshot is visible only
     // while its activating delete-<g>.json exists, so expiring that
@@ -1485,6 +1518,11 @@ final case class DeleteMeta(gen: Long, predicate: String,
 final case class FileSet(numBuckets: Int, files: Seq[DataFileMeta])
 
 object IcebergLite {
+  private val maintenanceMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val maintenanceHeld: ThreadLocal[java.util.HashSet[String]] =
+    ThreadLocal.withInitial(() => new java.util.HashSet[String]())
+
   private val TaskFilePattern = """part-(\d+)-.*""".r
 
   /** JVM-wide monitor for table.json RMWs (expiry horizon, schema

@@ -165,6 +165,27 @@ class DeleteSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("maintenance lock: concurrent deletes from two INSTANCES serialize " +
+    "— both land as distinct generations, neither is silently dropped") {
+    val (root, t) = buildTable()
+    // two separate engine instances over the same root — the pre-lock
+    // contract ('callers serialize externally') left this racy: both
+    // would allocate gen 1 and atomicWrite's lost-the-race tolerance
+    // silently dropped one delete
+    val t2 = new IcebergLite(root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(t.deleteWhere(spark, col("conv_id") === "conv1", "purge conv1"))
+    val f2 = Future(t2.deleteWhere(spark, col("conv_id") === "conv2", "purge conv2"))
+    assert(Await.result(f1, 120.seconds) === 15L)
+    assert(Await.result(f2, 120.seconds) === 15L)
+    assert(t.deletes.map(_.gen).sorted === Seq(1L, 2L))
+    assert(t.read(spark).filter(col("conv_id").isin("conv1", "conv2"))
+      .count() === 0L)
+    assert(t.read(spark).count() === 90L)
+  }
+
   test("time travel to a pre-delete epoch still serves the original rows " +
     "(delete rewrites the live view, not history)") {
     val (_, t) = buildTable()
