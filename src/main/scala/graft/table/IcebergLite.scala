@@ -566,6 +566,8 @@ final class IcebergLite(val root: String) {
       declared.fieldNames.contains("turn_idx"),
       "MERGE is keyed by (conv_id, turn_idx); this table does not declare them")
     val keys = Seq("conv_id", "turn_idx")
+    require(!declared.fieldNames.exists(Set("__graft_b", "__graft_ord")),
+      "column names __graft_b/__graft_ord are reserved by MERGE internals")
     val updateCols: Set[String] = matched match {
       case Some(MergeUpdateAll) => declared.fieldNames.toSet -- keys
       case Some(MergeUpdateCols(cs)) =>
@@ -602,12 +604,12 @@ final class IcebergLite(val root: String) {
     val stagingSrc = Paths.get(root, "_staging", s"merge-$gen")
     deleteRecursively(stagingSrc)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    src0.withColumn("_b", pmod(hash(col("conv_id")), lit(n)))
-      .write.partitionBy("_b").mode("overwrite")
+    src0.withColumn("__graft_b", pmod(hash(col("conv_id")), lit(n)))
+      .write.partitionBy("__graft_b").mode("overwrite")
       .parquet(stagingSrc.resolve("src").toString)
     val stagedSchema = org.apache.spark.sql.types.StructType(
       declared.fields.filter(f => needed.contains(f.name)) :+
-        org.apache.spark.sql.types.StructField("_b",
+        org.apache.spark.sql.types.StructField("__graft_b",
           org.apache.spark.sql.types.IntegerType))
     val srcAll = spark.read.schema(stagedSchema)
       .parquet(stagingSrc.resolve("src").toString)
@@ -658,7 +660,7 @@ final class IcebergLite(val root: String) {
           df = df.withColumn(c.name, lit(null).cast(c.dataType))
         }
         val srcB =
-          if (nb == n) srcAll.filter(col("_b") === f.partitionId)
+          if (nb == n) srcAll.filter(col("__graft_b") === f.partitionId)
           // legacy/unbucketed file sets (numBuckets <= 0): partitionId is
           // not a conv_id bucket, so no slice of the feed is safe — probe
           // against the whole feed (pmod(x, -1) would be 0 for every row
@@ -670,7 +672,7 @@ final class IcebergLite(val root: String) {
         if (m == 0L) None
         else {
           // _ord pins the original row order through the join
-          val ordered = df.withColumn("_ord", monotonically_increasing_id())
+          val ordered = df.withColumn("__graft_ord", monotonically_increasing_id())
           val replacement = matched.get match {
             case MergeUpdateAll | MergeUpdateCols(_) =>
               val t = ordered.alias("t")
@@ -680,7 +682,7 @@ final class IcebergLite(val root: String) {
                 "left")
               val hitS = col("s.conv_id").isNotNull
               Some(joined.select(ordered.columns.toSeq.map {
-                case "_ord" => col("t._ord")
+                case "__graft_ord" => col("t.__graft_ord")
                 case c if updateCols.contains(c) =>
                   when(hitS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
                 case other => col(s"t.$other").as(other)
@@ -691,7 +693,7 @@ final class IcebergLite(val root: String) {
           }
           Some((idx, f.path, m, replacement.map(r =>
             (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
-              publishRewriteFile(r.orderBy("_ord").drop("_ord"),
+              publishRewriteFile(r.orderBy("__graft_ord").drop("__graft_ord"),
                 stagingSrc, gen, idx, f.partitionId)))))
         }
       }.toIndexedSeq.seq.sortBy(_._1)
@@ -712,7 +714,7 @@ final class IcebergLite(val root: String) {
             keySchema)
         else spark.read.schema(keySchema)
           .parquet(candidates.map(c => s"$root/${c._1.path}"): _*)
-      val notMatched = srcAll.drop("_b").join(targetKeys, keys, "left_anti")
+      val notMatched = srcAll.drop("__graft_b").join(targetKeys, keys, "left_anti")
       inserted = notMatched.count()
       if (inserted > 0L) {
         val epoch = rawSnapshots.map(_._1.epochId).foldLeft(-1L)(math.max) + 1L

@@ -246,6 +246,57 @@ class UpdateSpec extends SparkSpec {
     assert(e3.getMessage.contains("subqueries"))
   }
 
+  test("property: updateWhere == the relational CASE WHEN projection, " +
+    "row counts preserved, for random tables, conditions and assignments") {
+    import org.scalacheck.Gen
+    val genRows = for {
+      nConv <- Gen.choose(1, 5)
+      nTurn <- Gen.choose(1, 6)
+      roles <- Gen.listOfN(nConv * nTurn, Gen.oneOf("user", "tool", "sys"))
+      tools <- Gen.listOfN(nConv * nTurn,
+        Gen.oneOf("search", "calc", null: String))
+    } yield (for (c <- 0 until nConv; i <- 0 until nTurn) yield {
+      val k = c * nTurn + i
+      (s"conv$c", i, roles(k), tools(k),
+        new java.sql.Timestamp((base + c * 1000000L + i) / 1000L))
+    }).toSeq
+    val genCond = Gen.oneOf[org.apache.spark.sql.Column](
+      col("role") === "tool",
+      col("tool").isNull,
+      col("turn_idx") < 3,
+      col("role") === "user" && col("turn_idx") >= 1,
+      col("tool") === "search" || col("role") === "sys")
+    val genAssign = Gen.oneOf[Seq[(String, org.apache.spark.sql.Column)]](
+      Seq("role" -> lit("X")),
+      Seq("tool" -> concat(col("role"), lit("!"))),
+      Seq("role" -> col("tool"), "tool" -> col("role")),
+      Seq("ts" -> (col("ts") + expr("INTERVAL 1 HOUR")), "role" -> lit("t")))
+
+    new graft.PropHelpers {}.forAllSeeded2(
+      Gen.zip(genRows, genCond), genAssign, n = 6) { case ((rows, cond), as) =>
+      val root = tmpDir("upd-prop")
+      val t = new IcebergLite(root)
+      t.create(
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp", 2)
+      assert(t.commitEpoch(
+        rows.toDF("conv_id", "turn_idx", "role", "tool", "ts"), "w", 0L, 2))
+      val hit = coalesce(cond, lit(false))
+      val asMap = as.toMap
+      val expect = t.read(spark).select(
+        Seq("conv_id", "turn_idx", "role", "tool", "ts").map { c =>
+          asMap.get(c).map(v => when(hit, v.cast(
+            t.read(spark).schema(c).dataType)).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*).collect().toSet
+
+      t.updateWhere(spark, cond, as, "prop")
+      val got = t.read(spark)
+        .select("conv_id", "turn_idx", "role", "tool", "ts").collect().toSet
+      assert(got === expect, s"cond=$cond as=$as")
+      assert(t.effectiveFiles.map(_.rowCount).sum === rows.size.toLong)
+    }
+  }
+
   test("catalyst→V1 prune-filter translation (GraftInternals bridge) " +
     "feeds PrunePredicate: conv sets, ts bounds, untranslatable conjuncts " +
     "only lose pruning") {
