@@ -1456,13 +1456,35 @@ final class IcebergLite(val root: String) {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** First-writer-wins atomic manifest publication. `Files.move` with
+    * ATOMIC_MOVE maps to rename(2), which silently REPLACES an existing
+    * target on POSIX — so the earlier move-based form was last-writer-wins
+    * and a commit race overwrote the first manifest without a trace.
+    * `createLink` is atomic AND fails on existence, making the commit
+    * point a true compare-and-claim: losing the race is tolerated only
+    * when the winner wrote byte-identical content (a deterministic
+    * replayed commit); a NON-IDENTICAL winner — e.g. a stream epoch
+    * racing a merge insert epoch for one id — fails loudly instead of
+    * silently dropping one side's data while both report success. */
   private def atomicWrite(target: Path, bytes: Array[Byte]): Unit = {
-    val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+    // unique tmp per attempt: two racing writers sharing one tmp name
+    // could interleave write/link and publish mixed bytes
+    val tmp = target.resolveSibling(
+      "." + target.getFileName + "." + java.util.UUID.randomUUID + ".tmp")
     Files.write(tmp, bytes)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // lost the race to an identical concurrent/replayed commit — fine
-      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        if (!java.util.Arrays.equals(Files.readAllBytes(target), bytes))
+          throw new IllegalStateException(
+            s"lost a commit race on ${target.getFileName} to a " +
+              "NON-IDENTICAL concurrent writer — this id was claimed by " +
+              "another commit with different content; the losing write " +
+              "was NOT applied")
     }
   }
 

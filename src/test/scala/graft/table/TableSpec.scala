@@ -196,6 +196,23 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("a lost commit race is tolerated only for byte-identical replays; " +
+    "a non-identical winner fails loudly instead of dropping data") {
+    import spark.implicits._
+    val table = mkTable(tmpDir("t-race"))
+    val df = Seq(("conv-x", 0, new Timestamp(1767225600L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    val files = table.stageAndPublish(df, 5L, 2)
+    table.writeSnapshot("q", 5L, files, 2)
+    // identical replay of the same snapshot bytes: silent no-op
+    table.writeSnapshot("q", 5L, files, 2)
+    // a different writer claiming the same epoch id inside the race
+    // window (past the isCommitted TOCTOU check) must not be swallowed
+    intercept[IllegalStateException] {
+      table.writeSnapshot("another-query", 5L, files, 2)
+    }
+  }
+
   test("readRange keeps microsecond precision in the residual filter") {
     import spark.implicits._
     val table = new IcebergLite(tmpDir("t-micros"))
