@@ -233,9 +233,13 @@ final class IcebergLite(val root: String) {
         .getOrElse(fallbackIdx)
       val name = f"part-$epochId%06d-$idx%05d.parquet"
       val dst = dataDir.resolve(name)
-      // REPLACE: a retried epoch rewrites identical bytes (determinism)
-      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
+      // first-writer-wins claim: a retried epoch reproduces identical
+      // bytes (determinism) and no-ops; a crashed earlier attempt of this
+      // UNCOMMITTED epoch (e.g. staged under a different bucket count) is
+      // replaced; a non-identical writer racing a COMMITTED epoch fails
+      // loudly instead of clobbering what its manifest describes
+      claimFrom(src, dst, committed = isCommitted(epochId))
+      Files.deleteIfExists(src)
       (dst, idx, s"data/$name")
     }
     // footer reads are independent — do them in parallel, the driver-side
@@ -350,21 +354,28 @@ final class IcebergLite(val root: String) {
     * them. Reentrant per thread (the file lock would otherwise throw
     * `OverlappingFileLockException` on nesting). */
   private def withMaintenanceLock[A](f: => A): A = {
-    if (IcebergLite.maintenanceHeld.get().contains(root)) return f
+    // normalized key: two instances addressing one table via different
+    // path spellings ("/t" vs "/t/" vs relative) must share the monitor,
+    // or both reach the OS lock and the second dies on
+    // OverlappingFileLockException instead of blocking
+    val key = Paths.get(root).toAbsolutePath.normalize.toString
+    if (IcebergLite.maintenanceHeld.get().contains(key)) return f
+    // a nonexistent table gets no lock skeleton materialized on disk —
+    // the op's own `require(exists)` (or empty listing) handles it
+    if (!Files.exists(metaDir)) return f
     val mon = IcebergLite.maintenanceMonitors
-      .computeIfAbsent(root, _ => new Object)
+      .computeIfAbsent(key, _ => new Object)
     mon.synchronized {
-      Files.createDirectories(metaDir)
       val ch = java.nio.channels.FileChannel.open(
         metaDir.resolve("maintenance.lock"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        IcebergLite.maintenanceHeld.get().add(root)
+        IcebergLite.maintenanceHeld.get().add(key)
         try f
         finally {
-          IcebergLite.maintenanceHeld.get().remove(root)
+          IcebergLite.maintenanceHeld.get().remove(key)
           lock.release()
         }
       } finally ch.close()
@@ -505,8 +516,8 @@ final class IcebergLite(val root: String) {
       _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
     val name = f"part-d$gen%04d-$seq%05d.parquet"
     val dst = dataDir.resolve(name)
-    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    claimFrom(part, dst, committed = Files.exists(deletePath(gen)))
+    Files.deleteIfExists(part)
     footerStats(dst, gen, partitionId, s"data/$name")
   }
 
@@ -927,8 +938,9 @@ final class IcebergLite(val root: String) {
         .getOrElse(fallbackIdx)
       val name = f"part-c$gen%04d-$idx%05d.parquet"
       val dst = dataDir.resolve(name)
-      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
+      claimFrom(src, dst,
+        committed = Files.exists(metaDir.resolve(f"compact-$gen%06d.json")))
+      Files.deleteIfExists(src)
       (dst, idx, s"data/$name")
     }
     import scala.collection.parallel.CollectionConverters._
@@ -1178,16 +1190,20 @@ final class IcebergLite(val root: String) {
     * — plus settled `_staging/` leftovers. Orphans arise from the one
     * crash window the atomic protocol leaves on disk: files published by
     * [[stageAndPublish]] (or a compaction/delete rewrite) whose manifest
-    * never landed AND whose retry wrote a different layout (e.g. a bucket
-    * count change between attempts), so the replay's REPLACE_EXISTING
-    * never reclaimed them.
+    * never landed. A retry under the SAME configuration reproduces
+    * identical bytes and the first-writer-wins claim no-ops; a retry
+    * under a CHANGED layout (e.g. a different bucket count) replaces the
+    * overlapping names (the epoch is still uncommitted — nothing
+    * references them) but cannot reach stale names outside its own
+    * layout, which this cleanup reclaims.
     *
     * In-flight protection without wall clocks: an unreferenced file is
     * only deleted when its embedded id is at or below the newest COMMITTED
     * id of its kind (epoch / compaction gen / delete gen) — a concurrent
     * first-time commit always targets the next id up, so its
     * staged-then-published files are never touched; its own retry
-    * protocol (REPLACE on re-publish) makes deletion of genuinely stale
+    * protocol (identical-bytes claim on re-publish) makes deletion of
+    * genuinely stale
     * files safe even under replay. Like [[compact]], concurrent
     * out-of-order writers are outside the maintenance contract.
     * Returns the deleted relative paths. */
@@ -1472,21 +1488,48 @@ final class IcebergLite(val root: String) {
     val tmp = target.resolveSibling(
       "." + target.getFileName + "." + java.util.UUID.randomUUID + ".tmp")
     Files.write(tmp, bytes)
+    try claimFrom(tmp, target)
+    finally Files.deleteIfExists(tmp) // also sweeps the loser/error cases
+  }
+
+  /** Atomic first-writer-wins claim of `dst` with `src`'s content
+    * (hard link: atomic AND fails on existence — rename(2) silently
+    * replaces). On a lost race:
+    *  - identical bytes → tolerated (a deterministic replayed commit
+    *    reproduces them exactly);
+    *  - non-identical AND `committed` → fail loudly (the id belongs to a
+    *    published commit; replacing it would corrupt what its manifest
+    *    describes);
+    *  - non-identical and NOT committed → replace (the leftover is a
+    *    crashed attempt of this same id — e.g. an epoch staged under a
+    *    different bucket count whose snapshot never landed — and nothing
+    *    references it).
+    * On filesystems without hard links, falls back to rename — the
+    * pre-round-5 last-writer-wins semantics on such mounts, traded for
+    * still working at all. The caller owns deleting `src`. */
+  private def claimFrom(src: Path, dst: Path,
+                        committed: => Boolean = true): Unit =
     try {
-      Files.createLink(target, tmp)
-      Files.deleteIfExists(tmp)
+      Files.createLink(dst, src)
       ()
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        if (!java.util.Arrays.equals(Files.readAllBytes(target), bytes))
-          throw new IllegalStateException(
-            s"lost a commit race on ${target.getFileName} to a " +
-              "NON-IDENTICAL concurrent writer — this id was claimed by " +
-              "another commit with different content; the losing write " +
-              "was NOT applied")
+        if (Files.mismatch(dst, src) != -1L) {
+          if (committed)
+            throw new IllegalStateException(
+              s"lost a commit race on ${dst.getFileName} to a " +
+                "NON-IDENTICAL concurrent writer — this id was claimed by " +
+                "another commit with different content; the losing write " +
+                "was NOT applied")
+          Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+          ()
+        }
+      case _: UnsupportedOperationException =>
+        Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
     }
-  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
