@@ -126,6 +126,29 @@ private[catalog] object GraftProcedures {
         StructField("removed_path", StringType, nullable = false))),
       (table, _) => table.removeOrphans().map(p => row(p)).toArray, resolve),
 
+    // the whole shrink lifecycle in one call: rewrite the effective view
+    // into one compacted generation, reclaim superseded data files, retire
+    // settled manifests. Each step takes the maintenance lock itself;
+    // reader-retention guards (gc's minLive, expiry's retain_last) apply
+    // exactly as in the individual calls.
+    "vacuum" -> new Proc("vacuum",
+      Array(tableParam,
+        ProcedureParameter.in("retain_last", IntegerType)
+          .defaultValue("8")
+          .comment("keep at least this many trailing snapshot manifests")
+          .build()),
+      StructType(Seq(
+        StructField("generation", LongType, nullable = false),
+        StructField("deleted_files", IntegerType, nullable = false),
+        StructField("expired_manifests", IntegerType, nullable = false))),
+      (table, in) => {
+        val buckets = table.declaredNumBuckets.getOrElse(8)
+        val gen = table.compact(SparkSession.active, buckets)
+        val deleted = table.gc().size
+        val expired = table.expireMetadata(in.getInt(1)).size
+        Array(row(gen, deleted, expired))
+      }, resolve),
+
     "snapshots" -> new Proc("snapshots",
       Array(tableParam),
       StructType(Seq(

@@ -268,7 +268,7 @@ class GraftCatalogSpec extends SparkSpec {
 
     // unknown procedure and unknown table both fail loudly
     val unknownProc = intercept[Exception] {
-      spark.sql("CALL graft.system.vacuum('db.m')")
+      spark.sql("CALL graft.system.rebucket('db.m')")
     }
     // Spark wraps the catalog's error as FAILED_TO_LOAD_ROUTINE
     assert(unknownProc.getMessage.contains("unknown procedure") ||
@@ -387,6 +387,29 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("TRUNCATE TABLE graft.db.del")
     assert(spark.table("graft.db.del").count() === 0L)
     assert(new IcebergLite(s"$warehouse/db/del").exists)
+  }
+
+  test("CALL graft.system.vacuum runs compact + gc + expire_metadata " +
+    "in one call; content and retention guards unchanged") {
+    spark.sql(
+      """CREATE TABLE graft.db.vac (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='2')""".stripMargin)
+    (0L until 6L).foreach { e =>
+      sampleDf(8, base = 1767225600L + e * 1000).writeTo("graft.db.vac")
+        .option("epoch", e.toString).option("queryId", "v").append()
+    }
+    val before = spark.table("graft.db.vac").count()
+    val r = spark.sql(
+      "CALL graft.system.vacuum('db.vac', retain_last => 2)").collect().head
+    assert(r.getLong(0) === 0L)  // one new generation
+    assert(r.getInt(1) > 0)      // superseded per-epoch files reclaimed
+    assert(r.getInt(2) === 4)    // 6 snapshots - retain_last 2
+    assert(spark.table("graft.db.vac").count() === before)
+    val lite = new IcebergLite(s"$warehouse/db/vac")
+    assert(lite.snapshots.map(_.epochId) === Seq(4L, 5L))
+    assert(lite.expiryHorizon === Some(3L))
   }
 
   test("CALL graft.system.remove_orphans drops files no manifest " +
