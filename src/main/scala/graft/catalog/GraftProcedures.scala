@@ -21,6 +21,7 @@ import graft.table.IcebergLite
   *   CALL graft.system.gc('db.t')               -- reclaim superseded files
   *   CALL graft.system.expire_metadata('db.t')  -- retire settled manifests
   *   CALL graft.system.remove_orphans('db.t')   -- drop unreferenced files
+  *   CALL graft.system.vacuum('db.t')           -- compact + gc + expiry
   *   CALL graft.system.snapshots('db.t')        -- inspect the snapshot log
   * }}}
   *
@@ -75,6 +76,13 @@ private[catalog] object GraftProcedures {
     }
   }
 
+  /** The `buckets` parameter convention shared by compact and vacuum:
+    * -1 keeps the table's declared count (8 if never declared). */
+  private def resolveBuckets(table: IcebergLite, n: Int): Int = n match {
+    case -1 => table.declaredNumBuckets.getOrElse(8)
+    case b  => require(b > 0, s"buckets must be positive, got $b"); b
+  }
+
   /** Procedure registry for a catalog whose `resolve` maps a dotted table
     * name to an IcebergLite root (validated + path-safe). */
   def procedures(resolve: String => String): Map[String, UnboundProcedure] = Map(
@@ -88,12 +96,8 @@ private[catalog] object GraftProcedures {
         StructField("generation", LongType, nullable = false),
         StructField("compacted_files", IntegerType, nullable = false))),
       (table, in) => {
-        val buckets = in.getInt(1) match {
-          case -1 => table.declaredNumBuckets.getOrElse(8)
-          case n =>
-            require(n > 0, s"buckets must be positive, got $n"); n
-        }
-        val gen = table.compact(SparkSession.active, buckets)
+        val gen = table.compact(SparkSession.active,
+          resolveBuckets(table, in.getInt(1)))
         val files =
           if (gen < 0) 0
           else table.compactions.find(_.gen == gen).map(_.files.size).getOrElse(0)
@@ -136,14 +140,18 @@ private[catalog] object GraftProcedures {
         ProcedureParameter.in("retain_last", IntegerType)
           .defaultValue("8")
           .comment("keep at least this many trailing snapshot manifests")
+          .build(),
+        ProcedureParameter.in("buckets", IntegerType)
+          .defaultValue("-1")
+          .comment("target bucket count; -1 keeps the table's declared count")
           .build()),
       StructType(Seq(
         StructField("generation", LongType, nullable = false),
         StructField("deleted_files", IntegerType, nullable = false),
         StructField("expired_manifests", IntegerType, nullable = false))),
       (table, in) => {
-        val buckets = table.declaredNumBuckets.getOrElse(8)
-        val gen = table.compact(SparkSession.active, buckets)
+        val gen = table.compact(SparkSession.active,
+          resolveBuckets(table, in.getInt(2)))
         val deleted = table.gc().size
         val expired = table.expireMetadata(in.getInt(1)).size
         Array(row(gen, deleted, expired))

@@ -179,7 +179,7 @@ final class IcebergLite(val root: String) {
     * ids restarting at 0) writing to this table fails loudly instead of
     * silently dropping its data under an alien epoch id. */
   def commitEpoch(df: DataFrame, queryId: String, epochId: Long,
-                  numBuckets: Int): Boolean = {
+                  numBuckets: Int): Boolean = withEpochLock(epochId) {
     if (isCommitted(epochId)) {
       val stored = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
         .get("queryId").asText()
@@ -353,24 +353,36 @@ final class IcebergLite(val root: String) {
     * [[atomicWrite]]'s lost-the-race tolerance silently DROPS one of
     * them. Reentrant per thread (the file lock would otherwise throw
     * `OverlappingFileLockException` on nesting). */
-  private def withMaintenanceLock[A](f: => A): A = {
-    // normalized key: two instances addressing one table via different
-    // path spellings ("/t" vs "/t/" vs relative) must share the monitor,
-    // or both reach the OS lock and the second dies on
-    // OverlappingFileLockException instead of blocking
-    val key = Paths.get(root).toAbsolutePath.normalize.toString
+  /** Canonical lock key for this root: symlink-resolved when the path
+    * exists (two spellings or symlinks of one table must share a monitor,
+    * or both reach the OS lock and the second dies on
+    * OverlappingFileLockException), normalized-absolute otherwise. */
+  private def lockKey: String =
+    try Paths.get(root).toRealPath().toString
+    catch { case _: java.io.IOException =>
+      Paths.get(root).toAbsolutePath.normalize.toString }
+
+  /** Scoped two-layer lock: per-key JVM monitor + OS file lock on
+    * `metadata/<name>`, reentrant per thread. If the metadata dir is
+    * missing (nonexistent table), runs `f` unlocked — no lock skeleton is
+    * materialized for typo'd roots; the op's own `require(exists)` (or
+    * empty listing) fails it immediately, and a table DROPPED between the
+    * existence check and the lock open is retried down the unlocked
+    * path the same way. */
+  private def withFileLock[A](name: String)(f: => A): A = {
+    val key = lockKey + "#" + name
     if (IcebergLite.maintenanceHeld.get().contains(key)) return f
-    // a nonexistent table gets no lock skeleton materialized on disk —
-    // the op's own `require(exists)` (or empty listing) handles it
     if (!Files.exists(metaDir)) return f
     val mon = IcebergLite.maintenanceMonitors
       .computeIfAbsent(key, _ => new Object)
     mon.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        metaDir.resolve("maintenance.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
+      val ch =
+        try java.nio.channels.FileChannel.open(metaDir.resolve(name),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.nio.file.NoSuchFileException => null }
+      if (ch == null) f // metaDir vanished under us — as the missing case
+      else try {
         val lock = ch.lock()
         IcebergLite.maintenanceHeld.get().add(key)
         try f
@@ -381,6 +393,24 @@ final class IcebergLite(val root: String) {
       } finally ch.close()
     }
   }
+
+  private def withMaintenanceLock[A](f: => A): A =
+    withFileLock("maintenance.lock")(f)
+
+  /** Serializes WRITERS OF ONE EPOCH through the publish→snapshot window:
+    * without it, a divergent writer racing a live first-time commit of
+    * the same epoch id sees `isCommitted == false` mid-publish
+    * (check-then-act) and replaces the winner's already-claimed data
+    * files before the winner's manifest lands — a committed manifest
+    * describing the loser's bytes. Under the lock the loser observes
+    * either the winner's snapshot (loud queryId guard / loud manifest
+    * mismatch) or a fully-released window. One lock file per TABLE (not
+    * per epoch — a 10^12-epoch table must not grow a lock file per
+    * commit in its metadata listing); same-table epoch writers are a
+    * single stream sink plus the occasional merge, so contention is
+    * nil, and long maintenance jobs are on a different lock. */
+  private def withEpochLock[A](epochId: Long)(f: => A): A =
+    withFileLock("epoch.lock")(f)
 
   /** Next rewrite-generation id: above every COMMITTED delete manifest AND
     * every gen a pending (merge-staged, not yet activated) snapshot is
@@ -729,8 +759,10 @@ final class IcebergLite(val root: String) {
       inserted = notMatched.count()
       if (inserted > 0L) {
         val epoch = rawSnapshots.map(_._1.epochId).foldLeft(-1L)(math.max) + 1L
-        val files = stageAndPublish(notMatched, epoch, n)
-        writeSnapshot(queryId, epoch, files, n, pendingGen = Some(gen))
+        withEpochLock(epoch) {
+          val files = stageAndPublish(notMatched, epoch, n)
+          writeSnapshot(queryId, epoch, files, n, pendingGen = Some(gen))
+        }
         insertEpoch = Some(epoch)
       }
     }
@@ -1526,6 +1558,14 @@ final class IcebergLite(val root: String) {
           ()
         }
       case _: UnsupportedOperationException =>
+        Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
+      // link(2) failures on no-hardlink mounts surface as
+      // FileSystemException (EPERM/ENOTSUP), not UnsupportedOperation;
+      // fall back to rename there too — a genuine I/O error (ENOSPC,
+      // EACCES) rethrows from the move itself
+      case _: java.nio.file.FileSystemException =>
         Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
         ()
