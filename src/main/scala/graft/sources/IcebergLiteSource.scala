@@ -307,9 +307,13 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
   // BATCH_WRITE is advertised alongside V1_BATCH_WRITE because
   // DataFrameWriter.save's v2 dispatch checks BATCH_WRITE specifically;
   // the physical planner still routes our V1Write to AppendDataExecV1.
+  // STREAMING_WRITE: df.writeStream.toTable(...) / .format(...).start()
+  // route to the native EpochStreamingWrite (task-side staged files, same
+  // idempotent epoch commit) — see GraftWrite.
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def schema(): StructType = tableSchema
 
@@ -365,44 +369,7 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-          override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
-            if (overwrite || truncateFirst) {
-              val t = new IcebergLite(root)
-              if (t.exists)
-                t.deleteWhere(data.sparkSession,
-                  org.apache.spark.sql.functions.lit(true),
-                  "true (INSERT OVERWRITE truncation)")
-            }
-            val table = new IcebergLite(root)
-            if (!table.exists) {
-              require(opts.getBoolean("createIfAbsent", false),
-                s"IcebergLite table does not exist at $root — create it " +
-                  "first, or write with .option(\"createIfAbsent\", \"true\")")
-              table.create(data.schema.toDDL, opts.getInt("buckets", 8))
-            }
-            // business-schema contract (names + types; order and
-            // nullability free; lineage columns are sink-appended)
-            val declared = StructType.fromDDL(table.schemaDdl)
-            val declaredTypes = declared.map(f => f.name -> f.dataType).toMap
-            require(data.schema.length == declared.length &&
-                data.schema.forall(f => declaredTypes.get(f.name).contains(f.dataType)),
-              s"schema mismatch writing to $root: table declares " +
-                s"(${declared.toDDL}); data carries (${data.schema.toDDL}). " +
-                "Lineage columns epoch_id/partition_id are appended by the " +
-                "sink — do not include them.")
-            val queryId = Option(opts.get("queryId")).getOrElse("batch-save")
-            val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse(
-              table.snapshots.lastOption.map(_.epochId + 1L).getOrElse(0L))
-            val aligned = data.select(
-              declared.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
-            table.commitEpoch(aligned, queryId, epoch,
-              table.declaredNumBuckets.getOrElse(opts.getInt("buckets", 8)))
-            ()
-          }
-        }
-      }
+      override def build(): Write = new GraftWrite(root, info, truncateFirst)
     }
   }
   /** SQL `DELETE FROM <table> WHERE <pred>` — accepted iff every pushed

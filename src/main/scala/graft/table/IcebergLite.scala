@@ -179,7 +179,35 @@ final class IcebergLite(val root: String) {
     * ids restarting at 0) writing to this table fails loudly instead of
     * silently dropping its data under an alien epoch id. */
   def commitEpoch(df: DataFrame, queryId: String, epochId: Long,
-                  numBuckets: Int): Boolean = withEpochLock(epochId) {
+                  numBuckets: Int, arranged: Boolean = false): Boolean =
+    withEpochLock(epochId) {
+      if (isCommitted(epochId)) {
+        val stored = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
+          .get("queryId").asText()
+        if (stored != queryId)
+          throw new IllegalStateException(
+            s"epoch $epochId of table $root already committed by query " +
+              s"'$stored'; refusing idempotent no-op for different query " +
+              s"'$queryId' (would silently drop its data)")
+        return false
+      }
+      val files = stageAndPublish(df, epochId, numBuckets, arranged)
+      writeSnapshot(queryId, epochId, files, numBuckets)
+      true
+    }
+
+  /** Commit of an epoch whose data files were already STAGED by executor
+    * tasks (the DSv2 [[graft.sources.EpochStreamingWrite]] path: Spark
+    * clustered the rows by `conv_id` into `numBuckets` partitions and each
+    * task wrote one file under `_staging/ep-<epoch>/`, so `staged`'s
+    * partition ids ARE bucket ids). The driver side here touches only file
+    * METADATA — claim into `data/` + footer stats + snapshot — under the
+    * same per-table epoch lock, `(queryId, epochId)` idempotence and
+    * first-writer-wins contract as [[commitEpoch]]; a replayed epoch drops
+    * the replay's freshly staged bytes and no-ops. */
+  def commitStagedEpoch(queryId: String, epochId: Long,
+                        staged: Seq[(String, Int)],
+                        numBuckets: Int): Boolean = withEpochLock(epochId) {
     if (isCommitted(epochId)) {
       val stored = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
         .get("queryId").asText()
@@ -188,17 +216,41 @@ final class IcebergLite(val root: String) {
           s"epoch $epochId of table $root already committed by query " +
             s"'$stored'; refusing idempotent no-op for different query " +
             s"'$queryId' (would silently drop its data)")
+      deleteRecursively(stagingDir(epochId))
       return false
     }
-    val files = stageAndPublish(df, epochId, numBuckets)
+    require(staged.map(_._2).distinct.size == staged.size,
+      s"duplicate bucket ids in staged files of epoch $epochId: " +
+        staged.map(_._2).mkString(",") +
+        " — the commit coordinator must deliver one message per partition")
+    Files.createDirectories(dataDir)
+    val published = staged.sortBy(_._2).map { case (src, idx) =>
+      val name = f"part-$epochId%06d-$idx%05d.parquet"
+      val dst = dataDir.resolve(name)
+      claimFrom(Paths.get(src), dst, committed = isCommitted(epochId))
+      Files.deleteIfExists(Paths.get(src))
+      (dst, idx, s"data/$name")
+    }
+    import scala.collection.parallel.CollectionConverters._
+    val files = published.par.map { case (dst, idx, rel) =>
+      footerStats(dst, epochId, idx, rel)
+    }.toIndexedSeq.seq.sortBy(_.partitionId)
     writeSnapshot(queryId, epochId, files, numBuckets)
+    deleteRecursively(stagingDir(epochId))
     true
   }
+
+  /** Abort of a streaming epoch attempt: sweep its staging directory. Safe
+    * against a concurrent successful commit of the same epoch — committed
+    * data lives in `data/`, never in staging. */
+  def abortStagedEpoch(epochId: Long): Unit =
+    deleteRecursively(stagingDir(epochId))
 
   /** Steps 1–2: write deterministic data files and move them into `data/`.
     * Publicly split from [[writeSnapshot]] so kill/resume tests can crash in
     * the staged-but-uncommitted window (the :188-195 failure point). */
-  def stageAndPublish(df: DataFrame, epochId: Long, numBuckets: Int): Seq[DataFileMeta] = {
+  def stageAndPublish(df: DataFrame, epochId: Long, numBuckets: Int,
+                      arranged: Boolean = false): Seq[DataFileMeta] = {
     val staging = stagingDir(epochId)
     deleteRecursively(staging)
     val spark = df.sparkSession
@@ -206,16 +258,20 @@ final class IcebergLite(val root: String) {
     // deterministic layout for ANY schema: bucket by conv_id and sort by
     // (conv_id, turn_idx) when present (the transcript tables), else fall
     // back to the full column list — replay must always reproduce
-    // byte-identical files
+    // byte-identical files. `arranged = true` asserts the CALLER's plan
+    // already carries exactly this clustering + ordering (the DSv2 write
+    // path, where Spark applied the Write's RequiresDistributionAndOrdering
+    // — see IcebergLiteTable.newWriteBuilder) so repeating it here would be
+    // a second, redundant shuffle of every row.
     val cols = df.columns.toSeq
-    val bucketCols =
-      if (cols.contains("conv_id")) Seq("conv_id") else cols.take(1)
-    val sortCols = {
-      val preferred = Seq("conv_id", "turn_idx").filter(cols.contains)
-      if (preferred.nonEmpty) preferred else cols
-    }
-    df.repartition(numBuckets, bucketCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+    val bucketCols = IcebergLite.bucketColsFor(cols)
+    val sortCols = IcebergLite.sortColsFor(cols)
+    IcebergLite.lastStageArranged = arranged
+    val prepared =
+      if (arranged) df
+      else df.repartition(numBuckets, bucketCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    prepared
       .withColumn("epoch_id", lit(epochId)) // S9 lineage — deterministic,
       .withColumn("partition_id", spark_partition_id()) // unlike time.time()
       .write.mode("overwrite").parquet(staging.toString)
@@ -1645,6 +1701,28 @@ object IcebergLite {
   def taskPartitionId(fileName: String): Option[Int] = fileName match {
     case TaskFilePattern(d) => Some(d.toInt)
     case _ => None
+  }
+
+  /** Test observability hook ONLY: records whether the most recent
+    * `stageAndPublish` trusted a pre-arranged plan or arranged the rows
+    * itself. Never read by engine code — specs pin the CURRENT contract
+    * (Spark does not arrange V1-fallback batch writes, so the engine must;
+    * a silently-true detection there would write unbucketed files and
+    * break manifest pruning). */
+  @volatile private[graft] var lastStageArranged: Boolean = false
+
+  /** The canonical physical-layout rules shared by every write path (batch
+    * `stageAndPublish`, the DSv2 streaming write's required distribution,
+    * compaction): bucket by `conv_id` when present else the first column;
+    * sort by `(conv_id, turn_idx)` when present else every column. One
+    * definition — a drift between the batch and streaming layouts would
+    * silently break manifest bucket pruning. */
+  def bucketColsFor(cols: Seq[String]): Seq[String] =
+    if (cols.contains("conv_id")) Seq("conv_id") else cols.take(1)
+
+  def sortColsFor(cols: Seq[String]): Seq[String] = {
+    val preferred = Seq("conv_id", "turn_idx").filter(cols.contains)
+    if (preferred.nonEmpty) preferred else cols
   }
 
   /** The bucket `repartition(numBuckets, col("conv_id"))` routes `convId`

@@ -27,4 +27,30 @@ object GraftInternals {
       : Option[sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown)
+
+  /** Spark's OWN parquet task-writer (`private[sql]`), prepared exactly the
+    * way `FileFormatWriter` prepares it: the graft DSv2 STREAMING write
+    * stages one parquet file per bucket task with it, so streamed epochs
+    * use the identical encoder stack (dictionary/RLE, stats, codec) as the
+    * driver-side `df.write.parquet` batch path instead of a hand-rolled
+    * row writer that would drift. Returns the serializable factory plus
+    * the prepared Hadoop conf (schema, codec, timestamp type pinned to
+    * TIMESTAMP_MICROS — the engine's canonical on-disk form; see
+    * IcebergLite.stageAndPublish). */
+  def parquetWriterFactory(spark: SparkSession, schema: types.StructType)
+      : (execution.datasources.OutputWriterFactory,
+         org.apache.hadoop.conf.Configuration) = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      session.sessionState.newHadoopConf())
+    val sqlConf = session.sessionState.conf
+    val factory = execution.datasources.parquet.ParquetUtils.prepareWrite(
+      sqlConf, job, schema,
+      new execution.datasources.parquet.ParquetOptions(
+        Map.empty[String, String], sqlConf))
+    val conf = job.getConfiguration
+    conf.set(internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      "TIMESTAMP_MICROS")
+    (factory, conf)
+  }
 }
