@@ -338,6 +338,47 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("text"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }),
+    // CDC gate (round-5): the change feed between "the state when epoch 1
+    // was freshly committed" and the live view, after a DELETE, an UPDATE
+    // and an appended epoch. The diff is manifest-first (untouched files
+    // never scanned) and reconciled by a full-outer key join, so a
+    // surviving row leaking into the feed, a lost delete, or an unpaired
+    // update image is a content mismatch against the oracle recomputing
+    // the three change sets relationally from the raw fixture.
+    "q33_changes" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = graft.catalog.GraftSessions.withExtensions(
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      val tx = Fixtures.transcripts(s2, dir)
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s2.sql("DROP TABLE IF EXISTS graft.gate.chg")
+      s2.sql(
+        """CREATE TABLE graft.gate.chg (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1).foreach { ep =>
+        tx.filter(col("turn_idx") % 2 === ep)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.chg")
+          .option("epoch", ep.toString).option("queryId", "gate").append()
+      }
+      s2.sql("DELETE FROM graft.gate.chg WHERE role = 'tool'")
+      s2.sql(
+        """UPDATE graft.gate.chg SET text = concat(text, ' [u]')
+          |WHERE conv_id < 'conv-000010' AND role = 'user'""".stripMargin)
+      tx.filter(col("conv_id") < "conv-000005" && col("turn_idx") === 0)
+        .select(col("conv_id"), (col("turn_idx") + 5000).as("turn_idx"),
+          col("role"), col("tool"), col("text"), col("ts"))
+        .writeTo("graft.gate.chg")
+        .option("epoch", "2").option("queryId", "gate").append()
+      val wh = s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}"
+      graft.table.TableChanges.since(s2, s"$wh/gate/chg", fromEpoch = 1L)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col(graft.table.TableChanges.ChangeTypeCol))
     })
   )
 
@@ -743,6 +784,29 @@ object SparkEntry {
          |UNION ALL
          |SELECT conv_id, turn_idx + 1000 AS turn_idx, role, tool, text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
-         |FROM $T WHERE conv_id < 'conv-000020' AND turn_idx = 1""".stripMargin
+         |FROM $T WHERE conv_id < 'conv-000020' AND turn_idx = 1""".stripMargin,
+    // q33: the CDC feed recomputed relationally — deletes are the DELETE's
+    // matches, update images are both sides of the UPDATE's SET, inserts
+    // are the appended slice (disjoint predicates by construction)
+    "q33_changes" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'delete' AS _change_type
+         |FROM $T WHERE role = 'tool'
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'update_preimage' AS _change_type
+         |FROM $T WHERE conv_id < 'conv-000010' AND role = 'user'
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, concat(text, ' [u]') AS text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'update_postimage' AS _change_type
+         |FROM $T WHERE conv_id < 'conv-000010' AND role = 'user'
+         |UNION ALL
+         |SELECT conv_id, turn_idx + 5000 AS turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'insert' AS _change_type
+         |FROM $T WHERE conv_id < 'conv-000005' AND turn_idx = 0""".stripMargin
   )
 }

@@ -23,6 +23,7 @@ import graft.table.IcebergLite
   *   CALL graft.system.remove_orphans('db.t')   -- drop unreferenced files
   *   CALL graft.system.vacuum('db.t')           -- compact + gc + expiry
   *   CALL graft.system.snapshots('db.t')        -- inspect the snapshot log
+  *   CALL graft.system.changes('db.t', 3)       -- CDC counts since epoch 3
   * }}}
   *
   * All procedures delegate to the existing [[IcebergLite]] maintenance
@@ -155,6 +156,32 @@ private[catalog] object GraftProcedures {
         val deleted = table.gc().size
         val expired = table.expireMetadata(in.getInt(1)).size
         Array(row(gen, deleted, expired))
+      }, resolve),
+
+    // CDC inspection: per-change-type row counts between two versions —
+    // the bounded summary of graft.table.TableChanges.since (the full
+    // distributed change feed is the programmatic surface; a CALL result
+    // materializes on the driver, so it reports counts, not rows)
+    "changes" -> new Proc("changes",
+      Array(tableParam,
+        ProcedureParameter.in("from_epoch", LongType)
+          .comment("diff against VERSION AS OF this committed epoch")
+          .build(),
+        ProcedureParameter.in("to_epoch", LongType)
+          .defaultValue("-1")
+          .comment("end version; -1 = the current effective view")
+          .build()),
+      StructType(Seq(
+        StructField("change_type", StringType, nullable = false),
+        StructField("rows", LongType, nullable = false))),
+      (table, in) => {
+        val to = in.getLong(2) match {
+          case -1L => None
+          case b => Some(b)
+        }
+        graft.table.TableChanges.summary(SparkSession.active,
+          table.root, in.getLong(1), to)
+          .map { case (k, n) => row(k, n) }.toArray
       }, resolve),
 
     "snapshots" -> new Proc("snapshots",

@@ -325,6 +325,14 @@ final class IcebergLite(val root: String) {
     snap.put("epochId", java.lang.Long.valueOf(epochId))
     snap.put("numBuckets", Integer.valueOf(numBuckets))
     pendingGen.foreach(g => snap.put("pendingGen", java.lang.Long.valueOf(g)))
+    // the mutation-gen high-water mark at commit time: epochs and
+    // rewrite-gens are separate counters with no wall-clock between them
+    // (replay determinism), so this stamp is what lets a CDC reader anchor
+    // "the state when epoch e was fresh" — see TableChanges/currentVersion.
+    // A merge's pending insert epoch only becomes VISIBLE with its
+    // activating gen, so that gen is part of its as-of state.
+    snap.put("maxGen", java.lang.Long.valueOf(
+      pendingGen.fold(currentGen)(math.max(_, currentGen))))
     // schema version the epoch's files were written under — time travel
     // serves this version's schema (deterministic: part of the snapshot)
     snap.put("schemaVersion", Integer.valueOf(schemaVersion))
@@ -364,7 +372,8 @@ final class IcebergLite(val root: String) {
         val n = mapper.readTree(Files.readAllBytes(p))
         (SnapshotMeta(n.get("queryId").asText(), n.get("epochId").asLong(),
           parseFiles(n), parseBuckets(n),
-          if (n.has("schemaVersion")) n.get("schemaVersion").asInt() else 1),
+          if (n.has("schemaVersion")) n.get("schemaVersion").asInt() else 1,
+          if (n.has("maxGen")) n.get("maxGen").asLong() else 0L),
           Option(n.get("pendingGen")).map(_.asLong()))
       }
   }
@@ -986,6 +995,66 @@ final class IcebergLite(val root: String) {
           .map(fs => FileSet(fs.numBuckets, fs.files))
           .filter(_.files.nonEmpty)
     }
+
+  /** The committed mutation-gen high-water mark: rewrite generations of
+    * row-level deletes/updates/merges AND compactions (one shared gen
+    * space). 0 when the table has never been mutated or compacted. */
+  def currentGen: Long =
+    (deletes.map(_.gen) ++ compactions.map(_.gen)).foldLeft(0L)(math.max)
+
+  /** The table's full state token right now — capture it before a batch of
+    * work, pass it to [[TableChanges.since]] later. */
+  def currentVersion: TableVersion =
+    TableVersion(snapshots.lastOption.map(_.epochId).getOrElse(-1L), currentGen)
+
+  /** The state token as of epoch `e`'s own commit (the snapshot's `maxGen`
+    * stamp): "what a reader saw when epoch e was freshly committed".
+    * Snapshots written before the stamp existed resolve to gen 0. */
+  def versionAtEpoch(e: Long): TableVersion = {
+    val s = snapshots.find(_.epochId == e).getOrElse(throw
+      new IllegalArgumentException(
+        s"epoch $e is not a committed snapshot of $root; committed: " +
+          snapshots.map(_.epochId).mkString("[", ", ", "]")))
+    TableVersion(e, s.maxGen)
+  }
+
+  /** The effective view pinned to a [[TableVersion]]: epochs <= `v.epoch`
+    * (merge-pending snapshots only if their activating gen <= `v.gen`),
+    * compactions and delete manifests with gen <= `v.gen` applied. This is
+    * the reconstruction [[TableChanges]] diffs against; like
+    * [[fileSetsAsOf]], a view whose files were reclaimed by gc fails
+    * loudly rather than serving a hole. */
+  def effectiveFileSetsAt(v: TableVersion): Seq[FileSet] = {
+    require(v.gen <= currentGen,
+      s"table version $v is in the future of $root (current gen $currentGen)")
+    if (v.epoch >= 0 && !snapshots.exists(_.epochId == v.epoch))
+      throw new IllegalArgumentException(
+        s"epoch ${v.epoch} is not a committed snapshot of $root; committed: " +
+          snapshots.map(_.epochId).mkString("[", ", ", "]"))
+    val comps = compactions.filter(_.gen <= v.gen)
+    val replaced = comps.flatMap(_.replaces).toSet
+    val latestGen =
+      if (comps.isEmpty) Nil
+      else { val c = comps.maxBy(_.gen); Seq(FileSet(c.numBuckets, c.files)) }
+    val snaps = rawSnapshots.collect {
+      case (s, None) if s.epochId <= v.epoch => s
+      case (s, Some(g)) if s.epochId <= v.epoch && g <= v.gen &&
+        Files.exists(deletePath(g)) => s
+    }
+    val base = latestGen ++
+      snaps.filterNot(s => replaced.contains(s.epochId))
+        .map(s => FileSet(s.numBuckets, s.files))
+    val folded: Set[Long] =
+      if (comps.isEmpty) Set.empty else comps.maxBy(_.gen).foldsDeletes.toSet
+    val view = applyDeletes(base,
+      deletes.filter(d => d.gen <= v.gen && !folded.contains(d.gen)))
+    val missing = view.flatMap(_.files)
+      .filterNot(f => Files.exists(Paths.get(root, f.path)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"view at $v of $root is not reproducible: ${missing.size} data " +
+        s"file(s) were reclaimed by gc (first missing: ${missing.head.path})")
+    view
+  }
 
   /** Epoch `sn`'s file set as an incremental reader must see it: the raw
     * snapshot manifest patched by ALL delete manifests (folded ones too —
@@ -1641,7 +1710,18 @@ final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
                               minTsMicros: Long, maxTsMicros: Long)
 final case class SnapshotMeta(queryId: String, epochId: Long,
                               files: Seq[DataFileMeta], numBuckets: Int = -1,
-                              schemaVersion: Int = 1)
+                              schemaVersion: Int = 1, maxGen: Long = 0L)
+
+/** A full table-state token for CDC: the epoch high-water mark AND the
+  * mutation-gen high-water mark. Epochs (appends) and rewrite generations
+  * (DELETE/UPDATE/MERGE/compaction) advance on independent counters with no
+  * recorded wall-clock between them — an epoch id alone does not pin a
+  * state. Capture with [[IcebergLite.currentVersion]]; resolve an epoch id
+  * to the state it was freshly committed in with
+  * [[IcebergLite.versionAtEpoch]] (the snapshot's `maxGen` stamp). */
+final case class TableVersion(epoch: Long, gen: Long) {
+  require(epoch >= -1 && gen >= 0, s"invalid table version ($epoch, $gen)")
+}
 final case class CompactionMeta(gen: Long, replaces: Seq[Long],
                                 files: Seq[DataFileMeta], numBuckets: Int = -1,
                                 foldsDeletes: Seq[Long] = Nil)
