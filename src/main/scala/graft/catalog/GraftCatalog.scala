@@ -92,14 +92,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tablePath(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val root = dir.toString
+    // an epoch id, or a named tag (tag names can never look like ints)
     val epoch =
       try version.trim.toLong
       catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"VERSION AS OF '$version' on $catalogName.${ident}: versions are " +
-            "epoch ids (integers from the table's snapshot log)")
+        case _: NumberFormatException =>
+          val table = new graft.table.IcebergLite(root)
+          table.tags.getOrElse(version.trim, throw new IllegalArgumentException(
+            s"VERSION AS OF '$version' on $catalogName.${ident}: not an " +
+              "epoch id and not a tag of this table (tags: " +
+              s"${table.tags.keys.toSeq.sorted.mkString(", ")})"))
       }
-    val root = dir.toString
     new IcebergLiteTable(root, IcebergLiteSource.fullSchemaAt(root, epoch),
       Some(epoch))
   }

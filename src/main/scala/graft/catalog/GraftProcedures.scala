@@ -158,6 +158,46 @@ private[catalog] object GraftProcedures {
         Array(row(gen, deleted, expired))
       }, resolve),
 
+    // named tags: retention-pinning refs — VERSION AS OF '<name>' resolves
+    // through the catalog; gc/expiry keep every epoch at or below the
+    // newest tag replayable until the tag is dropped
+    "tag" -> new Proc("tag",
+      Array(tableParam,
+        ProcedureParameter.in("name", StringType)
+          .comment("tag name (letters first; never shaped like an epoch id)")
+          .build(),
+        ProcedureParameter.in("epoch", LongType)
+          .comment("committed epoch the tag pins")
+          .build()),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("epoch", LongType, nullable = false))),
+      (table, in) => {
+        val name = in.getUTF8String(1).toString
+        table.tag(name, in.getLong(2))
+        Array(row(name, in.getLong(2)))
+      }, resolve),
+
+    "drop_tag" -> new Proc("drop_tag",
+      Array(tableParam,
+        ProcedureParameter.in("name", StringType)
+          .comment("tag to drop (releases its retention pin)").build()),
+      StructType(Seq(
+        StructField("dropped", StringType, nullable = false))),
+      (table, in) => {
+        val name = in.getUTF8String(1).toString
+        table.dropTag(name)
+        Array(row(name))
+      }, resolve),
+
+    "tags" -> new Proc("tags",
+      Array(tableParam),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("epoch", LongType, nullable = false))),
+      (table, _) => table.tags.toSeq.sortBy(_._1)
+        .map { case (n, e) => row(n, e) }.toArray, resolve),
+
     // CDC inspection: per-change-type row counts between two versions —
     // the bounded summary of graft.table.TableChanges.since (the full
     // distributed change feed is the programmatic surface; a CALL result

@@ -996,6 +996,65 @@ final class IcebergLite(val root: String) {
           .filter(_.files.nonEmpty)
     }
 
+  // ---- tags (named retention-pinning refs over the snapshot log) ----------
+
+  private def tagsPath = metaDir.resolve("tags.json")
+
+  /** Named tags: `name -> epoch`. A tag makes `VERSION AS OF '<name>'`
+    * resolve through the catalog AND pins history: [[gc]] keeps the data
+    * files and [[expireMetadata]] the snapshot manifests of every epoch at
+    * or below the newest tagged epoch (a time-travel read of epoch e needs
+    * ALL epochs <= e), so a tagged version stays replayable until the tag
+    * is dropped. Compaction itself is unaffected — only the reclamation
+    * steps hold back. */
+  def tags: Map[String, Long] = {
+    if (!Files.exists(tagsPath)) return Map.empty
+    val n = mapper.readTree(Files.readAllBytes(tagsPath))
+    n.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  /** Names must not look like epoch ids — `VERSION AS OF '7'` must stay
+    * unambiguous — and must be path/JSON-safe. */
+  private def validTagName(name: String): Boolean =
+    name.matches("[A-Za-z][A-Za-z0-9._-]*")
+
+  def tag(name: String, epoch: Long): Unit = withMaintenanceLock {
+    require(validTagName(name),
+      s"invalid tag name '$name': must start with a letter and use only " +
+        "letters, digits, '.', '_', '-' (so it can never shadow an epoch id)")
+    require(snapshots.exists(_.epochId == epoch),
+      s"cannot tag epoch $epoch of $root: not a committed snapshot " +
+        s"(committed: ${snapshots.map(_.epochId).mkString("[", ", ", "]")})")
+    val cur = tags
+    cur.get(name) match {
+      case Some(e) if e == epoch => // idempotent re-tag
+      case Some(e) => throw new IllegalStateException(
+        s"tag '$name' already points at epoch $e of $root; drop it first " +
+          s"to retarget (refusing a silent move to $epoch)")
+      case None => writeTags(cur + (name -> epoch))
+    }
+  }
+
+  def dropTag(name: String): Unit = withMaintenanceLock {
+    val cur = tags
+    require(cur.contains(name),
+      s"no tag '$name' on $root; tags: ${cur.keys.toSeq.sorted.mkString(", ")}")
+    writeTags(cur - name)
+  }
+
+  private def writeTags(m: Map[String, Long]): Unit = {
+    val node = new JHashMap[String, Object]()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      node.put(k, java.lang.Long.valueOf(v))
+    }
+    Files.createDirectories(metaDir)
+    atomicReplace(tagsPath, mapper.writeValueAsBytes(node))
+  }
+
+  /** The retention pin tags impose on gc/expiry: everything at or below
+    * this epoch stays. */
+  private def maxTaggedEpoch: Option[Long] = tags.values.maxOption
+
   /** The committed mutation-gen high-water mark: rewrite generations of
     * row-level deletes/updates/merges AND compactions (one shared gen
     * space). 0 when the table has never been mutated or compacted. */
@@ -1330,10 +1389,15 @@ final class IcebergLite(val root: String) {
     // never reclaim anything the live view still references (belt and
     // braces: folded implies not effective, but the invariant is cheap)
     val live = effectiveFiles.map(_.path).toSet
+    // tags pin history: a time-travel read of tagged epoch e reads the RAW
+    // files of every epoch <= e, so none of them may be reclaimed while a
+    // tag at or above them exists
+    val tagPin = maxTaggedEpoch
     val doomed =
       comps.filter(_.gen < latest).flatMap(_.files.map(_.path)) ++
         snapshots.filter(s => replacedEpochs.contains(s.epochId) &&
-            minLive.forall(s.epochId < _))
+            minLive.forall(s.epochId < _) &&
+            tagPin.forall(s.epochId > _))
           .flatMap(_.files.map(_.path)) ++
         foldedDeleteFiles
     doomed.distinct.filterNot(live.contains).flatMap { rel =>
@@ -1489,10 +1553,14 @@ final class IcebergLite(val root: String) {
     val minLive = readerOffsets.values.minOption.map(_ + 1L)
     val retainFrom = snaps.map(_.epochId).sorted.takeRight(retainLast)
       .headOption.getOrElse(Long.MaxValue)
+    // tags pin manifests too: resolving VERSION AS OF a tagged epoch e
+    // enumerates the snapshot manifests of every epoch <= e
+    val tagPin = maxTaggedEpoch
     val expirable = snaps.filter { s =>
       replacedEpochs.contains(s.epochId) &&
         s.epochId < retainFrom &&
         minLive.forall(s.epochId < _) &&
+        tagPin.forall(s.epochId > _) &&
         s.files.forall(f => !Files.exists(Paths.get(root, f.path)))
     }
     val deletedSnaps = expirable.flatMap { s =>

@@ -207,7 +207,7 @@ class GraftCatalogSpec extends SparkSpec {
     val notNum = intercept[Exception] {
       spark.sql("SELECT * FROM graft.db.tt VERSION AS OF 'abc'").count()
     }
-    assert(notNum.getMessage.contains("epoch ids"))
+    assert(notNum.getMessage.contains("not an epoch id and not a tag"))
 
     val ts = intercept[Exception] {
       spark.sql(
