@@ -68,22 +68,13 @@ object TableChanges {
     val toV = to.getOrElse(t.currentVersion)
     require(toV.epoch >= from.epoch && toV.gen >= from.gen,
       s"changes range is reversed: from $from to $toV")
-    val pre = t.effectiveFileSetsAt(from).flatMap(_.files)
-    val post = t.effectiveFileSetsAt(toV).flatMap(_.files)
     // the LATER view's schema: pre-evolution files null-fill the evolved
     // columns, exactly like a normal read of the evolved table
     val schema =
       if (toV.epoch < 0) t.fullReadSchema
       else t.fullReadSchemaAt(t.schemaVersionAt(toV.epoch))
 
-    val prePaths = pre.map(_.path).toSet
-    val postPaths = post.map(_.path).toSet
-    val onlyPre = pre.collect {
-      case f if !postPaths(f.path) => s"$root/${f.path}"
-    }
-    val onlyPost = post.collect {
-      case f if !prePaths(f.path) => s"$root/${f.path}"
-    }
+    val (onlyPre, onlyPost) = changedFiles(t, from, toV)
 
     def readFiles(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
@@ -124,6 +115,21 @@ object TableChanges {
     ).as("_c"))
     exploded.select(
       cols.map(c => col(s"_c.row.$c")) :+ col("_c.kind").as(ChangeTypeCol): _*)
+  }
+
+  /** The manifest-level file diff [[between]] scans — exposed so tests (and
+    * operators sizing a CDC job) can verify the churn bound without running
+    * the join: paths present in both views are excluded, so the scan cost
+    * is proportional to what changed, never to the corpus. Returned as
+    * absolute (pre-only, post-only) path lists. */
+  private[table] def changedFiles(t: IcebergLite, from: TableVersion,
+                                  to: TableVersion): (Seq[String], Seq[String]) = {
+    val pre = t.effectiveFileSetsAt(from).flatMap(_.files)
+    val post = t.effectiveFileSetsAt(to).flatMap(_.files)
+    val prePaths = pre.map(_.path).toSet
+    val postPaths = post.map(_.path).toSet
+    (pre.collect { case f if !postPaths(f.path) => s"${t.root}/${f.path}" },
+      post.collect { case f if !prePaths(f.path) => s"${t.root}/${f.path}" })
   }
 
   /** Bounded summary of [[since]] — counts per change type, for the SQL

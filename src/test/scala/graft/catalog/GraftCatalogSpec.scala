@@ -461,4 +461,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(lite.deletes.nonEmpty)          // overwrite = recorded truncation
     assert(lite.snapshots.size === 2)      // old epoch still in the log
   }
+
+  test("CREATE TABLE AS SELECT: one statement creates the table and lands " +
+      "the query as epoch 0 with the standard layout") {
+    sampleDf(30).createOrReplaceTempView("ctas_src")
+    spark.sql(
+      """CREATE TABLE graft.db.ctas TBLPROPERTIES ('buckets'='4') AS
+        |SELECT conv_id, turn_idx, role, tool, text, ts FROM ctas_src
+        |WHERE turn_idx < 20""".stripMargin)
+    assert(spark.table("graft.db.ctas").count() === 20L)
+    val lite = new IcebergLite(s"$warehouse/db/ctas")
+    assert(lite.exists && lite.declaredNumBuckets === Some(4))
+    assert(lite.snapshots.map(_.epochId) === Seq(0L))
+    // CTAS files carry the same bucket-true layout as any other write
+    spark.table("graft.db.ctas").collect().foreach { r =>
+      assert(r.getAs[Int]("partition_id") ===
+        IcebergLite.bucketOf(r.getAs[String]("conv_id"), 4))
+    }
+    // and the created table is a normal table afterwards
+    sampleDf(5).createOrReplaceTempView("ctas_more")
+    spark.sql(
+      """INSERT INTO graft.db.ctas
+        |SELECT conv_id, turn_idx, role, tool, text, ts FROM ctas_more""".stripMargin)
+    assert(spark.table("graft.db.ctas").count() === 25L)
+    assert(new IcebergLite(s"$warehouse/db/ctas")
+      .snapshots.map(_.epochId) === Seq(0L, 1L))
+  }
 }

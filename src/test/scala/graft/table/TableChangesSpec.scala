@@ -136,6 +136,22 @@ class TableChangesSpec extends SparkSpec {
       ("conv0", 0, None, "delete")))
   }
 
+  test("manifest-first churn bound: a one-conv DELETE diffs one bucket's " +
+      "files, never the corpus") {
+    val (root, t) = buildTable() // 2 epochs x 4 buckets = 8 files
+    val from = t.currentVersion
+    val allFiles = t.effectiveFiles.size
+    t.deleteWhere(spark, col("conv_id") === "conv2", "purge conv2",
+      prune = sets => IcebergLite.pruneFileSets(sets, None, None, Some("conv2")))
+    val (onlyPre, onlyPost) = TableChanges.changedFiles(t, from, t.currentVersion)
+    // conv2's bucket: one original + one rewrite per epoch — the other
+    // buckets' files are shared by path and never scanned
+    val bucketFilesPerView = t.snapshots.size
+    assert(onlyPre.size === bucketFilesPerView)
+    assert(onlyPost.size <= bucketFilesPerView)
+    assert(onlyPre.size < allFiles)
+  }
+
   test("contract errors: reversed range; uncommitted from-version") {
     val (root, _) = buildTable()
     val e1 = intercept[IllegalArgumentException] {
