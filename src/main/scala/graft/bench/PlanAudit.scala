@@ -35,6 +35,14 @@ object PlanAudit {
       case "q4_join_pairs" =>
         checks += Check("equi-join (no cartesian)", !has("CartesianProduct"),
           "conv_id+tool equi keys must drive the join")
+      case "q33_changes" =>
+        checks += Check("CDC reconcile is a key equi-join (no cartesian)",
+          !has("CartesianProduct") && !has("BroadcastNestedLoopJoin"),
+          "pre/post views must pair on (conv_id, turn_idx)")
+        checks += Check("full-outer merge join over the changed files only",
+          has("SortMergeJoin FullOuter"),
+          "the manifest diff feeds two pruned scans into one key join — " +
+            "shuffle volume is the churn, never the corpus")
       case "q11_jaccard_pairs" =>
         checks += Check("verify-side doc joins broadcastable", has("BroadcastHashJoin") || has("BroadcastExchange"),
           "candidate pairs join back to doc texts; small side broadcasts")
@@ -100,7 +108,7 @@ object PlanAudit {
       "q14_embed_dup", "q15_ann_topk", "q6_skew_agg", "q2_detect",
       "q3_window_stats", "q19_sliding_stats", "q20_session_bounds",
       "q21_dead_letter", "q22_shingle_detect", "q23_late_data",
-      "q24_cms_profile", "q24_sketch_build")
+      "q24_cms_profile", "q24_sketch_build", "q33_changes")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"
