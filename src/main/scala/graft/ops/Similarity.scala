@@ -371,12 +371,16 @@ object Similarity {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = embs.sparkSession
     val source = Option(sourceRoot)
-    val sourceEpoch = source.map { r =>
-      new graft.table.IcebergLite(r).snapshots.lastOption.map(_.epochId)
-        .getOrElse(throw new IllegalStateException(
-          s"cannot index $r: the source table has no committed epochs"))
+    // the full CDC anchor, not just the epoch: mutations (DELETE/UPDATE/
+    // MERGE) advance the source's gen counter without a new epoch, and a
+    // refresh must diff from exactly the state this build indexed
+    val sourceVersion = source.map { r =>
+      val t = new graft.table.IcebergLite(r)
+      if (t.snapshots.isEmpty) throw new IllegalStateException(
+        s"cannot index $r: the source table has no committed epochs")
+      t.currentVersion
     }
-    val version = sourceEpoch.map(e => f"v$e%012d")
+    val version = sourceVersion.map(IvfIndexing.versionDirName)
       .getOrElse("adhoc-" + java.util.UUID.randomUUID().toString.take(8))
     val root = Paths.get(indexDir)
     Files.createDirectories(root)
@@ -402,10 +406,14 @@ object Similarity {
           deleteRecursively(staging)
       }
     }
-    val manifest = (source, sourceEpoch) match {
-      case (Some(r), Some(e)) =>
-        s"""{"version":"$version","nlist":$nlist,"sourceRoot":"$r","sourceEpoch":$e}"""
-      case _ => s"""{"version":"$version","nlist":$nlist}"""
+    val manifest = (source, sourceVersion) match {
+      case (Some(r), Some(v)) =>
+        s"""{"version":"$version","nlist":$nlist,"idCol":"$idCol",""" +
+          s""""vecCol":"$vecCol","sourceRoot":"$r","sourceEpoch":${v.epoch},""" +
+          s""""sourceGen":${v.gen}}"""
+      case _ =>
+        s"""{"version":"$version","nlist":$nlist,"idCol":"$idCol",""" +
+          s""""vecCol":"$vecCol"}"""
     }
     val tmp = root.resolve(s".index.json.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -421,25 +429,29 @@ object Similarity {
     finally s.close()
   }
 
-  /** Resolved on-disk layout of a published index: (dataDir, centroidsPath,
-    * sourceRoot?, sourceEpoch?). Falls back to the pre-lifecycle flat
-    * layout when no `index.json` is present. */
-  private def indexLayout(indexDir: String): (String, String, Option[String], Option[Long]) = {
+  /** Resolved on-disk layout of a published index. Falls back to the
+    * pre-lifecycle flat layout when no `index.json` is present. */
+  private def indexLayout(indexDir: String): IvfLayout = {
     val mPath = java.nio.file.Paths.get(indexDir, "index.json")
     if (java.nio.file.Files.exists(mPath)) {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readAllBytes(mPath))
       val v = node.get("version").asText()
-      (s"$indexDir/$v/data", s"$indexDir/$v/centroids.json",
+      IvfLayout(s"$indexDir/$v/data", s"$indexDir/$v/centroids.json",
         Option(node.get("sourceRoot")).map(_.asText()),
-        Option(node.get("sourceEpoch")).map(_.asLong()))
-    } else (s"$indexDir/data", s"$indexDir/centroids.json", None, None)
+        Option(node.get("sourceEpoch")).map(_.asLong()),
+        Option(node.get("sourceGen")).map(_.asLong()),
+        Option(node.get("idCol")).map(_.asText()),
+        Option(node.get("vecCol")).map(_.asText()),
+        Option(node.get("nlist")).map(_.asInt()))
+    } else IvfLayout(s"$indexDir/data", s"$indexDir/centroids.json",
+      None, None, None, None, None, None)
   }
 
   /** Superseded version directories (not referenced by `index.json`) —
     * deletable once no in-flight query reads them. Returns what it removed. */
   def ivfExpireVersions(indexDir: String): Seq[String] = {
-    val (dataDir, _, _, _) = indexLayout(indexDir)
+    val dataDir = indexLayout(indexDir).dataDir
     val live = java.nio.file.Paths.get(dataDir).getParent.getFileName.toString
     val root = java.nio.file.Paths.get(indexDir)
     val s = java.nio.file.Files.list(root)
@@ -456,11 +468,11 @@ object Similarity {
 
   /** Data directory of the CURRENTLY PUBLISHED index version (what
     * [[ivfTopKIndexed]] scans) — exposed for plan assertions and tooling. */
-  def ivfDataDir(indexDir: String): String = indexLayout(indexDir)._1
+  def ivfDataDir(indexDir: String): String = indexLayout(indexDir).dataDir
 
   /** Centroids persisted by [[ivfBuildIndex]] (nlist × dim quantized longs). */
   def ivfCentroids(indexDir: String): Array[Array[Long]] = {
-    val (_, centroidsPath, _, _) = indexLayout(indexDir)
+    val centroidsPath = indexLayout(indexDir).centroidsPath
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.readTree(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(centroidsPath)))
@@ -486,15 +498,22 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, indexDir: String,
                      nQueries: Int = 10, k: Int = 10,
                      nprobe: Int = 8, allowStale: Boolean = false): DataFrame = {
-    val (dataDir, _, srcRoot, srcEpoch) = indexLayout(indexDir)
-    for (r <- srcRoot; e <- srcEpoch if !allowStale) {
-      val latest = new graft.table.IcebergLite(r).snapshots.lastOption
-        .map(_.epochId).getOrElse(-1L)
-      if (latest != e) throw new IllegalStateException(
-        s"IVF index at $indexDir was built from $r at epoch $e, but the " +
-          s"source's latest committed epoch is $latest — query results " +
-          "would silently miss the newer epochs' vectors. Rebuild with " +
-          "ivfBuildIndex(..., sourceRoot), or pass allowStale = true to " +
+    val layout = indexLayout(indexDir)
+    val dataDir = layout.dataDir
+    for (r <- layout.sourceRoot; e <- layout.sourceEpoch if !allowStale) {
+      val cur = new graft.table.IcebergLite(r).currentVersion
+      // gen recorded (round-5 manifests): mutations stale the index too;
+      // older manifests fall back to the epoch-only check
+      val stale = layout.sourceGen match {
+        case Some(g) => cur.epoch != e || cur.gen != g
+        case None => cur.epoch != e
+      }
+      if (stale) throw new IllegalStateException(
+        s"IVF index at $indexDir was built from $r at state (epoch $e, " +
+          s"gen ${layout.sourceGen.getOrElse("?")}), but the source is now " +
+          s"at $cur — query results would silently miss the newer rows or " +
+          "serve purged ones. Refresh with ivfRefreshIndex (incremental) " +
+          "or rebuild with ivfBuildIndex, or pass allowStale = true to " +
           "serve the stale snapshot knowingly.")
     }
     val centroids = ivfCentroids(indexDir)
@@ -527,4 +546,143 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("dot"), col("rank"))
   }
+
+  /** INCREMENTAL index maintenance — what a 10^12-row ANN index does when
+    * the corpus mutates, instead of a full rebuild: diff the source table
+    * from the state the index was built at ([[graft.table.TableChanges]],
+    * manifest-first — only the churn is read), assign just the changed
+    * vectors to their lists with the EXISTING centroids, rewrite only the
+    * affected list partitions (survivors anti-joined by id, additions
+    * unioned), and HARD-LINK every untouched list partition into the new
+    * version directory — untouched lists cost a link each, no bytes move.
+    * The new version publishes with the same atomic rename + manifest flip
+    * as [[ivfBuildIndex]], stamped with the source's full
+    * `(epoch, gen)` state so [[ivfTopKIndexed]]'s freshness gate passes.
+    *
+    * Centroids are deliberately NOT retrained: refresh keeps query/assign
+    * consistency with the live index, and centroid drift under heavy churn
+    * is a quality (recall) concern, not a correctness one — schedule a full
+    * [[ivfBuildIndex]] when cumulative churn warrants it.
+    *
+    * Returns true if a new version was published, false if the index was
+    * already at the source's current state. */
+  def ivfRefreshIndex(spark: SparkSession, indexDir: String): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val layout = indexLayout(indexDir)
+    val srcRoot = layout.sourceRoot.getOrElse(throw new IllegalStateException(
+      s"IVF index at $indexDir is not keyed to a source table — only " +
+        "ivfBuildIndex(..., sourceRoot) indexes can refresh incrementally"))
+    val (idCol, vecCol) = (layout.idCol, layout.vecCol) match {
+      case (Some(i), Some(v)) => (i, v)
+      case _ => throw new IllegalStateException(
+        s"IVF index manifest at $indexDir predates refresh support (no " +
+          "idCol/vecCol recorded) — rebuild once with ivfBuildIndex")
+    }
+    val t = new graft.table.IcebergLite(srcRoot)
+    val from = graft.table.TableVersion(
+      layout.sourceEpoch.get,
+      layout.sourceGen.getOrElse(t.versionAtEpoch(layout.sourceEpoch.get).gen))
+    val to = t.currentVersion
+    if (to == from) return false
+
+    val changes = graft.table.TableChanges.between(spark, srcRoot, from, Some(to))
+    val centroids = ivfCentroids(indexDir)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assign = udf((nv: Seq[Long]) => ivfNearest(bcC.value, nv.toArray))
+    val ct = graft.table.TableChanges.ChangeTypeCol
+    val removed = changes
+      .filter(col(ct).isin("delete", "update_preimage"))
+      .select(col(idCol).cast("long").as("nid"),
+        assign(quantCol(col(vecCol))).as("list"))
+    val added = changes
+      .filter(col(ct).isin("insert", "update_postimage"))
+      .select(col(idCol).cast("long").as("nid"),
+        quantCol(col(vecCol)).as("nv"))
+      .withColumn("list", assign(col("nv")))
+    // the affected-list set is bounded by nlist (a job parameter — the
+    // centroid count), so this collect is metadata-sized by construction
+    val affected = (removed.select("list").distinct()
+      .unionAll(added.select("list").distinct()))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // affected may be empty (e.g. an empty epoch advanced the state): the
+    // version still publishes — all links, no rewrites — so the freshness
+    // gate passes without serving anything stale
+
+    val root = Paths.get(indexDir)
+    val target = root.resolve(IvfIndexing.versionDirName(to))
+    if (!Files.exists(target)) {
+      val staging = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      val stagingData = staging.resolve("data")
+      // rewrite ONLY the affected lists; partition pruning keeps the read
+      // to those directories. The write creates stagingData itself.
+      if (affected.nonEmpty) {
+        val old = spark.read.parquet(layout.dataDir)
+          .filter(col("list").isin(affected.toSeq: _*))
+        val survivors = old.join(removed.select("nid"), Seq("nid"), "left_anti")
+        survivors.select(col("nid"), col("nv"), col("list"))
+          .unionAll(added.select(col("nid"), col("nv"), col("list")))
+          .write.partitionBy("list").parquet(stagingData.toString)
+      }
+      Files.createDirectories(stagingData)
+      // untouched lists: hard-link the old partition directories across —
+      // refresh cost is proportional to churned lists, not index size
+      val oldData = Paths.get(layout.dataDir)
+      Files.list(oldData).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("list="))
+        .filter(p => !affected.contains(
+          p.getFileName.toString.stripPrefix("list=").toInt))
+        .foreach { src =>
+          val dst = stagingData.resolve(src.getFileName.toString)
+          Files.createDirectories(dst)
+          Files.list(src).iterator().asScala
+            .filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .foreach { f =>
+              val d = dst.resolve(f.getFileName.toString)
+              try Files.createLink(d, f)
+              catch {
+                case _: UnsupportedOperationException
+                     | _: java.nio.file.FileSystemException =>
+                  Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
+              }
+            }
+        }
+      Files.copy(Paths.get(layout.centroidsPath),
+        staging.resolve("centroids.json"))
+      try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost the publish race to an identical refresh of the same state
+        case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.DirectoryNotEmptyException =>
+          deleteRecursively(staging)
+      }
+    }
+    val manifest =
+      s"""{"version":"${IvfIndexing.versionDirName(to)}",""" +
+        s""""nlist":${layout.nlist.getOrElse(centroids.length)},""" +
+        s""""idCol":"$idCol","vecCol":"$vecCol","sourceRoot":"$srcRoot",""" +
+        s""""sourceEpoch":${to.epoch},"sourceGen":${to.gen}}"""
+    val tmp = root.resolve(s".index.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve("index.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+}
+
+/** Resolved on-disk layout of a published IVF index version (see
+  * `Similarity.indexLayout`): where the data and centroids live, plus the
+  * manifest fields a refresh needs (source anchor + column names). */
+private[ops] final case class IvfLayout(
+    dataDir: String, centroidsPath: String,
+    sourceRoot: Option[String], sourceEpoch: Option[Long],
+    sourceGen: Option[Long], idCol: Option[String], vecCol: Option[String],
+    nlist: Option[Int])
+
+private[ops] object IvfIndexing {
+  /** Version directories are named by the source STATE: pure-append
+    * sources keep the round-4 `v<epoch>` shape (idempotent rebuilds at one
+    * epoch collapse), mutated sources append the gen. */
+  def versionDirName(v: graft.table.TableVersion): String =
+    f"v${v.epoch}%012d" + (if (v.gen > 0) f"-g${v.gen}%06d" else "")
 }

@@ -101,7 +101,7 @@ class IvfSpec extends SparkSpec {
       Similarity.ivfTopKIndexed(spark, dir, nprobe = 8)
     }
     assert(e.getMessage.contains("epoch 0") &&
-      e.getMessage.contains("Rebuild"), e.getMessage)
+      e.getMessage.contains("ivfRefreshIndex"), e.getMessage)
     assert(Similarity.ivfTopKIndexed(spark, dir, nprobe = 8,
       allowStale = true).count() > 0L)
 
@@ -112,6 +112,76 @@ class IvfSpec extends SparkSpec {
     assert(Similarity.ivfTopKIndexed(spark, dir, nprobe = 8).count() > 0L)
     assert(Similarity.ivfExpireVersions(dir) === Seq("v000000000000"))
     assert(Similarity.ivfTopKIndexed(spark, dir, nprobe = 8).count() > 0L)
+  }
+
+  test("incremental refresh: CDC-driven, only churned lists rewritten " +
+    "(untouched lists hard-linked), output == full recompute, freshness " +
+    "gate satisfied; mutations alone stale the index") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    import graft.table.IcebergLite
+    val srcRoot = tmpDir("ivf-refresh-src")
+    val dir = tmpDir("ivf-refresh-idx")
+    val src = new IcebergLite(srcRoot)
+    src.create("vec_id bigint, vec array<float>", 2)
+    src.commitEpoch(embs, "emb", 0L, 2)
+
+    val cents = Similarity.ivfBuildIndex(
+      src.read(spark).select("vec_id", "vec"), "vec_id", "vec", dir,
+      nlist = 16, sourceRoot = srcRoot)
+    val v0Data = Similarity.ivfDataDir(dir)
+
+    // NARROW churn — the shape a refresh exists for: an appended epoch of
+    // 3 vectors AND a 3-row delete (gen bump, no epoch). Six random
+    // vectors touch at most 6 of the 16 lists; the rest must be linked.
+    val appended = embs.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    src.commitEpoch(appended, "emb", 1L, 2)
+    src.deleteWhere(spark,
+      col("vec_id") >= 100 && col("vec_id") < 103, "drop a vec range")
+
+    // mutations stale the index even though epochs alone would too here;
+    // the message cites the full state
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfTopKIndexed(spark, dir, nprobe = 8)
+    }
+    assert(e.getMessage.contains("ivfRefreshIndex"), e.getMessage)
+
+    assert(Similarity.ivfRefreshIndex(spark, dir))
+    val v1Data = Similarity.ivfDataDir(dir)
+    assert(v1Data.contains("-g"), s"refreshed version must carry the gen: $v1Data")
+
+    // freshness gate passes now, and the result equals a full recompute
+    // over the live corpus with the SAME centroids
+    val refreshed = Similarity.ivfTopKIndexed(spark, dir, nprobe = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val live = embs.filter(!(col("vec_id") >= 100 && col("vec_id") < 103))
+      .unionAll(embs.filter(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + 10000))
+    val direct = Similarity.ivfTopK(live, "vec_id", "vec",
+        nlist = 16, nprobe = 8, centroidsIn = cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(refreshed === direct)
+    assert(refreshed.nonEmpty)
+
+    // untouched list partitions were hard-linked, not rewritten: at least
+    // one list directory carries a file that IS the old version's file
+    val linked = Files.list(Paths.get(v1Data)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("list="))
+      .exists { d =>
+        Files.list(d).iterator().asScala.exists { f =>
+          val old = Paths.get(v0Data, d.getFileName.toString,
+            f.getFileName.toString)
+          Files.exists(old) && Files.isSameFile(old, f)
+        }
+      }
+    assert(linked, "expected at least one hard-linked untouched list partition")
+
+    // a second refresh with no new state is a no-op
+    assert(!Similarity.ivfRefreshIndex(spark, dir))
   }
 
   test("recall grows with nprobe and reaches 1.0 at nprobe = nlist") {
