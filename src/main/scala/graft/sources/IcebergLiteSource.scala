@@ -344,6 +344,12 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
     m.put("num_data_files", table.effectiveFiles.size.toString)
     m.put("num_rows", table.effectiveFiles.map(_.rowCount).sum.toString)
     table.expiryHorizon.foreach(h => m.put("expiry_horizon", h.toString))
+    // the CDC anchor (epoch + mutation gen) and any retention-pinning tags
+    m.put("current_gen", table.currentGen.toString)
+    val tags = table.tags
+    if (tags.nonEmpty)
+      m.put("tags", tags.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n=$e" }.mkString(", "))
     asOf.foreach(e => m.put("as_of_epoch", e.toString))
     m
   }

@@ -72,6 +72,11 @@ class TagSpec extends SparkSpec {
     val listed = spark.sql("CALL gtag.system.tags('db.t')").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(listed === Set(("baseline", 0L)))
+    // tags and the CDC anchor surface through SHOW TBLPROPERTIES
+    val props = spark.sql("SHOW TBLPROPERTIES gtag.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("tags").contains("baseline=0"))
+    assert(props.contains("current_gen"))
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gtag.db.t VERSION AS OF 'ghost'").collect()
     }
