@@ -379,6 +379,37 @@ object SparkEntry {
           col("text"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col(graft.table.TableChanges.ChangeTypeCol))
+    }),
+    // time-travel gate (round-5): VERSION AS OF through a NAMED TAG, read
+    // after a later epoch AND a later DELETE landed — the historical view
+    // must serve exactly the epoch-0 slice, proving the pinned read ignores
+    // both newer appends and newer mutations (deletes are not retroactive
+    // on history). The oracle recomputes the slice from the raw fixture.
+    "q34_time_travel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      val wh = s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}"
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.tt")
+      s.sql(
+        """CREATE TABLE graft.gate.tt (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1).foreach { ep =>
+        tx.filter(col("turn_idx") % 2 === ep)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.tt")
+          .option("epoch", ep.toString).option("queryId", "gate").append()
+      }
+      s.sql("CALL graft.system.tag('gate.tt', 'epoch0', 0)")
+      s.sql("DELETE FROM graft.gate.tt WHERE role = 'user'")
+      s.sql("SELECT * FROM graft.gate.tt VERSION AS OF 'epoch0'")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     })
   )
 
@@ -673,6 +704,7 @@ object SparkEntry {
         |    WHEN len >= 33 AND substring(hx,1,16) = '89504E470D0A1A0A'
         |         AND substring(hx,25,8) = '49484452' THEN 'png'
         |    WHEN len >= 54 AND substring(hx,1,4) = '424D' THEN 'bmp'
+        |    WHEN len >= 55 AND substring(hx,1,8) = 'FFD8FFE0' THEN 'jpeg'
         |    WHEN len >= 44 AND substring(hx,1,8) = '52494646'
         |         AND substring(hx,17,8) = '57415645' THEN 'wav'
         |    ELSE 'raw' END AS format
@@ -683,17 +715,20 @@ object SparkEntry {
         |      WHEN 'png' THEN CAST(('0x' || substring(hx,33,8)) AS BIGINT)
         |      WHEN 'bmp' THEN CAST(('0x' || substring(hx,43,2) || substring(hx,41,2)
         |                            || substring(hx,39,2) || substring(hx,37,2)) AS BIGINT)
+        |      WHEN 'jpeg' THEN CAST(('0x' || substring(hx,55,4)) AS BIGINT)
         |      ELSE 0 END AS width,
         |    CASE format
         |      WHEN 'png' THEN CAST(('0x' || substring(hx,41,8)) AS BIGINT)
         |      WHEN 'bmp' THEN CAST(('0x' || substring(hx,51,2) || substring(hx,49,2)
         |                            || substring(hx,47,2) || substring(hx,45,2)) AS BIGINT)
+        |      WHEN 'jpeg' THEN CAST(('0x' || substring(hx,51,4)) AS BIGINT)
         |      ELSE 0 END AS height,
         |    CASE format
         |      WHEN 'png' THEN CASE substring(hx,51,2) WHEN '00' THEN 1 WHEN '02' THEN 3
         |                           WHEN '03' THEN 1 WHEN '04' THEN 2 WHEN '06' THEN 4
         |                           ELSE 0 END
         |      WHEN 'bmp' THEN CAST(('0x' || substring(hx,59,2) || substring(hx,57,2)) AS BIGINT) // 8
+        |      WHEN 'jpeg' THEN CAST(('0x' || substring(hx,59,2)) AS BIGINT)
         |      WHEN 'wav' THEN CAST(('0x' || substring(hx,47,2) || substring(hx,45,2)) AS BIGINT)
         |      ELSE 0 END AS channels,
         |    CASE format
@@ -703,6 +738,7 @@ object SparkEntry {
         |    CASE format
         |      WHEN 'png' THEN CAST(('0x' || substring(hx,49,2)) AS BIGINT)
         |      WHEN 'bmp' THEN CAST(('0x' || substring(hx,59,2) || substring(hx,57,2)) AS BIGINT)
+        |      WHEN 'jpeg' THEN CAST(('0x' || substring(hx,49,2)) AS BIGINT)
         |      WHEN 'wav' THEN CAST(('0x' || substring(hx,71,2) || substring(hx,69,2)) AS BIGINT)
         |      ELSE 0 END AS bit_depth
         |  FROM f
@@ -807,6 +843,12 @@ object SparkEntry {
          |SELECT conv_id, turn_idx + 5000 AS turn_idx, role, tool, text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
          |  'insert' AS _change_type
-         |FROM $T WHERE conv_id < 'conv-000005' AND turn_idx = 0""".stripMargin
+         |FROM $T WHERE conv_id < 'conv-000005' AND turn_idx = 0""".stripMargin,
+    // q34: VERSION AS OF the tag at epoch 0 = the even-turn slice of the
+    // fixture, untouched by the later epoch and DELETE
+    "q34_time_travel" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T WHERE turn_idx % 2 = 0""".stripMargin
   )
 }

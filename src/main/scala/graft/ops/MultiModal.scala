@@ -55,9 +55,14 @@ object MultiModal {
     private def le32(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
     private def be32(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
         ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def putBe16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v >>> 8).toByte; b(o + 1) = v.toByte
+    }
     private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
       b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
     }
@@ -137,6 +142,43 @@ object MultiModal {
       b
     }
 
+    /** Canonical baseline JFIF JPEG: SOI + APP0(JFIF 1.1) + SOF0 (8-bit,
+      * 3 components, 4:4:4) + SOS, `content` as the entropy-coded area,
+      * EOI. The entropy bytes are not a real Huffman stream — headers are
+      * the decoded surface here (object Scaladoc); [[parse]] walks markers
+      * and never entropy-decodes, exactly like a real header sniffer. */
+    def wrapJpeg(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](53 + content.length + 2)
+      b(0) = 0xFF.toByte; b(1) = 0xD8.toByte                 // SOI
+      b(2) = 0xFF.toByte; b(3) = 0xE0.toByte                 // APP0
+      putBe16(b, 4, 16); putAscii(b, 6, "JFIF"); b(10) = 0
+      b(11) = 1; b(12) = 1                                   // version 1.1
+      b(13) = 0                                              // units
+      putBe16(b, 14, 1); putBe16(b, 16, 1)                   // density 1x1
+      b(18) = 0; b(19) = 0                                   // no thumbnail
+      b(20) = 0xFF.toByte; b(21) = 0xC0.toByte               // SOF0
+      putBe16(b, 22, 17)
+      b(24) = 8                                              // precision
+      putBe16(b, 25, height); putBe16(b, 27, width)
+      b(29) = 3                                              // components
+      var c = 0
+      while (c < 3) {                                        // id, 4:4:4, qtbl
+        b(30 + c * 3) = (c + 1).toByte
+        b(31 + c * 3) = 0x11
+        b(32 + c * 3) = (if (c == 0) 0 else 1).toByte
+        c += 1
+      }
+      b(39) = 0xFF.toByte; b(40) = 0xDA.toByte               // SOS
+      putBe16(b, 41, 12); b(43) = 3
+      b(44) = 1; b(45) = 0x00
+      b(46) = 2; b(47) = 0x11
+      b(48) = 3; b(49) = 0x11
+      b(50) = 0; b(51) = 63; b(52) = 0                       // spectral
+      content.copyToArray(b, 53)
+      b(b.length - 2) = 0xFF.toByte; b(b.length - 1) = 0xD9.toByte // EOI
+      b
+    }
+
     /** Detect + parse a container header; null when the payload is none of
       * the known formats (the caller's fallback path — never a throw). */
     def parse(b: Array[Byte]): MediaHeader = {
@@ -151,6 +193,24 @@ object MultiModal {
       } else if (b.length >= 54 && hasAscii(b, 0, "BM")) {
         val bpp = le16(b, 28)
         MediaHeader("bmp", le32(b, 18), le32(b, 22), bpp / 8, 0, bpp)
+      } else if (b.length >= 4 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8 &&
+          (b(2) & 0xff) == 0xFF) {
+        // JPEG: generic marker walk to the first SOF (C0–CF minus the
+        // non-frame C4/C8/CC) — real files front-load APPn/COM segments,
+        // so offsets are never assumed
+        var o = 2
+        while (o + 4 <= b.length && (b(o) & 0xff) == 0xFF) {
+          val m = b(o + 1) & 0xff
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            if (o + 10 > b.length) return null
+            return MediaHeader("jpeg", be16(b, o + 7), be16(b, o + 5),
+              b(o + 9) & 0xff, 0, b(o + 4) & 0xff)
+          }
+          if (m == 0xDA || m == 0xD9) return null // hit the scan: no SOF
+          val standalone = m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01
+          o += (if (standalone) 2 else 2 + be16(b, o + 2))
+        }
+        null
       } else if (b.length >= 44 && hasAscii(b, 0, "RIFF") && hasAscii(b, 8, "WAVE")) {
         // walk chunks for `fmt ` — real WAVs may front-load LIST/JUNK
         var o = 12
@@ -192,6 +252,23 @@ object MultiModal {
           o += 12 + size
         }
         b
+      case "jpeg" =>
+        // entropy-coded area: past the SOS segment header, before the EOI
+        var o = 2
+        while (o + 4 <= b.length && (b(o) & 0xff) == 0xFF) {
+          val m = b(o + 1) & 0xff
+          if (m == 0xDA) {
+            val start = o + 2 + be16(b, o + 2)
+            val end =
+              if (b.length >= 2 && (b(b.length - 2) & 0xff) == 0xFF &&
+                (b(b.length - 1) & 0xff) == 0xD9) b.length - 2
+              else b.length
+            return java.util.Arrays.copyOfRange(b, math.min(start, end), end)
+          }
+          val standalone = m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01
+          o += (if (standalone) 2 else 2 + be16(b, o + 2))
+        }
+        b
       case _ => b
     }
   }
@@ -200,8 +277,8 @@ object MultiModal {
 
   /** Deterministic synthetic media corpus (seeded bytes; no external data).
     * Payloads are REAL canonical containers built by [[HeaderCodec]]:
-    * images alternate BMP / PNG around the seeded content bytes, audio is
-    * PCM WAV, and video stays a raw byte blob (no pure-header container
+    * images rotate BMP / PNG / JPEG around the seeded content bytes, audio
+    * is PCM WAV, and video stays a raw byte blob (no pure-header container
     * format fits it honestly) — which also keeps the no-container fallback
     * path exercised by every corpus. */
   def dataset(spark: SparkSession, nRows: Int, seed: Long = 42L): Dataset[MediaRow] = {
@@ -221,9 +298,12 @@ object MultiModal {
           32 + Mix.draw(seed, id, 4L, 480),
           if (kind == "audio") 16000 else 0)
         val payload = kind match {
-          case "image" if id % 2 == 0 =>
+          case "image" if id % 3 == 0 =>
             HeaderCodec.wrapBmp(meta.width, meta.height, content)
-          case "image" => HeaderCodec.wrapPng(meta.width, meta.height, content)
+          case "image" if id % 3 == 1 =>
+            HeaderCodec.wrapPng(meta.width, meta.height, content)
+          case "image" =>
+            HeaderCodec.wrapJpeg(meta.width, meta.height, content)
           case "audio" =>
             HeaderCodec.wrapWav(meta.sample_rate,
               1 + Mix.draw(seed, id, 5L, 2), 16, content)

@@ -42,13 +42,28 @@ class MultiModalSpec extends SparkSpec {
     assert(png === MediaHeader("png", 123, 457, 3, 0, 8))
     val wav = HeaderCodec.parse(HeaderCodec.wrapWav(44100, 2, 16, content))
     assert(wav === MediaHeader("wav", 0, 0, 2, 44100, 16))
+    val jpg = HeaderCodec.parse(HeaderCodec.wrapJpeg(511, 289, content))
+    assert(jpg === MediaHeader("jpeg", 511, 289, 3, 0, 8))
     // the content area comes back byte-identical for every format
     Seq(HeaderCodec.wrapBmp(640, 480, content),
         HeaderCodec.wrapPng(123, 457, content),
-        HeaderCodec.wrapWav(44100, 2, 16, content)).foreach { b =>
+        HeaderCodec.wrapWav(44100, 2, 16, content),
+        HeaderCodec.wrapJpeg(511, 289, content)).foreach { b =>
       val h = HeaderCodec.parse(b)
       assert(java.util.Arrays.equals(HeaderCodec.content(b, h), content))
     }
+    // the JPEG parser walks markers generically: an extra APPn segment
+    // before the SOF must not shift the parse (real files front-load EXIF)
+    val canonical = HeaderCodec.wrapJpeg(88, 44, content)
+    val exifish = {
+      val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte, 0, 8,
+        'E', 'x', 'i', 'f', 0, 0)
+      canonical.take(2) ++ app1 ++ canonical.drop(2)
+    }
+    assert(HeaderCodec.parse(exifish) === MediaHeader("jpeg", 88, 44, 3, 0, 8))
+    // a scan-before-frame (no SOF) buffer falls through, no throw
+    assert(HeaderCodec.parse(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xDA.toByte, 0, 4, 0, 0)) === null)
     // non-containers and truncated buffers fall through to null, no throw
     assert(HeaderCodec.parse(null) === null)
     assert(HeaderCodec.parse(Array[Byte](1, 2, 3)) === null)
@@ -81,7 +96,8 @@ class MultiModalSpec extends SparkSpec {
       val h = HeaderCodec.parse(r.payload)
       r.kind match {
         case "image" =>
-          assert(h != null && (h.format == "bmp" || h.format == "png"))
+          assert(h != null &&
+            (h.format == "bmp" || h.format == "png" || h.format == "jpeg"))
           assert(h.width === r.meta.width && h.height === r.meta.height)
         case "audio" =>
           assert(h != null && h.format === "wav")
@@ -95,7 +111,7 @@ class MultiModalSpec extends SparkSpec {
         .map(_.format).getOrElse("raw"))
       .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     assert(stats === direct)
-    assert(Set("png", "bmp", "wav", "raw").subsetOf(stats.keySet))
+    assert(Set("png", "bmp", "jpeg", "wav", "raw").subsetOf(stats.keySet))
   }
 
   test("kind stats match a direct computation") {
