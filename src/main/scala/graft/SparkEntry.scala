@@ -380,6 +380,44 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col(graft.table.TableChanges.ChangeTypeCol))
     }),
+    // native-streaming-write gate (round-5): the fixture flows source table
+    // → incremental connector stream → writeStream.toTable — the DSv2
+    // StreamingWrite path (Spark-arranged bucket clustering, task-side
+    // staged files, metadata-only driver commit) — and the landed table
+    // must be content-identical to the fixture under the DuckDB oracle,
+    // with lineage epoch ids equal to the micro-batch ids.
+    "q35_stream_write" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-gate-swrite").toString
+      val src = new graft.table.IcebergLite(s"$base/src")
+      src.create("conv_id string, turn_idx int, role string, tool string, " +
+        "text string, ts timestamp", 8)
+      (0 until 2).foreach { ep =>
+        src.commitEpoch(tx.filter(col("turn_idx") % 2 === ep), "gate",
+          ep.toLong, 8)
+      }
+      val dest = new graft.table.IcebergLite(s"$base/dest")
+      dest.create("conv_id string, turn_idx int, role string, tool string, " +
+        "text string, ts timestamp", 8)
+      val q = s.readStream.format("graft.sources.IcebergLiteSource")
+        .option("path", s"$base/src")
+        .option("maxEpochsPerTrigger", "1").load()
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeStream.format("graft.sources.IcebergLiteSource")
+        .option("path", s"$base/dest")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      dest.read(s).select(col("conv_id"), col("turn_idx"), col("role"),
+        col("tool"), col("text"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        // source epoch k (the turn_idx % 2 slice) must land as batch k —
+        // recomputable from the fixture alone
+        col("epoch_id").cast("int").as("batch_id"))
+    }),
     // time-travel gate (round-5): VERSION AS OF through a NAMED TAG, read
     // after a later epoch AND a later DELETE landed — the historical view
     // must serve exactly the epoch-0 slice, proving the pinned read ignores
@@ -844,6 +882,13 @@ object SparkEntry {
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
          |  'insert' AS _change_type
          |FROM $T WHERE conv_id < 'conv-000005' AND turn_idx = 0""".stripMargin,
+    // q35: the natively-streamed table == the fixture, with batch ids
+    // recomputable from the epoch slice rule (epoch k → micro-batch k)
+    "q35_stream_write" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  CAST(turn_idx % 2 AS INTEGER) AS batch_id
+         |FROM $T""".stripMargin,
     // q34: VERSION AS OF the tag at epoch 0 = the even-turn slice of the
     // fixture, untouched by the later epoch and DELETE
     "q34_time_travel" ->

@@ -161,6 +161,16 @@ final class GraftWrite(root: String, info: LogicalWriteInfo,
     * bound-reference projection reorders them to the declared layout
     * task-side, so streamed files are column-identical to batch files. */
   override def toStreaming: StreamingWrite = {
+    // Complete output mode reaches a streaming sink as truncate() on the
+    // builder. The epoch protocol is append-only (every batch is an
+    // immutable epoch); silently appending full snapshots each batch would
+    // multiply the data, so Complete fails loudly here. Update mode is
+    // already rejected by Spark (no SupportsStreamingUpdateAsAppend).
+    require(!truncateFirst,
+      s"IcebergLite streaming sink at $root is append-only: Complete " +
+        "output mode would re-emit the whole result every micro-batch. " +
+        "Use Append mode (aggregations: with a watermark), or foreachBatch " +
+        "with DELETE + append for replace-per-batch semantics.")
     val spark = SparkSession.active
     val table = new IcebergLite(root)
     if (!table.exists) {

@@ -225,6 +225,33 @@ class StreamingWriteSpec extends SparkSpec {
     assert(back === (0 until 25).map(i => (s"a$i", i)).toSet)
   }
 
+  test("Complete output mode fails loudly: the epoch protocol is " +
+      "append-only, silent re-append of full snapshots is refused") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("swrite-complete-t")
+    new IcebergLite(root).create(
+      "role STRING, n BIGINT", numBuckets = 2)
+    val mem = MemoryStream[Turn]
+    mem.addData(t("c1", 0, base))
+    val e = intercept[Exception] {
+      val q = mem.toDS().groupBy($"role").count()
+        .select($"role", $"count".as("n"))
+        .writeStream
+        .format("graft.sources.IcebergLiteSource")
+        .option("path", root)
+        .option("checkpointLocation", tmpDir("swrite-complete-ckpt"))
+        .outputMode("complete")
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("append-only")), e)
+  }
+
   test("batch V1-fallback writes arrange the rows themselves (Spark does " +
       "not apply RequiresDistributionAndOrdering to them) — layout stays " +
       "bucket-true through SQL INSERT") {
