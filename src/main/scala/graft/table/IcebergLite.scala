@@ -1055,11 +1055,14 @@ final class IcebergLite(val root: String) {
     * this epoch stays. */
   private def maxTaggedEpoch: Option[Long] = tags.values.maxOption
 
-  /** The committed mutation-gen high-water mark: rewrite generations of
-    * row-level deletes/updates/merges AND compactions (one shared gen
-    * space). 0 when the table has never been mutated or compacted. */
-  def currentGen: Long =
-    (deletes.map(_.gen) ++ compactions.map(_.gen)).foldLeft(0L)(math.max)
+  /** The committed CONTENT-mutation high-water mark: the rewrite
+    * generations row-level deletes/updates/merges allocate
+    * ([[nextRewriteGen]], always >= 1 — so 0 unambiguously means "never
+    * mutated"). Compactions keep their own 0-based counter and are
+    * deliberately NOT part of the version token: they change layout, never
+    * content, so a version pinned before a compaction still identifies the
+    * same rows. */
+  def currentGen: Long = deletes.map(_.gen).foldLeft(0L)(math.max)
 
   /** The table's full state token right now — capture it before a batch of
     * work, pass it to [[TableChanges.since]] later. */
@@ -1077,12 +1080,16 @@ final class IcebergLite(val root: String) {
     TableVersion(e, s.maxGen)
   }
 
-  /** The effective view pinned to a [[TableVersion]]: epochs <= `v.epoch`
-    * (merge-pending snapshots only if their activating gen <= `v.gen`),
-    * compactions and delete manifests with gen <= `v.gen` applied. This is
+  /** The view pinned to a [[TableVersion]]: epochs <= `v.epoch`
+    * (merge-pending snapshots only if their activating gen <= `v.gen`)
+    * with delete manifests gen <= `v.gen` applied, reconstructed from the
+    * RAW per-epoch files — compactions are content-neutral and excluded,
+    * so a version pinned before one still resolves. The exact CURRENT
+    * version takes the effective (possibly compacted) fast path, which is
+    * content-identical by compaction's invariant and survives gc. This is
     * the reconstruction [[TableChanges]] diffs against; like
-    * [[fileSetsAsOf]], a view whose files were reclaimed by gc fails
-    * loudly rather than serving a hole. */
+    * [[fileSetsAsOf]], a historical view whose files were reclaimed by gc
+    * fails loudly rather than serving a hole (tags pin the files). */
   def effectiveFileSetsAt(v: TableVersion): Seq[FileSet] = {
     require(v.gen <= currentGen,
       s"table version $v is in the future of $root (current gen $currentGen)")
@@ -1090,23 +1097,14 @@ final class IcebergLite(val root: String) {
       throw new IllegalArgumentException(
         s"epoch ${v.epoch} is not a committed snapshot of $root; committed: " +
           snapshots.map(_.epochId).mkString("[", ", ", "]"))
-    val comps = compactions.filter(_.gen <= v.gen)
-    val replaced = comps.flatMap(_.replaces).toSet
-    val latestGen =
-      if (comps.isEmpty) Nil
-      else { val c = comps.maxBy(_.gen); Seq(FileSet(c.numBuckets, c.files)) }
+    if (v == currentVersion) return effectiveFileSets
     val snaps = rawSnapshots.collect {
       case (s, None) if s.epochId <= v.epoch => s
       case (s, Some(g)) if s.epochId <= v.epoch && g <= v.gen &&
         Files.exists(deletePath(g)) => s
     }
-    val base = latestGen ++
-      snaps.filterNot(s => replaced.contains(s.epochId))
-        .map(s => FileSet(s.numBuckets, s.files))
-    val folded: Set[Long] =
-      if (comps.isEmpty) Set.empty else comps.maxBy(_.gen).foldsDeletes.toSet
-    val view = applyDeletes(base,
-      deletes.filter(d => d.gen <= v.gen && !folded.contains(d.gen)))
+    val base = snaps.map(s => FileSet(s.numBuckets, s.files))
+    val view = applyDeletes(base, deletes.filter(_.gen <= v.gen))
     val missing = view.flatMap(_.files)
       .filterNot(f => Files.exists(Paths.get(root, f.path)))
     if (missing.nonEmpty) throw new IllegalStateException(
@@ -1781,8 +1779,9 @@ final case class SnapshotMeta(queryId: String, epochId: Long,
                               schemaVersion: Int = 1, maxGen: Long = 0L)
 
 /** A full table-state token for CDC: the epoch high-water mark AND the
-  * mutation-gen high-water mark. Epochs (appends) and rewrite generations
-  * (DELETE/UPDATE/MERGE/compaction) advance on independent counters with no
+  * CONTENT-mutation gen high-water mark (DELETE/UPDATE/MERGE rewrite
+  * generations; compaction is layout-only and deliberately not part of the
+  * token). Epochs and gens advance on independent counters with no
   * recorded wall-clock between them — an epoch id alone does not pin a
   * state. Capture with [[IcebergLite.currentVersion]]; resolve an epoch id
   * to the state it was freshly committed in with

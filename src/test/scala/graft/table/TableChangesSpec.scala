@@ -152,6 +152,33 @@ class TableChangesSpec extends SparkSpec {
     assert(onlyPre.size < allFiles)
   }
 
+  test("a tag keeps CDC-from-that-version alive across compact + gc; " +
+      "without one the anchor is reclaimed and fails loudly") {
+    import spark.implicits._
+    val (root, t) = buildTable()
+    val anchor = t.versionAtEpoch(1L)
+    t.tag("cdc-anchor", 1L)
+    // churn + shrink: new epoch, then compact + gc (which would normally
+    // reclaim the pre-compaction per-epoch files the anchor view needs)
+    val rows = Seq(("conv9", 0, "user", "new row", ts(99)))
+    assert(t.commitEpoch(
+      rows.toDF("conv_id", "turn_idx", "role", "text", "ts"), "w", 2L, 4))
+    t.compact(spark, 4)
+    t.gc()
+    val got = TableChanges.between(spark, root, anchor)
+      .select("conv_id", ChangeTypeCol).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("conv9", "insert")))
+    // release the pin: the next gc settles the anchor's files, and the
+    // diff inherits time travel's loud reproducibility failure
+    t.dropTag("cdc-anchor")
+    assert(t.gc().nonEmpty)
+    val e = intercept[IllegalStateException] {
+      TableChanges.between(spark, root, anchor).collect()
+    }
+    assert(e.getMessage.contains("not reproducible"))
+  }
+
   test("contract errors: reversed range; uncommitted from-version") {
     val (root, _) = buildTable()
     val e1 = intercept[IllegalArgumentException] {
