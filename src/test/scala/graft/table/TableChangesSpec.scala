@@ -191,6 +191,61 @@ class TableChangesSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a committed snapshot"))
   }
 
+  test("change-feed application law: pre-view + changes == post-view after " +
+      "every step of a mixed append/delete/update/merge/compact scenario") {
+    import spark.implicits._
+    val (root, t) = buildTable()
+    val anchor = t.currentVersion
+
+    def view(v: TableVersion) = {
+      val files = t.effectiveFileSetsAt(v).flatMap(_.files)
+        .map(f => s"$root/${f.path}")
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          t.fullReadSchema)
+      else spark.read.schema(t.fullReadSchema).parquet(files: _*)
+    }
+    /** Multiset law: post == (pre \ removed) ⊎ added, over complete rows. */
+    def checkLaw(): Unit = {
+      val pre = view(anchor)
+      val post = view(t.currentVersion)
+      val ch = TableChanges.between(spark, root, anchor)
+      val cols = t.fullReadSchema.fieldNames.toSeq.map(col)
+      val removed = ch.filter(col(ChangeTypeCol)
+        .isin("delete", "update_preimage")).select(cols: _*)
+      val added = ch.filter(col(ChangeTypeCol)
+        .isin("insert", "update_postimage")).select(cols: _*)
+      val rebuilt = pre.exceptAll(removed).unionAll(added)
+      assert(rebuilt.exceptAll(post).isEmpty && post.exceptAll(rebuilt).isEmpty,
+        "applying the change feed to the pre-view must reproduce the post-view")
+    }
+
+    // step 1: append
+    assert(t.commitEpoch(Seq(("conv9", 0, "user", "new", ts(99)))
+      .toDF("conv_id", "turn_idx", "role", "text", "ts"), "w", 2L, 4))
+    checkLaw()
+    // step 2: delete
+    t.deleteWhere(spark, col("role") === "tool" && col("conv_id") === "conv1",
+      "drop conv1 tool turns")
+    checkLaw()
+    // step 3: update
+    t.updateWhere(spark, col("conv_id") === "conv0" && col("turn_idx") < 2,
+      Seq("text" -> concat(col("text"), lit(" [u]"))), "suffix conv0 head")
+    checkLaw()
+    // step 4: merge (update one row, insert one row, atomically)
+    t.merge(spark,
+      Seq(("conv2", 0, "merged", "m-text", ts(1)),
+          ("conv8", 0, "user", "m-new", ts(2)))
+        .toDF("conv_id", "turn_idx", "role", "text", "ts"),
+      "law-merge", Some(MergeUpdateAll), insertNotMatched = true)
+    checkLaw()
+    // step 5: compaction (layout-only — the feed must not change)
+    val before = TableChanges.between(spark, root, anchor).count()
+    t.compact(spark, 4)
+    checkLaw()
+    assert(TableChanges.between(spark, root, anchor).count() === before)
+  }
+
   test("CALL graft.system.changes reports the same counts through SQL") {
     import spark.implicits._
     val warehouse = tmpDir("chg-warehouse")
