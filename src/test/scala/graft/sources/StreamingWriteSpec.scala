@@ -225,6 +225,37 @@ class StreamingWriteSpec extends SparkSpec {
     assert(back === (0 until 25).map(i => (s"a$i", i)).toSet)
   }
 
+  test("flagship redaction pipeline: native sink == foreachBatch sink, " +
+      "full rows including lineage") {
+    import spark.implicits._
+    import graft.stream.Pipeline
+    val srcDir = tmpDir("pipe-parity-src")
+    // two source files → two micro-batches (maxFilesPerTrigger = 1); a
+    // far-future flush turn closes every session before the stream drains
+    def slice(name: String, turns: Seq[Turn]): Unit = {
+      val tmp = tmpDir("pipe-parity-frag")
+      turns.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, Paths.get(srcDir, name))
+    }
+    slice("a.parquet", (0 until 40).map(i => t(s"c${i % 5}", i, base + i)))
+    slice("b.parquet", (40 until 60).map(i => t(s"c${i % 5}", i, base + i)) :+
+      Pipeline.flushTurn((base + 100000L) * 1000000L))
+
+    def run(native: Boolean): Set[String] = {
+      val root = tmpDir(s"pipe-parity-t$native")
+      val q = Pipeline.runRedactionToTable(spark, srcDir, root,
+        tmpDir(s"pipe-parity-cp$native"), numBuckets = 4,
+        nativeSink = native)
+      q.awaitTermination()
+      new IcebergLite(root).read(spark).collect().map(_.toString).toSet
+    }
+    val (fb, nat) = (run(false), run(true))
+    assert(fb === nat)
+    assert(fb.nonEmpty)
+  }
+
   test("Complete output mode fails loudly: the epoch protocol is " +
       "append-only, silent re-append of full snapshots is refused") {
     import spark.implicits._
