@@ -78,6 +78,48 @@ class KillResumeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("kill/resume through the NATIVE streaming sink: byte-identical, " +
+      "and identical to the foreachBatch run's table contents") {
+    def runNative(sliceDir: String, tableRoot: String, cp: String): Unit = {
+      val q = Pipeline.runRedactionToTable(spark, sliceDir, tableRoot, cp, p,
+        numBuckets = 4, maxFilesPerTrigger = 1, nativeSink = true)
+      q.awaitTermination()
+    }
+    val sliceDir = tmpDir("slices-krn")
+    StreamFixtures.writeSlices(spark, spec, sliceDir, k = 6)
+
+    val rootA = tmpDir("tableNA"); val cpA = tmpDir("cpNA")
+    runNative(sliceDir, rootA, cpA)
+    val hashesA = dataFileHashes(rootA)
+    assert(hashesA.nonEmpty)
+
+    // crash window: files claimed into data/, snapshot missing, Spark
+    // commit log entry missing → the batch replays through the native
+    // writer's task-staging + first-writer-wins claim
+    val rootB = tmpDir("tableNB"); val cpB = tmpDir("cpNB")
+    runNative(sliceDir, rootB, cpB)
+    val tableB = new IcebergLite(rootB)
+    val lastEpoch = tableB.snapshots.map(_.epochId).max
+    Files.delete(Paths.get(rootB, "metadata", f"snap-$lastEpoch%012d.json"))
+    Files.delete(Paths.get(cpB, "commits", lastEpoch.toString))
+    Files.deleteIfExists(Paths.get(cpB, "commits", s".$lastEpoch.crc"))
+    assert(!tableB.isCommitted(lastEpoch))
+    runNative(sliceDir, rootB, cpB)
+    assert(tableB.isCommitted(lastEpoch))
+    val hashesB = dataFileHashes(rootB)
+    assert(hashesB === hashesA, "native replay must be byte-identical")
+
+    // cross-sink content parity on the same corpus (full rows, lineage
+    // included — both sinks write the same epochs and bucket layout)
+    val rootF = tmpDir("tableNF"); val cpF = tmpDir("cpNF")
+    val qf = Pipeline.runRedactionToTable(spark, sliceDir, rootF, cpF, p,
+      numBuckets = 4, maxFilesPerTrigger = 1)
+    qf.awaitTermination()
+    val native = tableB.read(spark).collect().map(_.toString).toSet
+    val fb = new IcebergLite(rootF).read(spark).collect().map(_.toString).toSet
+    assert(native === fb)
+  }
+
   test("restore enforces StateFormatVersion: v1 and pre-stamp checkpoints " +
     "fail with the migration message, matching stamps resume cleanly") {
     val sliceDir = tmpDir("slices-sf")
