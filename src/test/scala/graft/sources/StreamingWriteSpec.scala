@@ -113,6 +113,42 @@ class StreamingWriteSpec extends SparkSpec {
       IcebergLite.bucketOf("c3", 4))
   }
 
+  test("createIfAbsent: the first streamed batch creates the table with " +
+      "the declared buckets; without the option an absent table fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("swrite-cia-t") + "/t"
+    val mem = MemoryStream[Turn]
+    mem.addData(t("c1", 0, base))
+    val q = mem.toDS().writeStream
+      .format("graft.sources.IcebergLiteSource")
+      .option("path", root)
+      .option("createIfAbsent", "true").option("buckets", "2")
+      .option("checkpointLocation", tmpDir("swrite-cia-ckpt"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val lite = new IcebergLite(root)
+    assert(lite.exists && lite.declaredNumBuckets === Some(2))
+    assert(lite.read(spark).count() === 1L)
+
+    val mem2 = MemoryStream[Turn]
+    mem2.addData(t("c1", 0, base))
+    val e = intercept[Exception] {
+      val q2 = mem2.toDS().writeStream
+        .format("graft.sources.IcebergLiteSource")
+        .option("path", tmpDir("swrite-cia-absent") + "/nope")
+        .option("checkpointLocation", tmpDir("swrite-cia-ckpt2"))
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("createIfAbsent")), e)
+  }
+
   test("streaming-path determinism: two identical runs produce " +
       "byte-identical data files") {
     import spark.implicits._
