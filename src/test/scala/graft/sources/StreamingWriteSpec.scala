@@ -222,6 +222,13 @@ class StreamingWriteSpec extends SparkSpec {
       lite.commitStagedEpoch("q-2", 0L, Seq((alien, b)), 2)
     }
     assert(e.getMessage.contains("already committed by query"))
+
+    // an EMPTY micro-batch still commits its epoch (S4: the snapshot log
+    // records the no-op so replay and incremental offsets stay exact)
+    assert(lite.commitStagedEpoch("q-1", 1L, Seq.empty, 2))
+    assert(lite.isCommitted(1L))
+    assert(lite.snapshots.find(_.epochId == 1L).get.files.isEmpty)
+    assert(lite.effectiveFiles.map(_.rowCount).sum === 1L)
   }
 
   test("stop/restart from the checkpoint: epochs continue exactly-once, " +
