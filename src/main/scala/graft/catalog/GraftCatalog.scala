@@ -80,7 +80,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tablePath(ident)
-    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    if (!isTableDir(dir)) {
+      // Iceberg-style metadata table: `graft.db.t.changes` is the CDC
+      // change feed of `graft.db.t` (only when no real table shadows the
+      // name — a user CAN create a table literally named "changes")
+      if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val parentDir = tablePath(parent)
+        if (isTableDir(parentDir))
+          return new graft.sources.ChangeFeedTable(parentDir.toString)
+      }
+      throw new NoSuchTableException(ident)
+    }
     val root = dir.toString
     new IcebergLiteTable(root, IcebergLiteSource.fullSchema(root))
   }

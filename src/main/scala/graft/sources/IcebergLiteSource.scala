@@ -75,6 +75,10 @@ final class IcebergLiteSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val r = root(options)
+    // CDC change feed via the path-based API (catalog form: the
+    // `graft.db.t.changes` metadata table)
+    if (options.getBoolean("readChangeFeed", false))
+      return ChangeFeed.cdcSchema(r)
     if (!new IcebergLite(r).exists) {
       // write path to a brand-new table: an empty schema is fine (the table
       // declares ACCEPT_ANY_SCHEMA; the insert creates the table from the
@@ -96,6 +100,12 @@ final class IcebergLiteSource extends TableProvider {
     // and the stream planner reject the pin loudly instead of silently
     // ignoring a read-only option.
     val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.getBoolean("readChangeFeed", false)) {
+      require(opts.get("asOfEpoch") == null,
+        "readChangeFeed and asOfEpoch are mutually exclusive: the feed " +
+          "IS the history — bound it with fromEpoch/fromGen/toEpoch/toGen")
+      return new ChangeFeedTable(properties.get("path"))
+    }
     new IcebergLiteTable(properties.get("path"), schema,
       Option(opts.get("asOfEpoch")).map(_.toLong))
   }

@@ -59,6 +59,7 @@ final class IcebergLite(val root: String) {
   }
   private def metaDir = Paths.get(root, "metadata")
   private def dataDir = Paths.get(root, "data")
+  private def changesDir = Paths.get(root, "changes")
   private def stagingDir(epochId: Long) = Paths.get(root, "_staging", s"ep-$epochId")
   private def snapPath(epochId: Long) = metaDir.resolve(f"snap-$epochId%012d.json")
 
@@ -501,7 +502,12 @@ final class IcebergLite(val root: String) {
               fs.get("sourceEpoch").asLong(), parseFiles(fs))
           }.toSeq,
           n.get("affectsCompacted").asBoolean(),
-          Option(n.get("activatesEpoch")).map(_.asLong()))
+          Option(n.get("activatesEpoch")).map(_.asLong()),
+          // None = manifest predates CDC recording (the feed fails loudly
+          // over it); Some(Nil) would mean "recorded, zero rows"
+          Option(n.get("changeFiles")).map(_.elements().asScala.map { cf =>
+            ChangeFileMeta(cf.get("path").asText(), cf.get("rowCount").asLong())
+          }.toSeq))
       }
   }
 
@@ -540,11 +546,11 @@ final class IcebergLite(val root: String) {
   def deleteWhere(spark: SparkSession, condition: org.apache.spark.sql.Column,
                   predicateText: String,
                   prune: Seq[FileSet] => Seq[DataFileMeta] = _.flatMap(_.files)): Long =
-    rewriteWhere(spark, condition, predicateText, prune) { (df, hit, matched, f) =>
+    rewriteWhere(spark, condition, predicateText, prune)({ (df, hit, matched, f) =>
       // fully-matched file → dropped outright; partial match → rewrite
       // without the matching rows (row order preserved — no shuffle)
       if (matched == f.rowCount) None else Some(df.filter(!hit))
-    }
+    }, (df, hit) => Seq("delete" -> df.filter(hit)))
 
   /** Row-level UPDATE by copy-on-write rewrite — the same manifest-pruned
     * per-file machinery as [[deleteWhere]], but matched rows are kept with
@@ -588,7 +594,7 @@ final class IcebergLite(val root: String) {
           "contract — DELETE the rows and INSERT corrected ones instead")
     }
     val assign = assignments.toMap
-    rewriteWhere(spark, condition, predicateText, prune) { (df, hit, _, _) =>
+    rewriteWhere(spark, condition, predicateText, prune)({ (df, hit, _, _) =>
       // ONE projection so every RHS sees original column values
       Some(df.select(df.columns.toSeq.map { c =>
         assign.get(c) match {
@@ -596,7 +602,20 @@ final class IcebergLite(val root: String) {
           case None    => col(c)
         }
       }: _*))
-    }
+    }, { (df, hit) =>
+      // CDC images: pre = the matched rows as they were; post = the SAME
+      // rows with assignments applied unconditionally (every row of `pre`
+      // matched, and re-evaluating `hit` post-assignment would be wrong —
+      // `SET tool = 'x' WHERE tool = 'y'` no longer matches its own result)
+      val pre = df.filter(hit)
+      val post = pre.select(pre.columns.toSeq.map { c =>
+        assign.get(c) match {
+          case Some(v) => v.cast(typeOf(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+      Seq("update_preimage" -> pre, "update_postimage" -> post)
+    })
   }
 
   /** One rewritten data file: written to staging single-part, moved into
@@ -614,6 +633,39 @@ final class IcebergLite(val root: String) {
     claimFrom(part, dst, committed = Files.exists(deletePath(gen)))
     Files.deleteIfExists(part)
     footerStats(dst, gen, partitionId, s"data/$name")
+  }
+
+  /** One recorded change-data file for the CDC feed (the Delta-CDF design
+    * choice: mutations record their row-level changes AT COMMIT TIME, so
+    * the streaming change feed is pure file scans — no read-time diff
+    * join). `frames` are (change_type, rows) in the mutation's own terms
+    * (delete rows; update pre/post images); rows are normalized to the
+    * current full read schema (declared business columns + lineage) plus
+    * the baked-in `_change_type` column, written single-part to staging,
+    * then claimed into `changes/cdc-<gen>-<idx>.parquet` with the same
+    * first-writer-wins protocol as rewrite files. Cost is churn-
+    * proportional by construction: a mutation touching k rows records
+    * O(k) change rows, never the table. `rowCount` is known exactly from
+    * the probe counts (delete = matched, update = 2×matched), so no
+    * footer read is needed. */
+  private def publishChangeFile(frames: Seq[(String, DataFrame)],
+                                staging: Path, gen: Long, seq: Int,
+                                rowCount: Long): ChangeFileMeta = {
+    val schema = fullReadSchema
+    val cdc = frames.map { case (kind, d) =>
+      d.select(schema.fieldNames.toSeq.map(col) :+
+        lit(kind).as(TableChanges.ChangeTypeCol): _*)
+    }.reduce(_ unionAll _)
+    val out = staging.resolve(s"c$seq")
+    cdc.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val part = listDir(out)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+    val name = f"cdc-$gen%04d-$seq%05d.parquet"
+    Files.createDirectories(changesDir)
+    val dst = changesDir.resolve(name)
+    claimFrom(part, dst, committed = Files.exists(deletePath(gen)))
+    Files.deleteIfExists(part)
+    ChangeFileMeta(s"changes/$name", rowCount)
   }
 
   /** SQL-MERGE-style upsert, keyed by the table's natural key
@@ -779,7 +831,7 @@ final class IcebergLite(val root: String) {
         else {
           // _ord pins the original row order through the join
           val ordered = df.withColumn("__graft_ord", monotonically_increasing_id())
-          val replacement = matched.get match {
+          val (replacement, changeFrames) = matched.get match {
             case MergeUpdateAll | MergeUpdateCols(_) =>
               val t = ordered.alias("t")
               val s = srcB.alias("s")
@@ -787,17 +839,32 @@ final class IcebergLite(val root: String) {
                 keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
                 "left")
               val hitS = col("s.conv_id").isNotNull
-              Some(joined.select(ordered.columns.toSeq.map {
+              val tCols = ordered.columns.toSeq.filter(_ != "__graft_ord")
+              // CDC images from the SAME join the rewrite uses: pre = the
+              // matched target rows as they were, post = with the source's
+              // values applied
+              val hits = joined.filter(hitS)
+              val pre = hits.select(tCols.map(c => col(s"t.$c").as(c)): _*)
+              val post = hits.select(tCols.map {
+                case c if updateCols.contains(c) => col(s"s.$c").as(c)
+                case other => col(s"t.$other").as(other)
+              }: _*)
+              (Some(joined.select(ordered.columns.toSeq.map {
                 case "__graft_ord" => col("t.__graft_ord")
                 case c if updateCols.contains(c) =>
                   when(hitS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
                 case other => col(s"t.$other").as(other)
-              }: _*))
+              }: _*)),
+                Seq("update_preimage" -> pre, "update_postimage" -> post))
             case MergeDeleteMatched =>
-              if (m == f.rowCount) None
-              else Some(ordered.join(srcB, keys, "left_anti"))
+              val pre = df.join(srcB, keys, "left_semi")
+              (if (m == f.rowCount) None
+               else Some(ordered.join(srcB, keys, "left_anti")),
+                Seq("delete" -> pre))
           }
-          Some((idx, f.path, m, replacement.map(r =>
+          val cf = publishChangeFile(changeFrames, stagingSrc, gen, idx,
+            m * changeFrames.size)
+          Some((idx, f.path, m, cf, replacement.map(r =>
             (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
               publishRewriteFile(r.orderBy("__graft_ord").drop("__graft_ord"),
                 stagingSrc, gen, idx, f.partitionId)))))
@@ -805,7 +872,8 @@ final class IcebergLite(val root: String) {
       }.toIndexedSeq.seq.sortBy(_._1)
     val removes = results.map(_._2)
     val matchedRows = results.map(_._3).sum
-    val adds = results.flatMap(_._4)
+    val mergeChangeFiles = results.map(_._4)
+    val adds = results.flatMap(_._5)
 
     var inserted = 0L
     var insertEpoch: Option[Long] = None
@@ -835,10 +903,12 @@ final class IcebergLite(val root: String) {
     deleteRecursively(stagingSrc)
     if (removes.isEmpty && insertEpoch.isEmpty)
       return MergeStats(matchedRows, 0L, None)
-    // THE atomic commit: rewrites + insert activation in one manifest
+    // THE atomic commit: rewrites + insert activation in one manifest.
+    // The insert epoch records NO change file — the feed serves it from
+    // its own epoch files as `insert` rows, exactly-once, like any epoch.
     writeRewriteManifest(gen, description, removes, adds,
       affectsCompacted = removes.exists(p => !srcEpoch.contains(p)),
-      activatesEpoch = insertEpoch)
+      activatesEpoch = insertEpoch, changeFiles = mergeChangeFiles)
     MergeStats(matchedRows, inserted, insertEpoch)
   }
 
@@ -852,7 +922,8 @@ final class IcebergLite(val root: String) {
                            condition: org.apache.spark.sql.Column,
                            predicateText: String,
                            prune: Seq[FileSet] => Seq[DataFileMeta])(
-      rewrite: (DataFrame, org.apache.spark.sql.Column, Long, DataFileMeta) => Option[DataFrame]): Long =
+      rewrite: (DataFrame, org.apache.spark.sql.Column, Long, DataFileMeta) => Option[DataFrame],
+      changeRows: (DataFrame, org.apache.spark.sql.Column) => Seq[(String, DataFrame)]): Long =
     withMaintenanceLock {
       require(exists, s"IcebergLite table does not exist at $root")
       val base = effectiveFileSets
@@ -885,14 +956,25 @@ final class IcebergLite(val root: String) {
         }
         val matched = df.filter(hit).count()
         if (matched == 0L) None
-        else Some((idx, f.path, matched,
-          rewrite(df, hit, matched, f).map(replacement =>
-            (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
-              publishRewriteFile(replacement, staging, gen, idx, f.partitionId)))))
+        else {
+          // record the CDC rows BEFORE the manifest (crash in between
+          // leaves unreferenced change files; removeOrphans reclaims them
+          // once the gen is settled). rowCount is exact by construction:
+          // every frame carries `matched` rows (delete = 1 frame,
+          // update = pre + post).
+          val frames = changeRows(df, hit)
+          val cf = publishChangeFile(frames, staging, gen, idx,
+            matched * frames.size)
+          Some((idx, f.path, matched, cf,
+            rewrite(df, hit, matched, f).map(replacement =>
+              (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
+                publishRewriteFile(replacement, staging, gen, idx, f.partitionId)))))
+        }
       }.toIndexedSeq.seq.sortBy(_._1)
       val removes = results.map(_._2)
       val matchedRows = results.map(_._3).sum
-      val adds = results.flatMap(_._4)
+      val changeFiles = results.map(_._4)
+      val adds = results.flatMap(_._5)
       deleteRecursively(staging)
       if (removes.isEmpty) return 0L
       // affectsCompacted is true when compaction-generation data was
@@ -902,7 +984,7 @@ final class IcebergLite(val root: String) {
       // the DSv2 source guard
       writeRewriteManifest(gen, predicateText, removes, adds,
         affectsCompacted = removes.exists(p => !srcEpoch.contains(p)),
-        activatesEpoch = None)
+        activatesEpoch = None, changeFiles = changeFiles)
       matchedRows
     }
 
@@ -915,12 +997,25 @@ final class IcebergLite(val root: String) {
                                    removes: Seq[String],
                                    adds: Seq[(Long, Int, DataFileMeta)],
                                    affectsCompacted: Boolean,
-                                   activatesEpoch: Option[Long]): Unit = {
+                                   activatesEpoch: Option[Long],
+                                   changeFiles: Seq[ChangeFileMeta]): Unit = {
     val m = new JHashMap[String, Object]()
     m.put("gen", java.lang.Long.valueOf(gen))
     m.put("predicate", predicateText)
     m.put("affectsCompacted", java.lang.Boolean.valueOf(affectsCompacted))
     activatesEpoch.foreach(e => m.put("activatesEpoch", java.lang.Long.valueOf(e)))
+    // recorded CDC rows of this mutation (ALWAYS present on new manifests,
+    // possibly as an empty list; its ABSENCE marks a pre-CDC manifest —
+    // the feed fails loudly over such gens instead of silently serving
+    // nothing)
+    val cfl: JList[Object] = new JArrayList[Object]()
+    changeFiles.sortBy(_.path).foreach { cf =>
+      val cm = new JHashMap[String, Object]()
+      cm.put("path", cf.path)
+      cm.put("rowCount", java.lang.Long.valueOf(cf.rowCount))
+      cfl.add(cm)
+    }
+    m.put("changeFiles", cfl)
     val rl: JList[Object] = new JArrayList[Object]()
     removes.foreach(rl.add)
     m.put("removes", rl)
@@ -1062,12 +1157,21 @@ final class IcebergLite(val root: String) {
     * deliberately NOT part of the version token: they change layout, never
     * content, so a version pinned before a compaction still identifies the
     * same rows. */
-  def currentGen: Long = deletes.map(_.gen).foldLeft(0L)(math.max)
+  def currentGen: Long =
+    // the CDC gen horizon keeps the high-water mark truthful after
+    // expireMetadata retires settled delete manifests — without it a fully
+    // vacuumed table would report gen 0 and a feed anchored at
+    // currentVersion would trip its own horizon guard
+    (deletes.map(_.gen) ++ cdcGenHorizon).foldLeft(0L)(math.max)
 
   /** The table's full state token right now — capture it before a batch of
-    * work, pass it to [[TableChanges.since]] later. */
+    * work, pass it to [[TableChanges.since]] later. Survives metadata
+    * expiry: the epoch component falls back to the expiry horizon when
+    * every snapshot was retired (compaction holds the data; the epoch
+    * counter must never regress). */
   def currentVersion: TableVersion =
-    TableVersion(snapshots.lastOption.map(_.epochId).getOrElse(-1L), currentGen)
+    TableVersion((snapshots.lastOption.map(_.epochId) ++ expiryHorizon)
+      .foldLeft(-1L)(math.max), currentGen)
 
   /** The state token as of epoch `e`'s own commit (the snapshot's `maxGen`
     * stamp): "what a reader saw when epoch e was freshly committed".
@@ -1111,6 +1215,20 @@ final class IcebergLite(val root: String) {
       s"view at $v of $root is not reproducible: ${missing.size} data " +
         s"file(s) were reclaimed by gc (first missing: ${missing.head.path})")
     view
+  }
+
+  /** Epochs the CDC feed serves as `insert` slices for the range
+    * `(from, to]`: every raw snapshot in the epoch range that is VISIBLE at
+    * `to` — a merge-pending epoch only once its activating gen committed
+    * AND is inside the range's gen bound, so a merge's inserts and its
+    * matched-row rewrites surface in the same feed step (the merge's
+    * atomicity, preserved through the feed). */
+  def feedEpochSnapshots(from: TableVersion, to: TableVersion): Seq[SnapshotMeta] = {
+    val committedGens = deletes.map(_.gen).toSet
+    rawSnapshots.collect {
+      case (s, pending) if s.epochId > from.epoch && s.epochId <= to.epoch &&
+        pending.forall(g => g <= to.gen && committedGens.contains(g)) => s
+    }
   }
 
   /** Epoch `sn`'s file set as an incremental reader must see it: the raw
@@ -1473,6 +1591,27 @@ final class IcebergLite(val root: String) {
       val rel = s"data/${p.getFileName}"
       if (Files.deleteIfExists(p)) Some(rel) else None
     }
+    // orphaned CDC change files: published by a mutation whose manifest
+    // never landed (the one crash window), or left by a crashed expiry.
+    // Same no-clock in-flight rule as data files: only settled gens.
+    val referencedChanges =
+      deletes.flatMap(_.changeFiles.getOrElse(Nil)).map(_.path).toSet
+    val CdcFile = """cdc-(\d+)-\d+\.parquet""".r
+    val cdcSettled = math.max(maxDelCommitted, cdcGenHorizon.getOrElse(-1L))
+    val deletedChanges =
+      if (!Files.exists(changesDir)) Nil
+      else listDir(changesDir)(
+        _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString))
+        .filter(p => !referencedChanges.contains(s"changes/${p.getFileName}"))
+        .filter(p => p.getFileName.toString match {
+          case CdcFile(g) => g.toLong <= cdcSettled
+          case _ => true
+        })
+        .flatMap { p =>
+          val rel = s"changes/${p.getFileName}"
+          if (Files.deleteIfExists(p)) Some(rel) else None
+        }
     // settled staging dirs: their commit landed (or their id is settled),
     // so nothing will come back for the leftovers
     val stagingRoot = Paths.get(root, "_staging")
@@ -1493,7 +1632,7 @@ final class IcebergLite(val root: String) {
           }
         }
         .map { d => deleteRecursively(d); s"_staging/${d.getFileName}" }
-    deletedPending ++ deletedData ++ deletedStaging
+    deletedPending ++ deletedData ++ deletedChanges ++ deletedStaging
   }
 
   /** Metadata expiry (completes [[gc]]: gc deletes superseded DATA files,
@@ -1595,11 +1734,36 @@ final class IcebergLite(val root: String) {
           d.removes.forall(p => !Files.exists(Paths.get(root, p)))
       }
       .flatMap { d =>
+        // the recorded CDC rows retire WITH the manifest that references
+        // them — and the gen horizon is recorded FIRST, so a feed reader
+        // whose offset predates this gen fails loudly instead of silently
+        // skipping the mutation (same contract as the epoch expiry horizon)
+        recordCdcGenHorizon(d.gen)
+        d.changeFiles.getOrElse(Nil).foreach(cf =>
+          Files.deleteIfExists(Paths.get(root, cf.path)))
         val p = deletePath(d.gen)
         if (Files.deleteIfExists(p)) Some(p.getFileName.toString) else None
       }
     deletedSnaps ++ deletedComps ++ deletedDels
   }
+
+  /** CDC-feed floor: the highest CONTENT gen whose delete manifest (and
+    * recorded change files) [[expireMetadata]] has retired. A change-feed
+    * reader whose gen offset is below this cannot be served without
+    * silently skipping mutations — it fails loudly instead. `None` until
+    * the first retirement. */
+  def cdcGenHorizon: Option[Long] =
+    Option(mapper.readTree(Files.readAllBytes(metaDir.resolve("table.json")))
+      .get("cdcGenHorizon")).map(_.asLong())
+
+  /** Monotonic RMW on table.json's `cdcGenHorizon` (same cross-process
+    * contract as [[recordExpiryHorizon]]). */
+  private[table] def recordCdcGenHorizon(gen: Long): Unit =
+    lockedTableJsonUpdate { t =>
+      val prior = Option(t.get("cdcGenHorizon")).map(_.asLong()).getOrElse(Long.MinValue)
+      if (gen > prior) { t.put("cdcGenHorizon", gen); true }
+      else false
+    }
 
   /** Streaming-history floor: the highest epoch whose snapshot
     * [[expireMetadata]] has retired. Epochs ≤ horizon are unreplayable —
@@ -1820,7 +1984,15 @@ final case class DeleteMeta(gen: Long, predicate: String,
                             removes: Seq[String],
                             fileSets: Seq[DeleteFileSet],
                             affectsCompacted: Boolean,
-                            activatesEpoch: Option[Long] = None)
+                            activatesEpoch: Option[Long] = None,
+                            changeFiles: Option[Seq[ChangeFileMeta]] = None)
+
+/** One recorded change-data file (`changes/cdc-<gen>-<idx>.parquet`): the
+  * full read schema plus a baked-in `_change_type` column. Written at
+  * mutation commit time ([[IcebergLite.publishChangeFile]]) so the CDC
+  * feed is pure file scans — rowCount is exact, for feed-side task
+  * packing without opening the file. */
+final case class ChangeFileMeta(path: String, rowCount: Long)
 
 /** A group of data files that share one bucketing layout (`numBuckets` = −1
   * when the manifest predates bucket recording → conv_id pruning disabled
