@@ -448,6 +448,45 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("text"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }),
+    // recorded-change-feed gate (round-5): the PER-COMMIT feed
+    // (`graft.db.t.changes` — change rows recorded at mutation commit time,
+    // served as pure file scans), distinct from q33's net-diff
+    // reconstruction. The per-commit semantics are load-bearing here:
+    // deleted rows still appear as the inserts that first carried them
+    // (apply-in-order reproduces every intermediate state), and every row
+    // stamps exactly one of (_commit_epoch, _commit_gen). The oracle
+    // recomputes all four change sets relationally from the raw fixture —
+    // epoch stamp = the slice rule, gen stamps = the mutation order.
+    "q36_change_feed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = graft.catalog.GraftSessions.withExtensions(
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      val tx = Fixtures.transcripts(s2, dir)
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s2.sql("DROP TABLE IF EXISTS graft.gate.cfd")
+      s2.sql(
+        """CREATE TABLE graft.gate.cfd (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1).foreach { ep =>
+        tx.filter(col("turn_idx") % 2 === ep)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.cfd")
+          .option("epoch", ep.toString).option("queryId", "gate").append()
+      }
+      s2.sql("DELETE FROM graft.gate.cfd WHERE role = 'tool'")          // gen 1
+      s2.sql(
+        """UPDATE graft.gate.cfd SET text = concat(text, ' [u2]')
+          |WHERE conv_id < 'conv-000010' AND role = 'user'""".stripMargin) // gen 2
+      s2.table("graft.gate.cfd.changes")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col(graft.table.TableChanges.ChangeTypeCol),
+          col(graft.sources.ChangeFeed.CommitEpochCol),
+          col(graft.sources.ChangeFeed.CommitGenCol))
     })
   )
 
@@ -894,6 +933,37 @@ object SparkEntry {
     "q34_time_travel" ->
       s"""SELECT conv_id, turn_idx, role, tool, text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
-         |FROM $T WHERE turn_idx % 2 = 0""".stripMargin
+         |FROM $T WHERE turn_idx % 2 = 0""".stripMargin,
+    // q36: the recorded per-commit feed recomputed relationally. Inserts are
+    // the WHOLE fixture (per-commit: a later delete does not erase the
+    // insert event) with the epoch stamp from the slice rule; delete /
+    // update images mirror the two mutations with their gen stamps (DELETE
+    // ran first -> gen 1, UPDATE -> gen 2); exactly one stamp is non-null
+    // per row.
+    "q36_change_feed" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'insert' AS _change_type,
+         |  CAST(turn_idx % 2 AS BIGINT) AS _commit_epoch,
+         |  CAST(NULL AS BIGINT) AS _commit_gen
+         |FROM $T
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'delete' AS _change_type,
+         |  CAST(NULL AS BIGINT) AS _commit_epoch, CAST(1 AS BIGINT) AS _commit_gen
+         |FROM $T WHERE role = 'tool'
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'update_preimage' AS _change_type,
+         |  CAST(NULL AS BIGINT) AS _commit_epoch, CAST(2 AS BIGINT) AS _commit_gen
+         |FROM $T WHERE conv_id < 'conv-000010' AND role = 'user'
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, concat(text, ' [u2]') AS text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'update_postimage' AS _change_type,
+         |  CAST(NULL AS BIGINT) AS _commit_epoch, CAST(2 AS BIGINT) AS _commit_gen
+         |FROM $T WHERE conv_id < 'conv-000010' AND role = 'user'""".stripMargin
   )
 }
