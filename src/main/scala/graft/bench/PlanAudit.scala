@@ -78,6 +78,13 @@ object PlanAudit {
       case "q23_late_data" =>
         checks += Check("no cartesian product (batch-watermark join is equi on arrival_batch)",
           !has("CartesianProduct") && !has("BroadcastNestedLoopJoin"), "")
+      case "q36_change_feed" =>
+        checks += Check("recorded feed serves as pure file scans (no join, no shuffle)",
+          !has("Exchange") && !has("Join") && !has("CartesianProduct"),
+          "q33 reconstructs the diff with a full-outer key join at READ " +
+            "time; the recorded feed paid O(churn) at COMMIT time instead, " +
+            "so reading it is a scan union with constant-vector metadata " +
+            "columns — the 10^12-row shape for a continuously-tailing consumer")
       case "q24_sketch_build" =>
         checks += Check("CMS aggregate runs partial+final (ObjectHashAggregate)",
           has("ObjectHashAggregate") && has("graft_cms_sketch"),
@@ -108,7 +115,7 @@ object PlanAudit {
       "q14_embed_dup", "q15_ann_topk", "q6_skew_agg", "q2_detect",
       "q3_window_stats", "q19_sliding_stats", "q20_session_bounds",
       "q21_dead_letter", "q22_shingle_detect", "q23_late_data",
-      "q24_cms_profile", "q24_sketch_build", "q33_changes")
+      "q24_cms_profile", "q24_sketch_build", "q33_changes", "q36_change_feed")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"
