@@ -229,6 +229,35 @@ class ChangeFeedSpec extends SparkSpec {
       "fromEpoch" -> cur.epoch.toString, "fromGen" -> cur.gen.toString))).isEmpty)
   }
 
+  test("schema evolution: change rows recorded BEFORE an added column " +
+      "null-fill it; rows from after carry it — one evolved feed schema") {
+    import spark.implicits._
+    val (root, t) = buildTable("cdcevolve")
+    assert(t.deleteWhere(spark, col("conv_id") === "conv0", "purge") === 8L) // pre-evolution gen 1
+    t.addColumn("lang", "STRING")
+    assert(t.commitEpoch(
+      Seq(("convY", 0, "user", "bonjour", ts(99), "fr"))
+        .toDF("conv_id", "turn_idx", "role", "text", "ts", "lang"), "w", 2L, 4))
+    assert(t.updateWhere(spark, col("conv_id") === "convY",
+      Seq("lang" -> lit("fr-CA")), "fix") === 1L) // post-evolution gen 2
+
+    val all = feed(root)
+      .select("conv_id", "_change_type", "_commit_epoch", "_commit_gen", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4)))).toSet
+    // pre-evolution rows (epochs 0/1 inserts + gen-1 deletes): lang is null
+    assert(all.filter(r => r._3.exists(_ <= 1L) || r._4 == Some(1L))
+      .forall(_._5.isEmpty))
+    // post-evolution rows carry the column on every image
+    assert(all.filter(_._3 == Some(2L)).map(r => (r._2, r._5))
+      === Set(("insert", Some("fr"))))
+    assert(all.filter(_._4 == Some(2L)).map(r => (r._2, r._5))
+      === Set(("update_preimage", Some("fr")), ("update_postimage", Some("fr-CA"))))
+  }
+
   test("catalog surface: graft.db.t.changes resolves to the feed for SQL " +
       "and readStream.table") {
     import spark.implicits._
