@@ -229,6 +229,41 @@ class ChangeFeedSpec extends SparkSpec {
       "fromEpoch" -> cur.epoch.toString, "fromGen" -> cur.gen.toString))).isEmpty)
   }
 
+  test("crash window: a change file published without its manifest is " +
+      "reclaimed by removeOrphans once the gen settles; referenced and " +
+      "in-flight files survive") {
+    val (root, t) = buildTable("cdcorphan")
+    assert(t.deleteWhere(spark, col("conv_id") === "conv0", "purge") === 8L)
+    val changes = java.nio.file.Paths.get(root, "changes")
+    val referenced = changes.resolve("cdc-0001-00000.parquet")
+    assert(java.nio.file.Files.exists(referenced))
+    // gen 1 settled (its manifest landed) -> an unreferenced sibling from a
+    // crashed concurrent attempt is garbage
+    val orphanSettled = changes.resolve("cdc-0001-99999.parquet")
+    // gen 5 above the committed max -> may be an in-flight mutation
+    val orphanInflight = changes.resolve("cdc-0005-00000.parquet")
+    java.nio.file.Files.copy(referenced, orphanSettled)
+    java.nio.file.Files.copy(referenced, orphanInflight)
+    val cleaned = t.removeOrphans()
+    assert(cleaned.contains("changes/cdc-0001-99999.parquet"))
+    assert(java.nio.file.Files.exists(referenced))
+    assert(java.nio.file.Files.exists(orphanInflight))
+    // once gen 5 settles (a later committed gen), the in-flight file is dead
+    assert(t.deleteWhere(spark, col("conv_id") === "conv1", "p2") === 8L) // gen 2
+    (3L to 5L).foreach(_ =>
+      t.deleteWhere(spark, col("conv_id") === "convNONE", "noop"))
+    // noop deletes match nothing and commit no gen; settle gen 5 by real ones
+    var g = t.currentGen
+    while (g < 5L) {
+      assert(t.updateWhere(spark, col("conv_id") === "conv2" && col("turn_idx") === 0,
+        Seq("text" -> lit(s"v$g")), s"bump") === 1L)
+      g = t.currentGen
+    }
+    assert(t.removeOrphans().contains("changes/cdc-0005-00000.parquet"))
+    // the feed over the real history is unaffected by the cleanup
+    assert(feed(root).count() > 0)
+  }
+
   test("schema evolution: change rows recorded BEFORE an added column " +
       "null-fill it; rows from after carry it — one evolved feed schema") {
     import spark.implicits._
