@@ -23,6 +23,7 @@ import graft.table.IcebergLite
   *   CALL graft.system.remove_orphans('db.t')   -- drop unreferenced files
   *   CALL graft.system.vacuum('db.t')           -- compact + gc + expiry
   *   CALL graft.system.snapshots('db.t')        -- inspect the snapshot log
+  *   CALL graft.system.history('db.t')          -- the unified commit log
   *   CALL graft.system.changes('db.t', 3)       -- CDC counts since epoch 3
   * }}}
   *
@@ -233,7 +234,59 @@ private[catalog] object GraftProcedures {
         StructField("num_rows", LongType, nullable = false))),
       (table, _) => table.snapshots.map { s =>
         row(s.epochId, s.queryId, s.files.size, s.files.map(_.rowCount).sum)
-      }.toArray, resolve)
+      }.toArray, resolve),
+
+    // DESCRIBE-HISTORY analogue: the unified commit log — appends (visible
+    // epochs), content mutations (DELETE/UPDATE/MERGE rewrite gens, with
+    // the change rows they recorded) and layout-only compactions. The
+    // engine records no wall-clock (replay determinism), so ordering is
+    // the HONEST partial order the metadata does carry: each snapshot
+    // stamps maxGen (the content gens visible at its commit), so rows sort
+    // by (gen watermark, gens before the epochs that saw them); a
+    // compaction sorts after every content gen it folds and every epoch it
+    // replaces. Exactly one of epoch_id/gen is set per row — NOTE the two
+    // gen sequences are distinct: content gens number `delete-<gen>.json`
+    // manifests, compaction gens number `compact-<gen>` layouts (each
+    // starts at its own origin, exactly as on disk). change_rows is null
+    // for appends (served from epoch files), compactions (no content
+    // change) and pre-CDC manifests.
+    "history" -> new Proc("history",
+      Array(tableParam),
+      StructType(Seq(
+        StructField("kind", StringType, nullable = false),
+        StructField("epoch_id", LongType, nullable = true),
+        StructField("gen", LongType, nullable = true),
+        StructField("operation", StringType, nullable = false),
+        StructField("num_files", IntegerType, nullable = false),
+        StructField("num_rows", LongType, nullable = false),
+        StructField("change_rows", LongType, nullable = true))),
+      (table, _) => {
+        val epochs = table.snapshots.map { s =>
+          ((s.maxGen, 1L, s.epochId),
+            row("append", s.epochId, null, s.queryId, s.files.size,
+              s.files.map(_.rowCount).sum, null))
+        }
+        val gens = table.deletes.map { d =>
+          ((d.gen, 0L, 0L),
+            row(if (d.activatesEpoch.isDefined) "merge" else "rewrite",
+              null, d.gen, d.predicate,
+              d.fileSets.map(_.files.size).sum,
+              d.fileSets.flatMap(_.files).map(_.rowCount).sum,
+              d.changeFiles
+                .map(cf => java.lang.Long.valueOf(cf.map(_.rowCount).sum))
+                .orNull))
+        }
+        val genAtEpoch = table.snapshots.map(s => s.epochId -> s.maxGen).toMap
+        val comps = table.compactions.map { c =>
+          val watermark = (c.foldsDeletes ++
+            c.replaces.flatMap(genAtEpoch.get)).foldLeft(0L)(math.max)
+          ((watermark, 2L, c.gen),
+            row("compaction", null, c.gen,
+              s"replaces epochs [${c.replaces.mkString(",")}]",
+              c.files.size, c.files.map(_.rowCount).sum, null))
+        }
+        (epochs ++ gens ++ comps).sortBy(_._1).map(_._2).toArray
+      }, resolve)
   )
 
   val Namespace: Array[String] = Array("system")

@@ -487,4 +487,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(new IcebergLite(s"$warehouse/db/ctas")
       .snapshots.map(_.epochId) === Seq(0L, 1L))
   }
+
+  test("CALL graft.system.history interleaves appends, mutations and " +
+    "compactions by the gen watermark with honest stamps") {
+    spark.sql(
+      """CREATE TABLE graft.db.hist (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='2')""".stripMargin)
+    Seq(0L, 1L).foreach { e =>
+      sampleDf(8, base = 1767225600L + e * 1000).writeTo("graft.db.hist")
+        .option("epoch", e.toString).option("queryId", "h").append()
+    }
+    spark.sql("DELETE FROM graft.db.hist WHERE turn_idx = 0")       // gen 1: 2 rows
+    sampleDf(4, base = 1767229600L).writeTo("graft.db.hist")
+      .option("epoch", "2").option("queryId", "h").append()          // after gen 1
+    // the engine rewrite the SQL UPDATE rule delegates to (this shared
+    // session has the catalog but not GraftExtensions; UpdateSpec covers
+    // the SQL surface end-to-end)
+    new IcebergLite(s"$warehouse/db/hist").updateWhere(spark,
+      col("turn_idx") === 1, Seq("text" -> lit("x")),
+      "turn_idx = 1")                                                // gen 2: 3 rows
+    spark.sql("CALL graft.system.compact('db.hist')")                // comp gen 0
+
+    val h = spark.sql("CALL graft.system.history('db.hist')").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSeq
+    assert(h.map(_._1) ===
+      Seq("append", "append", "rewrite", "append", "rewrite", "compaction"))
+    // exactly one of epoch_id/gen per row
+    assert(h.forall(r => r._2.isDefined != r._3.isDefined))
+    // content gens (1, 2) and the compaction's own layout gen (0) are
+    // distinct sequences, exactly as on disk
+    assert(h.map(r => r._2.orElse(r._3).get) === Seq(0L, 1L, 1L, 2L, 2L, 0L))
+    // recorded change rows: 2 deleted; 3 updated -> pre+post = 6; null
+    // for appends and the layout-only compaction
+    assert(h.map(_._5) ===
+      Seq(None, None, Some(2L), None, Some(6L), None))
+    // operations carry the predicate / queryId the commit recorded
+    assert(h(2)._4.toLowerCase.contains("turn_idx"))
+    assert(h(5)._4.contains("replaces epochs"))
+  }
 }
