@@ -487,6 +487,58 @@ object SparkEntry {
           col(graft.table.TableChanges.ChangeTypeCol),
           col(graft.sources.ChangeFeed.CommitEpochCol),
           col(graft.sources.ChangeFeed.CommitGenCol))
+    }),
+    // restore gate (round-5): Delta-RESTORE through CALL
+    // graft.system.restore — the table is mutated (DELETE, gen 1) and
+    // extended (epoch 2), rolled back to the state of epoch 1's commit
+    // (metadata-only: the raw files become the live view again), then
+    // appended to again (epoch 3 — counters never regress). The result is
+    // the LIVE table plus the restore gen's RECORDED change feed
+    // (_commit_gen = 2): 'insert' rows are the un-deleted tool turns with
+    // their original content, 'delete' rows are the un-appended epoch-2
+    // slice. The oracle recomputes both parts relationally from the raw
+    // fixture, so a restore that leaked the delete, kept epoch 2, or
+    // mis-recorded its CDC rows is a content mismatch.
+    "q37_restore" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.rst")
+      s.sql(
+        """CREATE TABLE graft.gate.rst (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1).foreach { ep =>
+        tx.filter(col("turn_idx") % 2 === ep)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.rst")
+          .option("epoch", ep.toString).option("queryId", "gate").append()
+      }
+      s.sql("DELETE FROM graft.gate.rst WHERE role = 'tool'")      // gen 1
+      tx.filter(col("conv_id") < "conv-000005")                    // epoch 2 —
+        .withColumn("turn_idx", col("turn_idx") + lit(9000))       // un-appended
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts") // by the
+        .writeTo("graft.gate.rst")                                 // restore
+        .option("epoch", "2").option("queryId", "gate").append()
+      s.sql("CALL graft.system.restore('gate.rst', '1')")          // gen 2
+      tx.filter(col("conv_id") < "conv-000003")                    // epoch 3:
+        .withColumn("turn_idx", col("turn_idx") + lit(7000))       // life goes on
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.rst")
+        .option("epoch", "3").option("queryId", "gate").append()
+      val cols = Seq(col("conv_id"), col("turn_idx"), col("role"),
+        col("tool"), col("text"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      s.table("graft.gate.rst").select(cols: _*)
+        .withColumn(graft.table.TableChanges.ChangeTypeCol, lit("live"))
+        .unionByName(
+          s.table("graft.gate.rst.changes")
+            .filter(col(graft.sources.ChangeFeed.CommitGenCol) === 2L)
+            .select(cols :+ col(graft.table.TableChanges.ChangeTypeCol): _*))
     })
   )
 
@@ -964,6 +1016,30 @@ object SparkEntry {
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
          |  'update_postimage' AS _change_type,
          |  CAST(NULL AS BIGINT) AS _commit_epoch, CAST(2 AS BIGINT) AS _commit_gen
-         |FROM $T WHERE conv_id < 'conv-000010' AND role = 'user'""".stripMargin
+         |FROM $T WHERE conv_id < 'conv-000010' AND role = 'user'""".stripMargin,
+    // q37: live = the full fixture (the restore undid both the DELETE and
+    // the epoch-2 append) plus the post-restore epoch-3 slice; the restore
+    // gen's recorded feed = the deleted tool turns back as 'insert' and
+    // the epoch-2 slice out as 'delete'
+    "q37_restore" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'live' AS _change_type
+         |FROM $T
+         |UNION ALL
+         |SELECT conv_id, turn_idx + 7000 AS turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'live' AS _change_type
+         |FROM $T WHERE conv_id < 'conv-000003'
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'insert' AS _change_type
+         |FROM $T WHERE role = 'tool'
+         |UNION ALL
+         |SELECT conv_id, turn_idx + 9000 AS turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'delete' AS _change_type
+         |FROM $T WHERE conv_id < 'conv-000005'""".stripMargin
   )
 }

@@ -25,6 +25,8 @@ import graft.table.IcebergLite
   *   CALL graft.system.snapshots('db.t')        -- inspect the snapshot log
   *   CALL graft.system.history('db.t')          -- the unified commit log
   *   CALL graft.system.changes('db.t', 3)       -- CDC counts since epoch 3
+  *   CALL graft.system.restore('db.t', '3')     -- roll back to epoch 3
+  *   CALL graft.system.restore('db.t', 'v1')    -- ... or to a tag
   * }}}
   *
   * All procedures delegate to the existing [[IcebergLite]] maintenance
@@ -268,7 +270,8 @@ private[catalog] object GraftProcedures {
         }
         val gens = table.deletes.map { d =>
           ((d.gen, 0L, 0L),
-            row(if (d.activatesEpoch.isDefined) "merge" else "rewrite",
+            row(d.op.getOrElse(
+              if (d.activatesEpoch.isDefined) "merge" else "rewrite"),
               null, d.gen, d.predicate,
               d.fileSets.map(_.files.size).sum,
               d.fileSets.flatMap(_.files).map(_.rowCount).sum,
@@ -286,6 +289,39 @@ private[catalog] object GraftProcedures {
               c.files.size, c.files.map(_.rowCount).sum, null))
         }
         (epochs ++ gens ++ comps).sortBy(_._1).map(_._2).toArray
+      }, resolve),
+
+    // Delta-RESTORE / Iceberg-rollback: make a prior committed state the
+    // live view again, as a NEW auditable gen (nothing erased). The
+    // version is an epoch id or a tag name, resolved to "the state when
+    // that epoch was freshly committed" (the CDC anchor,
+    // IcebergLite.versionAtEpoch) — the same rule VERSION AS OF uses for
+    // names. Metadata-only: no data file is copied; gc'd targets fail
+    // loudly (tags pin retention). generation -1 = the live view already
+    // matched, nothing committed.
+    "restore" -> new Proc("restore",
+      Array(tableParam,
+        ProcedureParameter.in("version", StringType)
+          .comment("committed epoch id or tag name to roll back to")
+          .build()),
+      StructType(Seq(
+        StructField("generation", LongType, nullable = false),
+        StructField("removed_files", IntegerType, nullable = false),
+        StructField("restored_files", IntegerType, nullable = false),
+        StructField("change_rows", LongType, nullable = false))),
+      (table, in) => {
+        val version = in.getUTF8String(1).toString.trim
+        val epoch =
+          try version.toLong
+          catch {
+            case _: NumberFormatException =>
+              table.tags.getOrElse(version, throw new IllegalArgumentException(
+                s"restore version '$version': not an epoch id and not a " +
+                  s"tag of this table (tags: " +
+                  s"${table.tags.keys.toSeq.sorted.mkString(", ")})"))
+          }
+        val st = table.restore(SparkSession.active, table.versionAtEpoch(epoch))
+        Array(row(st.gen, st.removedFiles, st.restoredFiles, st.changeRows))
       }, resolve)
   )
 

@@ -507,7 +507,10 @@ final class IcebergLite(val root: String) {
           // over it); Some(Nil) would mean "recorded, zero rows"
           Option(n.get("changeFiles")).map(_.elements().asScala.map { cf =>
             ChangeFileMeta(cf.get("path").asText(), cf.get("rowCount").asLong())
-          }.toSeq))
+          }.toSeq),
+          // absent on plain DELETE/UPDATE/MERGE manifests (and all
+          // pre-round-5 ones); "restore" marks a RESTORE commit
+          Option(n.get("op")).map(_.asText()))
       }
   }
 
@@ -998,11 +1001,13 @@ final class IcebergLite(val root: String) {
                                    adds: Seq[(Long, Int, DataFileMeta)],
                                    affectsCompacted: Boolean,
                                    activatesEpoch: Option[Long],
-                                   changeFiles: Seq[ChangeFileMeta]): Unit = {
+                                   changeFiles: Seq[ChangeFileMeta],
+                                   op: Option[String] = None): Unit = {
     val m = new JHashMap[String, Object]()
     m.put("gen", java.lang.Long.valueOf(gen))
     m.put("predicate", predicateText)
     m.put("affectsCompacted", java.lang.Boolean.valueOf(affectsCompacted))
+    op.foreach(o => m.put("op", o))
     activatesEpoch.foreach(e => m.put("activatesEpoch", java.lang.Long.valueOf(e)))
     // recorded CDC rows of this mutation (ALWAYS present on new manifests,
     // possibly as an empty list; its ABSENCE marks a pre-CDC manifest —
@@ -1041,6 +1046,121 @@ final class IcebergLite(val root: String) {
     m.put("fileSets", fsl)
     atomicWrite(deletePath(gen), mapper.writeValueAsBytes(m))
   }
+
+  /** RESTORE the live view to a prior committed state — Delta-RESTORE /
+    * Iceberg-rollback semantics: nothing is erased; the restore is itself
+    * a NEW content-mutation gen in the audit trail, and every later
+    * mechanism (mutations, compaction folding, gc, metadata expiry, CDC,
+    * incremental stream patching, time travel) composes with it exactly as
+    * with a DELETE/UPDATE, because the commit IS a standard rewrite
+    * manifest. `to` is a full [[TableVersion]]; restore "to epoch e" means
+    * [[versionAtEpoch]] — the state when e was freshly committed, the same
+    * anchor CDC uses.
+    *
+    * Mechanism — METADATA-ONLY, zero data movement: the target view is
+    * reconstructed from the raw per-epoch files ([[attributedViewAt]] —
+    * loud when gc reclaimed them; tags pin), and ONE `delete-<gen>.json`
+    * removes every live path not in the target and re-adds every target
+    * file not live, each under the source epoch its delta belongs to (so
+    * a lagging incremental reader of epoch e serves e's post-restore
+    * delta; epochs the restore un-appends serve empty deltas). Restoring
+    * across a compaction boundary re-points to the raw files (the
+    * compacted layout is not in the target reconstruction) — content-
+    * correct; run [[compact]] afterwards to re-optimize the layout.
+    *
+    * The restore's CDC rows are recorded at commit time like every
+    * mutation's: they are exactly the INVERSE of the forward diff
+    * `to → current` ([[TableChanges.between]] — manifest-first, so only
+    * churned files are scanned and the recording cost is proportional to
+    * what the restore actually changes, never the table). Rows are written
+    * with a deterministic full-row-hash partitioning, sorted, so the
+    * change files are reproducible.
+    *
+    * Restores CONTENT, not schema: evolution is add-only and the declared
+    * schema stays current — restored pre-evolution rows read their added
+    * columns as NULL, like any old file.
+    *
+    * No-op contract: when the live view already serves the target's exact
+    * file paths, nothing is committed (gen −1). Epoch and gen counters
+    * never regress — appends after a restore continue the same log. */
+  def restore(spark: SparkSession, to: TableVersion): RestoreStats =
+    withMaintenanceLock {
+      require(exists, s"IcebergLite table does not exist at $root")
+      val cur = currentVersion
+      require(to.epoch <= cur.epoch && to.gen <= cur.gen,
+        s"cannot restore $root to $to: not in the past of the current " +
+          s"version $cur")
+      versionGuards(to)
+      val target = attributedViewAt(to)
+      val live = effectiveFileSets
+      val livePaths = live.flatMap(_.files.map(_.path)).toSet
+      val targetPaths = target.flatMap(_._2.files.map(_.path)).toSet
+      if (livePaths == targetPaths) return RestoreStats(-1L, 0, 0, 0L)
+
+      val srcEpoch: Map[String, Long] =
+        snapshots.flatMap(s => s.files.map(_.path -> s.epochId)).toMap ++
+          deletes.flatMap(_.fileSets.flatMap(fs =>
+            fs.files.map(_.path -> fs.sourceEpoch)))
+      val gen = nextRewriteGen()
+      val staging = Paths.get(root, "_staging", s"delete-$gen")
+      deleteRecursively(staging)
+      try {
+        // CDC first (crash in between leaves unreferenced change files;
+        // removeOrphans reclaims them once the gen settles)
+        val ct = col(TableChanges.ChangeTypeCol)
+        val inverted = TableChanges.between(spark, root, to, Some(cur))
+          .withColumn(TableChanges.ChangeTypeCol,
+            when(ct === "insert", "delete")
+              .when(ct === "delete", "insert")
+              .when(ct === "update_preimage", "update_postimage")
+              .otherwise("update_preimage"))
+          .cache()
+        val changeFiles = try {
+          val n = inverted.count()
+          if (n == 0L) (Nil: Seq[ChangeFileMeta], 0L)
+          else {
+            // deterministic distributed write: full-row hash partitioning
+            // (works for any schema) + in-partition sort, ~1M rows/file
+            val cols = fullReadSchema.fieldNames.toSeq
+            val numParts = math.max(1L, math.min(1024L,
+              (n + 999999L) / 1000000L)).toInt
+            val outDir = staging.resolve("cdc")
+            spark.conf.set("spark.sql.parquet.outputTimestampType",
+              "TIMESTAMP_MICROS")
+            inverted
+              .repartition(numParts, cols.map(col): _*)
+              .sortWithinPartitions(
+                (cols :+ TableChanges.ChangeTypeCol).map(col): _*)
+              .write.mode("overwrite").parquet(outDir.toString)
+            val parts = listDir(outDir)(
+              _.filter(_.getFileName.toString.endsWith(".parquet"))
+                .toSeq.sortBy(_.getFileName.toString))
+            Files.createDirectories(changesDir)
+            (parts.zipWithIndex.map { case (src, idx) =>
+              val name = f"cdc-$gen%04d-$idx%05d.parquet"
+              val dst = changesDir.resolve(name)
+              claimFrom(src, dst, committed = Files.exists(deletePath(gen)))
+              Files.deleteIfExists(src)
+              ChangeFileMeta(s"changes/$name",
+                footerStats(dst, gen, idx, s"changes/$name").rowCount)
+            }, n)
+          }
+        } finally inverted.unpersist()
+        val removes = live.flatMap(_.files.map(_.path))
+          .filterNot(targetPaths.contains)
+        val adds = target.flatMap { case (se, fs) =>
+          fs.files.filterNot(f => livePaths.contains(f.path))
+            .map(f => (se, fs.numBuckets, f))
+        }
+        writeRewriteManifest(gen,
+          s"RESTORE TO version (epoch ${to.epoch}, gen ${to.gen})",
+          removes, adds,
+          affectsCompacted = removes.exists(p => !srcEpoch.contains(p)),
+          activatesEpoch = None, changeFiles = changeFiles._1,
+          op = Some("restore"))
+        RestoreStats(gen, removes.size, adds.size, changeFiles._2)
+      } finally deleteRecursively(staging)
+    }
 
   /** Effective file set: the LATEST compaction generation plus epochs not
     * replaced by any generation, with un-folded [[deleteWhere row-level
@@ -1195,21 +1315,48 @@ final class IcebergLite(val root: String) {
     * [[fileSetsAsOf]], a historical view whose files were reclaimed by gc
     * fails loudly rather than serving a hole (tags pin the files). */
   def effectiveFileSetsAt(v: TableVersion): Seq[FileSet] = {
+    versionGuards(v)
+    if (v == currentVersion) return effectiveFileSets
+    attributedViewAt(v).map(_._2)
+  }
+
+  /** Shared committed/future guards for version-pinned reconstruction. */
+  private def versionGuards(v: TableVersion): Unit = {
     require(v.gen <= currentGen,
       s"table version $v is in the future of $root (current gen $currentGen)")
     if (v.epoch >= 0 && !snapshots.exists(_.epochId == v.epoch))
       throw new IllegalArgumentException(
         s"epoch ${v.epoch} is not a committed snapshot of $root; committed: " +
           snapshots.map(_.epochId).mkString("[", ", ", "]"))
-    if (v == currentVersion) return effectiveFileSets
+  }
+
+  /** [[effectiveFileSetsAt]]'s raw reconstruction, with each file set's
+    * SOURCE EPOCH kept: the epoch whose delta the files belong to — the
+    * attribution [[restore]] must write into its manifest so incremental
+    * streams keep patching per-epoch deltas correctly. Base sets carry
+    * their snapshot's epoch; delete-rewrite survivors keep the
+    * `sourceEpoch` their manifest recorded (−1 = compaction-origin).
+    * Folds deletes exactly like [[applyDeletes]]; callers run
+    * [[versionGuards]] first. */
+  private def attributedViewAt(v: TableVersion): Seq[(Long, FileSet)] = {
     val snaps = rawSnapshots.collect {
       case (s, None) if s.epochId <= v.epoch => s
       case (s, Some(g)) if s.epochId <= v.epoch && g <= v.gen &&
         Files.exists(deletePath(g)) => s
     }
-    val base = snaps.map(s => FileSet(s.numBuckets, s.files))
-    val view = applyDeletes(base, deletes.filter(_.gen <= v.gen))
-    val missing = view.flatMap(_.files)
+    val base: Seq[(Long, FileSet)] =
+      snaps.map(s => s.epochId -> FileSet(s.numBuckets, s.files))
+    val view = deletes.filter(_.gen <= v.gen).sortBy(_.gen)
+      .foldLeft(base) { (sets, d) =>
+        val rm = d.removes.toSet
+        sets.map { case (e, fs) =>
+          e -> fs.copy(files = fs.files.filterNot(f => rm.contains(f.path)))
+        }.filter(_._2.files.nonEmpty) ++
+          d.fileSets.map(dfs =>
+            dfs.sourceEpoch -> FileSet(dfs.numBuckets, dfs.files))
+            .filter(_._2.files.nonEmpty)
+      }
+    val missing = view.flatMap(_._2.files)
       .filterNot(f => Files.exists(Paths.get(root, f.path)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"view at $v of $root is not reproducible: ${missing.size} data " +
@@ -1985,7 +2132,14 @@ final case class DeleteMeta(gen: Long, predicate: String,
                             fileSets: Seq[DeleteFileSet],
                             affectsCompacted: Boolean,
                             activatesEpoch: Option[Long] = None,
-                            changeFiles: Option[Seq[ChangeFileMeta]] = None)
+                            changeFiles: Option[Seq[ChangeFileMeta]] = None,
+                            op: Option[String] = None)
+
+/** [[IcebergLite.restore]] outcome: the published gen (−1 = the live view
+  * already matched the target, nothing committed), the manifest-level
+  * churn, and the recorded CDC row count. */
+final case class RestoreStats(gen: Long, removedFiles: Int,
+                              restoredFiles: Int, changeRows: Long)
 
 /** One recorded change-data file (`changes/cdc-<gen>-<idx>.parquet`): the
   * full read schema plus a baked-in `_change_type` column. Written at

@@ -531,4 +531,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(h(2)._4.toLowerCase.contains("turn_idx"))
     assert(h(5)._4.contains("replaces epochs"))
   }
+
+  test("CALL graft.system.restore rolls back to an epoch or tag as a new " +
+    "gen; history labels it; re-restoring the same state is a no-op") {
+    spark.sql(
+      """CREATE TABLE graft.db.rst (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='2')""".stripMargin)
+    // keys stay unique across epochs (the CDC pairing contract)
+    Seq(0L, 1L).foreach { e =>
+      sampleDf(6, base = 1767225600L + e * 1000)
+        .withColumn("turn_idx", col("turn_idx") + lit(e.toInt * 6))
+        .writeTo("graft.db.rst")
+        .option("epoch", e.toString).option("queryId", "r").append()
+    }
+    val want = spark.table("graft.db.rst")
+      .select("conv_id", "turn_idx", "text").collect().toSet
+    spark.sql("CALL graft.system.tag('db.rst', 'stable', 1)")
+    spark.sql("DELETE FROM graft.db.rst WHERE turn_idx < 2")
+    assert(spark.table("graft.db.rst").count() === 10L)
+
+    val st = spark.sql("CALL graft.system.restore('db.rst', 'stable')")
+      .collect().head
+    assert(st.getLong(0) === 2L) // after the delete's gen 1
+    assert(st.getLong(3) === 2L) // the 2 purged rows, re-inserted
+    assert(spark.table("graft.db.rst")
+      .select("conv_id", "turn_idx", "text").collect().toSet === want)
+
+    // the unified commit log labels the restore by its op stamp
+    val kinds = spark.sql("CALL graft.system.history('db.rst')")
+      .collect().map(r => (r.getString(0), r.getString(3)))
+    assert(kinds.map(_._1).toSeq ===
+      Seq("append", "append", "rewrite", "restore"))
+    assert(kinds.last._2.contains("RESTORE TO version (epoch 1, gen 0)"))
+
+    // same state again: nothing to do, nothing committed
+    assert(spark.sql("CALL graft.system.restore('db.rst', '1')")
+      .collect().head.getLong(0) === -1L)
+    // unknown version: loud, listing the tags
+    val ex = intercept[Exception] {
+      spark.sql("CALL graft.system.restore('db.rst', 'nope')").collect()
+    }
+    assert(ex.getMessage.contains("not an epoch id and not a tag"))
+  }
 }
