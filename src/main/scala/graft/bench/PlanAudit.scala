@@ -85,6 +85,13 @@ object PlanAudit {
             "time; the recorded feed paid O(churn) at COMMIT time instead, " +
             "so reading it is a scan union with constant-vector metadata " +
             "columns — the 10^12-row shape for a continuously-tailing consumer")
+      case "q37_restore" =>
+        checks += Check("live view + restore feed are pure scans (no join, no shuffle)",
+          !has("Exchange") && !has("Join") && !has("CartesianProduct"),
+          "the restore is metadata-only and its CDC record was " +
+            "materialized at commit time: reading both the rolled-back " +
+            "table and the change it recorded is a scan union — no " +
+            "reconstruction work at read time")
       case "q24_sketch_build" =>
         checks += Check("CMS aggregate runs partial+final (ObjectHashAggregate)",
           has("ObjectHashAggregate") && has("graft_cms_sketch"),
@@ -115,7 +122,8 @@ object PlanAudit {
       "q14_embed_dup", "q15_ann_topk", "q6_skew_agg", "q2_detect",
       "q3_window_stats", "q19_sliding_stats", "q20_session_bounds",
       "q21_dead_letter", "q22_shingle_detect", "q23_late_data",
-      "q24_cms_profile", "q24_sketch_build", "q33_changes", "q36_change_feed")
+      "q24_cms_profile", "q24_sketch_build", "q33_changes", "q36_change_feed",
+      "q37_restore")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"
