@@ -184,6 +184,46 @@ class IvfSpec extends SparkSpec {
     assert(!Similarity.ivfRefreshIndex(spark, dir))
   }
 
+  test("refresh across a RESTORE of the source: the rollback is just " +
+    "churn — the refreshed index equals a full recompute over the " +
+    "restored corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.table.IcebergLite
+    val srcRoot = tmpDir("ivf-rst-src")
+    val dir = tmpDir("ivf-rst-idx")
+    val src = new IcebergLite(srcRoot)
+    src.create("vec_id bigint, vec array<float>", 2)
+    src.commitEpoch(embs.select("vec_id", "vec"), "emb", 0L, 2)
+    val at = src.currentVersion
+    src.deleteWhere(spark,
+      col("vec_id") >= 100 && col("vec_id") < 110, "drop a vec range")
+    val cents = Similarity.ivfBuildIndex(
+      src.read(spark).select("vec_id", "vec"), "vec_id", "vec", dir,
+      nlist = 16, sourceRoot = srcRoot)
+
+    // roll the source back: the dropped vectors return as CDC churn
+    // (vec_id tables have no (conv_id, turn_idx) key, so the restore
+    // records multiset insert/delete rows — exactly what refresh consumes)
+    assert(src.restore(spark, at).gen === 2L)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfTopKIndexed(spark, dir, nprobe = 8)
+    }
+    assert(e.getMessage.contains("ivfRefreshIndex"), e.getMessage)
+
+    assert(Similarity.ivfRefreshIndex(spark, dir))
+    val refreshed = Similarity.ivfTopKIndexed(spark, dir, nprobe = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = Similarity.ivfTopK(embs, "vec_id", "vec",
+        nlist = 16, nprobe = 8, centroidsIn = cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(refreshed === direct)
+    assert(refreshed.nonEmpty)
+    // no new state since: no-op
+    assert(!Similarity.ivfRefreshIndex(spark, dir))
+  }
+
   test("recall grows with nprobe and reaches 1.0 at nprobe = nlist") {
     val exact = Similarity.annTopK(embs, "vec_id", "vec")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
