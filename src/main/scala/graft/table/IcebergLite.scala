@@ -1489,7 +1489,22 @@ final class IcebergLite(val root: String) {
     *    survives but its files do not).
     * Compaction alone does NOT break time travel: replaced epochs' files
     * stay on disk until gc, precisely for in-flight and historical
-    * readers. */
+    * readers.
+    *
+    * Historical epochs serve the STATE THEY WERE COMMITTED IN: epochs
+    * <= e with content gens <= e's recorded `maxGen` stamp applied (the
+    * same anchor CDC and [[restore]] use). Pre-round-5 the historical
+    * path served raw epochs with NO delete manifests at all, so rows a
+    * mutation had removed BEFORE e's commit resurfaced in `AS OF e` the
+    * moment a newer epoch landed — a pinned read changing under an
+    * unrelated append. Now a historical read is invariant under later
+    * commits whenever no mutation landed after e while e was still the
+    * latest epoch; the one residual deviation is the deliberate fast path
+    * above (`AS OF <latest>` = the live effective view, so it survives
+    * compaction + gc), which folds mutations newer than e's commit into
+    * e's read only while e IS the latest. Mutations committed after a
+    * HISTORICAL e never show at e (delete rewrites the live view, not
+    * history). */
   def fileSetsAsOf(epoch: Long): Seq[FileSet] = {
     val snaps = snapshots
     if (!snaps.exists(_.epochId == epoch)) {
@@ -1505,17 +1520,15 @@ final class IcebergLite(val root: String) {
     // `VERSION AS OF <latest>` working even after gc reclaimed the
     // pre-compaction per-epoch files
     if (epoch == snaps.last.epochId) return effectiveFileSets
-    val sets = snaps.filter(_.epochId <= epoch)
-      .map(s => FileSet(s.numBuckets, s.files))
-    val missing = sets.flatMap(_.files)
-      .filterNot(f => Files.exists(Paths.get(root, f.path)))
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"time-travel to epoch $epoch of $root is not reproducible: " +
-        s"${missing.size} data file(s) of epochs <= $epoch were reclaimed " +
-        s"by compaction gc (first missing: ${missing.head.path}). Only " +
-        "epochs whose files survive the last gc are replayable; raise gc " +
-        "retention if historical reads must reach further back.")
-    sets
+    try attributedViewAt(versionAtEpoch(epoch)).map(_._2)
+    catch {
+      case e: IllegalStateException => throw new IllegalStateException(
+        s"time-travel to epoch $epoch of $root is not reproducible: data " +
+          s"file(s) of epochs <= $epoch were reclaimed by gc (${e.getMessage}). " +
+          "Only epochs whose files survive the last gc are replayable; " +
+          "raise gc retention (or tag the epoch) if historical reads must " +
+          "reach further back.")
+    }
   }
 
   /** Batch read of the table AS OF `epoch` (see [[fileSetsAsOf]]), under

@@ -197,4 +197,36 @@ class DeleteSpec extends SparkSpec {
     assert(t.readAsOf(spark, 2L)
       .filter(col("conv_id") === "conv0").count() === 0L)
   }
+
+  test("AS OF an epoch committed after a delete serves the post-delete " +
+    "state it was committed in — a later append cannot resurrect the " +
+    "purged rows into a pinned read") {
+    val (root, t) = buildTable() // epochs 0-2
+    t.deleteWhere(spark, col("conv_id") === "conv6", "purge conv6")
+    // epoch 3 commits AFTER the delete: its maxGen stamp records gen 1
+    import spark.implicits._
+    assert(t.commitEpoch(
+      Seq(("convY", 0, "user",
+        new java.sql.Timestamp(base / 1000L)))
+        .toDF("conv_id", "turn_idx", "role", "ts"), "w", 3L, 4))
+    val pinned = t.readAsOf(spark, 3L)
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(!pinned.exists(_._1 == "conv6")) // live view at this point
+
+    // epoch 4 lands; epoch 3 is now historical. Its read must be the
+    // state it was committed in (post-delete), byte-stable — pre-round-5
+    // the historical path dropped ALL delete manifests and conv6 came back
+    assert(t.commitEpoch(
+      Seq(("convZ", 0, "user",
+        new java.sql.Timestamp(base / 1000L)))
+        .toDF("conv_id", "turn_idx", "role", "ts"), "w", 4L, 4))
+    val historical = t.readAsOf(spark, 3L)
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(historical === pinned)
+    // and an epoch committed BEFORE the delete still serves history
+    assert(t.readAsOf(spark, 1L)
+      .filter(col("conv_id") === "conv6").count() === 10L)
+  }
 }
