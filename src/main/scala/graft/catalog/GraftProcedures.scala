@@ -27,6 +27,9 @@ import graft.table.IcebergLite
   *   CALL graft.system.changes('db.t', 3)       -- CDC counts since epoch 3
   *   CALL graft.system.restore('db.t', '3')     -- roll back to epoch 3
   *   CALL graft.system.restore('db.t', 'v1')    -- ... or to a tag
+  *   CALL graft.system.staged('db.t')           -- un-published WAP stages
+  *   CALL graft.system.publish_staged('db.t', 5)  -- audit passed
+  *   CALL graft.system.discard_staged('db.t', 5)  -- audit failed
   * }}}
   *
   * All procedures delegate to the existing [[IcebergLite]] maintenance
@@ -322,7 +325,43 @@ private[catalog] object GraftProcedures {
           }
         val st = table.restore(SparkSession.active, table.versionAtEpoch(epoch))
         Array(row(st.gen, st.removedFiles, st.restoredFiles, st.changeRows))
-      }, resolve)
+      }, resolve),
+
+    // Write-audit-publish: stage with
+    // df.writeTo(...).option("staged", "true").append() — the epoch lands
+    // INVISIBLE to every reader; audit it (IcebergLite.readStaged), then
+    // publish (one atomic manifest write — the merge activation protocol,
+    // so streams/CDC/time travel compose) or discard (drops the stage's
+    // files; visible history is never touched).
+    "staged" -> new Proc("staged",
+      Array(tableParam),
+      StructType(Seq(
+        StructField("epoch_id", LongType, nullable = false),
+        StructField("reserved_gen", LongType, nullable = false),
+        StructField("query_id", StringType, nullable = false),
+        StructField("num_files", IntegerType, nullable = false),
+        StructField("num_rows", LongType, nullable = false))),
+      (table, _) => table.stagedEpochs.map { case (s, g) =>
+        row(s.epochId, g, s.queryId, s.files.size,
+          s.files.map(_.rowCount).sum)
+      }.toArray, resolve),
+
+    "publish_staged" -> new Proc("publish_staged",
+      Array(tableParam,
+        ProcedureParameter.in("epoch", LongType)
+          .comment("staged epoch to make visible").build()),
+      StructType(Seq(
+        StructField("activated_gen", LongType, nullable = false))),
+      (table, in) => Array(row(table.publishStaged(in.getLong(1)))), resolve),
+
+    "discard_staged" -> new Proc("discard_staged",
+      Array(tableParam,
+        ProcedureParameter.in("epoch", LongType)
+          .comment("staged epoch to drop (files + snapshot)").build()),
+      StructType(Seq(
+        StructField("deleted_files", IntegerType, nullable = false))),
+      (table, in) =>
+        Array(row(table.discardStaged(in.getLong(1)).size)), resolve)
   )
 
   val Namespace: Array[String] = Array("system")

@@ -143,13 +143,26 @@ final class GraftWrite(root: String, info: LogicalWriteInfo,
           "Lineage columns epoch_id/partition_id are appended by the " +
           "sink — do not include them.")
       val queryId = Option(opts.get("queryId")).getOrElse("batch-save")
-      val epoch = Option(opts.get("epoch")).map(_.toLong).getOrElse(
-        table.snapshots.lastOption.map(_.epochId + 1L).getOrElse(0L))
+      // next id over ALL snapshots, pending included: a WAP stage or an
+      // in-flight merge insert occupies its id while invisible — the
+      // committed view alone would collide and no-op this append
+      val epoch = Option(opts.get("epoch")).map(_.toLong)
+        .getOrElse(table.nextEpochId)
       val aligned = data.select(
         declared.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
-      table.commitEpoch(aligned, queryId, epoch,
-        table.declaredNumBuckets.getOrElse(opts.getInt("buckets", 8)),
-        arranged = arrangedByPlan(data))
+      val buckets = table.declaredNumBuckets.getOrElse(opts.getInt("buckets", 8))
+      if (opts.getBoolean("staged", false)) {
+        // write-audit-publish: the epoch lands INVISIBLE (pendingGen+wap
+        // stamp); CALL graft.system.publish_staged / discard_staged (or
+        // the programmatic API) decides its fate after the audit
+        require(!overwrite && !truncateFirst,
+          "staged=true is append-only: INSERT OVERWRITE cannot be audited " +
+            "before its truncation takes effect")
+        table.stageEpoch(aligned, queryId, epoch, buckets)
+      } else {
+        table.commitEpoch(aligned, queryId, epoch, buckets,
+          arranged = arrangedByPlan(data))
+      }
       ()
     }
   }

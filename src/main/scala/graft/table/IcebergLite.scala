@@ -183,6 +183,7 @@ final class IcebergLite(val root: String) {
                   numBuckets: Int, arranged: Boolean = false): Boolean =
     withEpochLock(epochId) {
       if (isCommitted(epochId)) {
+        requireNotPendingId(epochId)
         val stored = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
           .get("queryId").asText()
         if (stored != queryId)
@@ -210,6 +211,7 @@ final class IcebergLite(val root: String) {
                         staged: Seq[(String, Int)],
                         numBuckets: Int): Boolean = withEpochLock(epochId) {
     if (isCommitted(epochId)) {
+      requireNotPendingId(epochId)
       val stored = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
         .get("queryId").asText()
       if (stored != queryId)
@@ -246,6 +248,143 @@ final class IcebergLite(val root: String) {
     * data lives in `data/`, never in staging. */
   def abortStagedEpoch(epochId: Long): Unit =
     deleteRecursively(stagingDir(epochId))
+
+  // ---- write-audit-publish (staged epochs) ---------------------------------
+
+  /** The next free epoch id — over ALL snapshot manifests, visible or
+    * pending: a staged epoch (WAP or an in-flight merge insert) occupies
+    * its id even though readers cannot see it, so allocating from the
+    * committed view alone would collide and silently no-op the append. */
+  def nextEpochId: Long =
+    rawSnapshots.map(_._1.epochId).foldLeft(-1L)(math.max) + 1L
+
+  /** The `(pendingGen, wapStaged)` stamps of an existing snapshot manifest. */
+  private def pendingStamp(epochId: Long): (Option[Long], Boolean) = {
+    val n = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
+    (Option(n.get("pendingGen")).map(_.asLong()),
+      Option(n.get("wap")).exists(_.asBoolean()))
+  }
+
+  /** A plain epoch commit aimed at an id a STAGED (pending, invisible)
+    * snapshot occupies must fail loudly: treating it as the idempotent
+    * already-committed no-op would make the caller believe its rows are
+    * visible when they are not. */
+  private def requireNotPendingId(epochId: Long): Unit = {
+    val (pending, wap) = pendingStamp(epochId)
+    pending.filterNot(g => Files.exists(deletePath(g))).foreach { _ =>
+      throw new IllegalStateException(
+        s"epoch $epochId of $root is a staged, un-published snapshot (" +
+          (if (wap) "WAP stage — publishStaged/discardStaged it"
+           else "a merge's pending insert epoch — the merge owns its commit") +
+          "); refusing to treat the append as already committed")
+    }
+  }
+
+  /** Write-audit-publish STAGE: commit the epoch's data files and snapshot
+    * exactly like [[commitEpoch]] (same deterministic layout, same
+    * idempotent `(queryId, epochId)` contract), but stamped
+    * `pendingGen = <reserved gen>` + `wap` — INVISIBLE to every reader
+    * (batch, stream, time travel, CDC, gc, compaction) until
+    * [[publishStaged]] activates it in one atomic manifest write, the same
+    * two-file protocol [[merge]] uses for its insert epoch. Audit the
+    * staged rows with [[readStaged]]; reject them with [[discardStaged]].
+    *
+    * The reserved gen keeps concurrent mutations safe ([[nextRewriteGen]]
+    * allocates above every pending gen), and the `wap` stamp keeps
+    * [[removeOrphans]] from treating a long-running audit as a crashed
+    * merge — a WAP stage is reclaimed ONLY by explicit discard.
+    *
+    * Returns the reserved gen. Replaying the stage (same queryId + epoch)
+    * is a no-op returning the original gen; a different query, or a plain
+    * [[commitEpoch]] aimed at a staged id, fails loudly. */
+  def stageEpoch(df: DataFrame, queryId: String, epochId: Long,
+                 numBuckets: Int): Long = withMaintenanceLock {
+    withEpochLock(epochId) {
+      require(exists, s"IcebergLite table does not exist at $root")
+      if (isCommitted(epochId)) {
+        val stored = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
+          .get("queryId").asText()
+        val (pending, wap) = pendingStamp(epochId)
+        require(wap && pending.isDefined &&
+            !pending.exists(g => Files.exists(deletePath(g))),
+          s"epoch $epochId of $root already exists and is not an " +
+            s"un-published WAP stage (query '$stored') — cannot re-stage it")
+        require(stored == queryId,
+          s"epoch $epochId of $root already staged by query '$stored'; " +
+            s"refusing idempotent no-op for different query '$queryId'")
+        return pending.get
+      }
+      val gen = nextRewriteGen()
+      val files = stageAndPublish(df, epochId, numBuckets)
+      writeSnapshot(queryId, epochId, files, numBuckets,
+        pendingGen = Some(gen), wapStaged = true)
+      gen
+    }
+  }
+
+  /** Un-published WAP stages: `(snapshot, reserved gen)` in epoch order. */
+  def stagedEpochs: Seq[(SnapshotMeta, Long)] =
+    rawSnapshots.collect {
+      case (s, Some(g)) if !Files.exists(deletePath(g)) &&
+        pendingStamp(s.epochId)._2 => (s, g)
+    }
+
+  /** Audit read of a staged (invisible) epoch — the staged rows under the
+    * schema they were written with, lineage columns included. */
+  def readStaged(spark: SparkSession, epochId: Long): DataFrame = {
+    val (s, _) = stagedEpochs.find(_._1.epochId == epochId).getOrElse(
+      throw new IllegalArgumentException(
+        s"epoch $epochId of $root is not an un-published WAP stage; " +
+          s"staged: ${stagedEpochs.map(_._1.epochId).mkString("[", ", ", "]")}"))
+    val files = s.files.map(f => s"$root/${f.path}")
+    spark.read.schema(fullReadSchemaAt(s.schemaVersion)).parquet(files: _*)
+  }
+
+  /** Write-audit-publish PUBLISH: one atomic manifest write (an empty
+    * rewrite manifest `delete-<gen>.json` carrying only `activatesEpoch`)
+    * makes the staged epoch visible to every reader at once — exactly the
+    * merge activation protocol, so streams replay it exactly-once as its
+    * own epoch, CDC serves its rows as `insert` bounded by the activating
+    * gen, and time travel stamps it correctly. Idempotent: re-publishing
+    * returns the same gen. */
+  def publishStaged(epochId: Long): Long = withMaintenanceLock {
+    val all = rawSnapshots.collect {
+      case (s, Some(g)) if s.epochId == epochId => (s, g)
+    }
+    require(all.nonEmpty,
+      s"epoch $epochId of $root is not a staged snapshot; staged: " +
+        s"${stagedEpochs.map(_._1.epochId).mkString("[", ", ", "]")}")
+    val (s, gen) = all.head
+    if (Files.exists(deletePath(gen))) return gen // already published
+    require(pendingStamp(epochId)._2,
+      s"epoch $epochId of $root is pending a MERGE activation, not a WAP " +
+        "stage — the merge owns its commit; publishStaged refuses to " +
+        "activate someone else's half-done atomic operation")
+    writeRewriteManifest(gen, s"PUBLISH staged epoch $epochId",
+      removes = Nil, adds = Nil, affectsCompacted = false,
+      activatesEpoch = Some(epochId), changeFiles = Nil,
+      op = Some("publish"))
+    gen
+  }
+
+  /** Write-audit-publish DISCARD: the audit rejected the staged rows —
+    * drop the pending snapshot and its data files. Loud if the epoch was
+    * already published (visible history is immutable; use [[restore]]).
+    * Returns the deleted relative paths. */
+  def discardStaged(epochId: Long): Seq[String] = withMaintenanceLock {
+    val staged = stagedEpochs.find(_._1.epochId == epochId).getOrElse(
+      throw new IllegalArgumentException(
+        s"epoch $epochId of $root is not an un-published WAP stage " +
+          "(already published, a merge's pending epoch, or never staged); " +
+          s"staged: ${stagedEpochs.map(_._1.epochId).mkString("[", ", ", "]")}"))
+    val (s, _) = staged
+    val dataGone = s.files.flatMap { f =>
+      val p = Paths.get(root, f.path)
+      if (Files.deleteIfExists(p)) Some(f.path) else None
+    }
+    Files.deleteIfExists(snapPath(epochId))
+    dataGone :+ f"metadata/snap-$epochId%012d.json"
+  }
 
   /** Steps 1–2: write deterministic data files and move them into `data/`.
     * Publicly split from [[writeSnapshot]] so kill/resume tests can crash in
@@ -320,12 +459,17 @@ final class IcebergLite(val root: String) {
     * together or not at all. */
   def writeSnapshot(queryId: String, epochId: Long, files: Seq[DataFileMeta],
                     numBuckets: Int = -1,
-                    pendingGen: Option[Long] = None): Unit = {
+                    pendingGen: Option[Long] = None,
+                    wapStaged: Boolean = false): Unit = {
     val snap = new JHashMap[String, Object]()
     snap.put("queryId", queryId)
     snap.put("epochId", java.lang.Long.valueOf(epochId))
     snap.put("numBuckets", Integer.valueOf(numBuckets))
     pendingGen.foreach(g => snap.put("pendingGen", java.lang.Long.valueOf(g)))
+    // distinguishes a write-audit-publish stage ([[stageEpoch]] — reclaimed
+    // only by explicit discard) from a merge's pending insert epoch (dead
+    // once a later gen commits without it — removeOrphans' no-clock rule)
+    if (wapStaged) snap.put("wap", java.lang.Boolean.TRUE)
     // the mutation-gen high-water mark at commit time: epochs and
     // rewrite-gens are separate counters with no wall-clock between them
     // (replay determinism), so this stamp is what lets a CDC reader anchor
@@ -894,7 +1038,7 @@ final class IcebergLite(val root: String) {
       val notMatched = srcAll.drop("__graft_b").join(targetKeys, keys, "left_anti")
       inserted = notMatched.count()
       if (inserted > 0L) {
-        val epoch = rawSnapshots.map(_._1.epochId).foldLeft(-1L)(math.max) + 1L
+        val epoch = nextEpochId
         withEpochLock(epoch) {
           val files = stageAndPublish(notMatched, epoch, n)
           writeSnapshot(queryId, epoch, files, n, pendingGen = Some(gen))
@@ -1715,8 +1859,11 @@ final class IcebergLite(val root: String) {
     // may be an in-flight merge and is left alone (same no-clock rule as
     // the data-file cases below).
     val deadPending = rawSnapshots.collect {
+      // WAP stages are excluded: an audit may legitimately out-live later
+      // mutations (its reserved gen settling proves nothing) — a stage is
+      // reclaimed only by explicit discardStaged
       case (s, Some(g)) if g <= maxDelCommitted &&
-        !Files.exists(deletePath(g)) => s
+        !Files.exists(deletePath(g)) && !pendingStamp(s.epochId)._2 => s
     }
     val deletedPending = deadPending.flatMap { s =>
       val dataGone = s.files.flatMap { f =>

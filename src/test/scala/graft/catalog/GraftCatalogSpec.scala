@@ -575,4 +575,44 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not an epoch id and not a tag"))
   }
+
+  test("write-audit-publish through the catalog: writeTo staged=true " +
+    "lands invisible, CALL staged/publish_staged/discard_staged drive " +
+    "the audit") {
+    spark.sql(
+      """CREATE TABLE graft.db.wap (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='2')""".stripMargin)
+    sampleDf(4).writeTo("graft.db.wap")
+      .option("queryId", "w").append() // epoch 0, visible
+    sampleDf(3, base = 1767229600L)
+      .withColumn("turn_idx", col("turn_idx") + lit(100))
+      .writeTo("graft.db.wap")
+      .option("queryId", "audit").option("staged", "true").append() // epoch 1
+    assert(spark.table("graft.db.wap").count() === 4L)
+
+    val staged = spark.sql("CALL graft.system.staged('db.wap')").collect()
+    assert(staged.length === 1)
+    assert(staged.head.getLong(0) === 1L && staged.head.getLong(4) === 3L)
+
+    // audit passed: publish; the rows appear atomically
+    spark.sql("CALL graft.system.publish_staged('db.wap', 1)")
+    assert(spark.table("graft.db.wap").count() === 7L)
+    assert(spark.sql("CALL graft.system.staged('db.wap')").collect().isEmpty)
+
+    // a second stage, rejected by the audit this time
+    sampleDf(2, base = 1767239600L)
+      .withColumn("turn_idx", col("turn_idx") + lit(200))
+      .writeTo("graft.db.wap")
+      .option("queryId", "audit2").option("staged", "true").append() // epoch 2
+    assert(spark.table("graft.db.wap").count() === 7L)
+    assert(spark.sql("CALL graft.system.discard_staged('db.wap', 2)")
+      .collect().head.getInt(0) > 0)
+    assert(spark.table("graft.db.wap").count() === 7L)
+    // the commit log labels the publish by its op stamp
+    val kinds = spark.sql("CALL graft.system.history('db.wap')")
+      .collect().map(_.getString(0)).toSeq
+    assert(kinds === Seq("append", "publish", "append"))
+  }
 }
