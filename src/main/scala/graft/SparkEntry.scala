@@ -539,6 +539,61 @@ object SparkEntry {
           s.table("graft.gate.rst.changes")
             .filter(col(graft.sources.ChangeFeed.CommitGenCol) === 2L)
             .select(cols :+ col(graft.table.TableChanges.ChangeTypeCol): _*))
+    }),
+    // write-audit-publish gate (round-5): a staged epoch must be invisible
+    // ('pre' view), one CALL publish_staged must make exactly its rows
+    // visible ('post' view), and a discarded stage must leave no trace
+    // ('final' view == 'post'). The oracle recomputes all three views from
+    // the raw fixture, so a stage that leaked before publish, a publish
+    // that lost/duplicated rows, or a discard that touched visible history
+    // is a content mismatch.
+    "q38_wap" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.wap")
+      s.sql(
+        """CREATE TABLE graft.gate.wap (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      tx.filter(col("turn_idx") % 2 === 0)
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.wap")
+        .option("epoch", "0").option("queryId", "gate").append()
+      tx.filter(col("turn_idx") % 2 === 1)                     // staged,
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.wap")                             // invisible
+        .option("epoch", "1").option("queryId", "gate-audit")
+        .option("staged", "true").append()
+      val cols = Seq(col("conv_id"), col("turn_idx"), col("role"),
+        col("tool"), col("text"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      def view(part: String) =
+        s.table("graft.gate.wap").select(cols: _*)
+          .withColumn("part", lit(part))
+      // the pre/post views must be PINNED at their moment (the table
+      // mutates between them) — scratch parquet, not .cache(): a cached
+      // DSv2 view is not reliably substituted when the final union plan
+      // re-analyzes, and a re-executed 'pre' would silently read the
+      // post-publish table
+      val scratch = s"/tmp/graft-gate-wap-${new java.io.File(dir).getName}"
+      view("pre").write.mode("overwrite").parquet(s"$scratch/pre")
+      s.sql("CALL graft.system.publish_staged('gate.wap', 1)")
+      view("post").write.mode("overwrite").parquet(s"$scratch/post")
+      tx.filter(col("conv_id") < "conv-000002")                // a rejected
+        .withColumn("turn_idx", col("turn_idx") + lit(9000))   // audit
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.wap")
+        .option("epoch", "2").option("queryId", "gate-audit2")
+        .option("staged", "true").append()
+      s.sql("CALL graft.system.discard_staged('gate.wap', 2)")
+      s.read.parquet(s"$scratch/pre")
+        .unionByName(s.read.parquet(s"$scratch/post"))
+        .unionByName(view("final"))
     })
   )
 
@@ -1040,6 +1095,24 @@ object SparkEntry {
          |SELECT conv_id, turn_idx + 9000 AS turn_idx, role, tool, text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
          |  'delete' AS _change_type
-         |FROM $T WHERE conv_id < 'conv-000005'""".stripMargin
+         |FROM $T WHERE conv_id < 'conv-000005'""".stripMargin,
+    // q38: 'pre' = the visible epoch only (the stage must not leak),
+    // 'post' and 'final' = the full fixture (publish added exactly the
+    // staged slice; the discarded stage left no trace)
+    "q38_wap" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'pre' AS part
+         |FROM $T WHERE turn_idx % 2 = 0
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'post' AS part
+         |FROM $T
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'final' AS part
+         |FROM $T""".stripMargin
   )
 }
