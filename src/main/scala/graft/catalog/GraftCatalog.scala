@@ -90,6 +90,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (isTableDir(parentDir))
           return new graft.sources.ChangeFeedTable(parentDir.toString)
       }
+      // `graft.db.t.staged`: the un-published WAP stages, for SQL audits
+      if (ident.name() == "staged" && ident.namespace().nonEmpty) {
+        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val parentDir = tablePath(parent)
+        if (isTableDir(parentDir))
+          return new graft.sources.StagedTable(parentDir.toString)
+      }
       throw new NoSuchTableException(ident)
     }
     val root = dir.toString

@@ -607,8 +607,17 @@ class GraftCatalogSpec extends SparkSpec {
       .writeTo("graft.db.wap")
       .option("queryId", "audit2").option("staged", "true").append() // epoch 2
     assert(spark.table("graft.db.wap").count() === 7L)
+    // the SQL audit surface: graft.db.t.staged serves the invisible rows
+    // with their stage identity
+    val audit = spark.sql(
+      """SELECT _staged_epoch, _reserved_gen, turn_idx
+        |FROM graft.db.wap.staged ORDER BY turn_idx""".stripMargin).collect()
+    assert(audit.length === 2)
+    assert(audit.forall(r => r.getLong(0) === 2L && r.getLong(1) === 2L))
+    assert(audit.map(_.getInt(2)).toSeq === Seq(200, 201))
     assert(spark.sql("CALL graft.system.discard_staged('db.wap', 2)")
       .collect().head.getInt(0) > 0)
+    assert(spark.table("graft.db.wap.staged").count() === 0L)
     assert(spark.table("graft.db.wap").count() === 7L)
     // the commit log labels the publish by its op stamp
     val kinds = spark.sql("CALL graft.system.history('db.wap')")
