@@ -590,10 +590,22 @@ object SparkEntry {
         .writeTo("graft.gate.wap")
         .option("epoch", "2").option("queryId", "gate-audit2")
         .option("staged", "true").append()
+      // the SQL audit surface: `<table>.staged` must serve exactly the
+      // un-published rows, stamped with their stage identity — pinned
+      // before the discard (same re-execution hazard as 'pre'/'post')
+      s.table("graft.gate.wap.staged")
+        .filter(col(graft.sources.StagedTable.StagedEpochCol) === 2L)
+        .select(cols: _*).withColumn("part", lit("audit"))
+        .write.mode("overwrite").parquet(s"$scratch/audit")
       s.sql("CALL graft.system.discard_staged('gate.wap', 2)")
       s.read.parquet(s"$scratch/pre")
         .unionByName(s.read.parquet(s"$scratch/post"))
+        .unionByName(s.read.parquet(s"$scratch/audit"))
         .unionByName(view("final"))
+        // post-discard the staged view must be EMPTY: any surviving row
+        // surfaces as an un-matched 'gone' row (the oracle has none)
+        .unionByName(s.table("graft.gate.wap.staged")
+          .select(cols: _*).withColumn("part", lit("gone")))
     })
   )
 
@@ -1098,7 +1110,9 @@ object SparkEntry {
          |FROM $T WHERE conv_id < 'conv-000005'""".stripMargin,
     // q38: 'pre' = the visible epoch only (the stage must not leak),
     // 'post' and 'final' = the full fixture (publish added exactly the
-    // staged slice; the discarded stage left no trace)
+    // staged slice; the discarded stage left no trace), 'audit' = the
+    // `.staged` SQL surface serving exactly the un-published epoch-2 rows,
+    // and NO 'gone' rows (the post-discard staged view must be empty)
     "q38_wap" ->
       s"""SELECT conv_id, turn_idx, role, tool, text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -1109,6 +1123,11 @@ object SparkEntry {
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
          |  'post' AS part
          |FROM $T
+         |UNION ALL
+         |SELECT conv_id, turn_idx + 9000 AS turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'audit' AS part
+         |FROM $T WHERE conv_id < 'conv-000002'
          |UNION ALL
          |SELECT conv_id, turn_idx, role, tool, text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
