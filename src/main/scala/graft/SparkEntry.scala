@@ -606,6 +606,44 @@ object SparkEntry {
         // surfaces as an un-matched 'gone' row (the oracle has none)
         .unionByName(s.table("graft.gate.wap.staged")
           .select(cols: _*).withColumn("part", lit("gone")))
+    }),
+    // metadata-table gate (round-5): `.history` and `.files` must agree
+    // with the raw fixture — per-epoch append row counts off the commit
+    // log, and the live listing's manifest stats (row counts + exact
+    // parquet-footer ts ranges) summing to the post-DELETE table. A stale
+    // listing (delete not applied), a wrong rewrite row count, or sloppy
+    // recomputed ts stats is a value mismatch.
+    "q39_meta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.meta")
+      s.sql(
+        """CREATE TABLE graft.gate.meta (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1).foreach { e =>
+        tx.filter(col("turn_idx") % 2 === e)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.meta")
+          .option("epoch", e.toString).option("queryId", "gate").append()
+      }
+      s.sql("DELETE FROM graft.gate.meta WHERE role = 'tool'")
+      val hist = s.table("graft.gate.meta.history")
+        .filter(col("kind") === "append")
+        .select(concat(lit("epoch_"), col("epoch_id").cast("string")).as("key"),
+          col("num_rows").as("val"))
+      val stats = s.table("graft.gate.meta.files")
+        .agg(sum("row_count").as("live_rows"),
+          unix_micros(min(col("min_ts"))).as("live_min_us"),
+          unix_micros(max(col("max_ts"))).as("live_max_us"))
+        .selectExpr("stack(3, 'live_rows', live_rows, " +
+          "'live_min_us', live_min_us, 'live_max_us', live_max_us) AS (key, val)")
+      hist.unionByName(stats)
     })
   )
 
@@ -1132,6 +1170,19 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, role, tool, text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
          |  'final' AS part
-         |FROM $T""".stripMargin
+         |FROM $T""".stripMargin,
+    // q39: append epochs' recorded row counts = the fixture slices; the
+    // live file listing's manifest stats = the post-DELETE survivors
+    // (footer stats are exact, so min/max over files == min/max over rows)
+    "q39_meta" ->
+      s"""SELECT 'epoch_0' AS key, count(*) AS val FROM $T WHERE turn_idx % 2 = 0
+         |UNION ALL
+         |SELECT 'epoch_1', count(*) FROM $T WHERE turn_idx % 2 = 1
+         |UNION ALL
+         |SELECT 'live_rows', count(*) FROM $T WHERE role <> 'tool'
+         |UNION ALL
+         |SELECT 'live_min_us', epoch_us(min(ts)) FROM $T WHERE role <> 'tool'
+         |UNION ALL
+         |SELECT 'live_max_us', epoch_us(max(ts)) FROM $T WHERE role <> 'tool'""".stripMargin
   )
 }

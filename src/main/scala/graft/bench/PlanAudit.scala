@@ -92,6 +92,13 @@ object PlanAudit {
             "materialized at commit time: reading both the rolled-back " +
             "table and the change it recorded is a scan union — no " +
             "reconstruction work at read time")
+      case "q38_wap" =>
+        checks += Check("WAP views + .staged audit are pure scans (no join, no shuffle)",
+          !has("Exchange") && !has("Join") && !has("CartesianProduct"),
+          "publish/discard are metadata-only (one atomic manifest write) and " +
+            "the .staged audit surface scans only the staged manifests' own " +
+            "files with constant-vector identity columns — auditing a stage " +
+            "on a 10^12-row table reads the staged files, never the table")
       case "q24_sketch_build" =>
         checks += Check("CMS aggregate runs partial+final (ObjectHashAggregate)",
           has("ObjectHashAggregate") && has("graft_cms_sketch"),
@@ -123,7 +130,7 @@ object PlanAudit {
       "q3_window_stats", "q19_sliding_stats", "q20_session_bounds",
       "q21_dead_letter", "q22_shingle_detect", "q23_late_data",
       "q24_cms_profile", "q24_sketch_build", "q33_changes", "q36_change_feed",
-      "q37_restore")
+      "q37_restore", "q38_wap")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"

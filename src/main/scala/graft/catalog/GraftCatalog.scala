@@ -81,21 +81,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tablePath(ident)
     if (!isTableDir(dir)) {
-      // Iceberg-style metadata table: `graft.db.t.changes` is the CDC
-      // change feed of `graft.db.t` (only when no real table shadows the
-      // name — a user CAN create a table literally named "changes")
-      if (ident.name() == "changes" && ident.namespace().nonEmpty) {
-        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
-        val parentDir = tablePath(parent)
-        if (isTableDir(parentDir))
-          return new graft.sources.ChangeFeedTable(parentDir.toString)
-      }
-      // `graft.db.t.staged`: the un-published WAP stages, for SQL audits
-      if (ident.name() == "staged" && ident.namespace().nonEmpty) {
-        val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
-        val parentDir = tablePath(parent)
-        if (isTableDir(parentDir))
-          return new graft.sources.StagedTable(parentDir.toString)
+      // Iceberg-style metadata tables (only when no real table shadows
+      // the name — a user CAN create a table literally named "changes"):
+      //   graft.db.t.changes — the recorded CDC change feed
+      //   graft.db.t.staged  — un-published WAP stages, for SQL audits
+      //   graft.db.t.history — the unified commit log, composable in SQL
+      //   graft.db.t.files   — the live view's data files + manifest stats
+      if (ident.namespace().nonEmpty) {
+        GraftCatalog.metaTables.get(ident.name()).foreach { mk =>
+          val parent = Identifier.of(ident.namespace().init, ident.namespace().last)
+          val parentDir = tablePath(parent)
+          if (isTableDir(parentDir)) return mk(parentDir.toString)
+        }
       }
       throw new NoSuchTableException(ident)
     }
@@ -310,6 +307,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftCatalog {
   private val SafePart = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+
+  /** Metadata-table suffixes resolvable as `graft.db.t.<suffix>`. */
+  private[catalog] val metaTables: Map[String, String => Table] = Map(
+    "changes" -> (root => new graft.sources.ChangeFeedTable(root)),
+    "staged" -> (root => new graft.sources.StagedTable(root)),
+    "history" -> (root => new graft.sources.HistoryTable(root)),
+    "files" -> (root => new graft.sources.FilesTable(root)))
 
   private def isTableDir(p: Path): Boolean =
     Files.exists(p.resolve("metadata").resolve("table.json"))

@@ -241,58 +241,15 @@ private[catalog] object GraftProcedures {
         row(s.epochId, s.queryId, s.files.size, s.files.map(_.rowCount).sum)
       }.toArray, resolve),
 
-    // DESCRIBE-HISTORY analogue: the unified commit log — appends (visible
-    // epochs), content mutations (DELETE/UPDATE/MERGE rewrite gens, with
-    // the change rows they recorded) and layout-only compactions. The
-    // engine records no wall-clock (replay determinism), so ordering is
-    // the HONEST partial order the metadata does carry: each snapshot
-    // stamps maxGen (the content gens visible at its commit), so rows sort
-    // by (gen watermark, gens before the epochs that saw them); a
-    // compaction sorts after every content gen it folds and every epoch it
-    // replaces. Exactly one of epoch_id/gen is set per row — NOTE the two
-    // gen sequences are distinct: content gens number `delete-<gen>.json`
-    // manifests, compaction gens number `compact-<gen>` layouts (each
-    // starts at its own origin, exactly as on disk). change_rows is null
-    // for appends (served from epoch files), compactions (no content
-    // change) and pre-CDC manifests.
+    // DESCRIBE-HISTORY analogue: the unified commit log — semantics and
+    // ordering documented on [[graft.table.CommitLog]] (shared with the
+    // composable `graft.db.t.history` metadata table).
     "history" -> new Proc("history",
       Array(tableParam),
-      StructType(Seq(
-        StructField("kind", StringType, nullable = false),
-        StructField("epoch_id", LongType, nullable = true),
-        StructField("gen", LongType, nullable = true),
-        StructField("operation", StringType, nullable = false),
-        StructField("num_files", IntegerType, nullable = false),
-        StructField("num_rows", LongType, nullable = false),
-        StructField("change_rows", LongType, nullable = true))),
-      (table, _) => {
-        val epochs = table.snapshots.map { s =>
-          ((s.maxGen, 1L, s.epochId),
-            row("append", s.epochId, null, s.queryId, s.files.size,
-              s.files.map(_.rowCount).sum, null))
-        }
-        val gens = table.deletes.map { d =>
-          ((d.gen, 0L, 0L),
-            row(d.op.getOrElse(
-              if (d.activatesEpoch.isDefined) "merge" else "rewrite"),
-              null, d.gen, d.predicate,
-              d.fileSets.map(_.files.size).sum,
-              d.fileSets.flatMap(_.files).map(_.rowCount).sum,
-              d.changeFiles
-                .map(cf => java.lang.Long.valueOf(cf.map(_.rowCount).sum))
-                .orNull))
-        }
-        val genAtEpoch = table.snapshots.map(s => s.epochId -> s.maxGen).toMap
-        val comps = table.compactions.map { c =>
-          val watermark = (c.foldsDeletes ++
-            c.replaces.flatMap(genAtEpoch.get)).foldLeft(0L)(math.max)
-          ((watermark, 2L, c.gen),
-            row("compaction", null, c.gen,
-              s"replaces epochs [${c.replaces.mkString(",")}]",
-              c.files.size, c.files.map(_.rowCount).sum, null))
-        }
-        (epochs ++ gens ++ comps).sortBy(_._1).map(_._2).toArray
-      }, resolve),
+      graft.table.CommitLog.schema,
+      (table, _) =>
+        graft.table.CommitLog.rows(table).map(vs => row(vs.toSeq: _*)),
+      resolve),
 
     // Delta-RESTORE / Iceberg-rollback: make a prior committed state the
     // live view again, as a NEW auditable gen (nothing erased). The

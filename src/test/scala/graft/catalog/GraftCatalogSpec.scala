@@ -532,6 +532,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(h(5)._4.contains("replaces epochs"))
   }
 
+  test("metadata tables .history and .files: the commit log and the live " +
+    "file listing, composable in SQL") {
+    spark.sql(
+      """CREATE TABLE graft.db.meta (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='2')""".stripMargin)
+    Seq(0L, 1L).foreach { e =>
+      sampleDf(6, base = 1767225600L + e * 1000)
+        .withColumn("turn_idx", col("turn_idx") + lit(e.toInt * 6))
+        .writeTo("graft.db.meta")
+        .option("epoch", e.toString).option("queryId", "m").append()
+    }
+    spark.sql("DELETE FROM graft.db.meta WHERE turn_idx < 2") // gen 1: 2 rows
+
+    // .history serves exactly the CALL's rows — but as a table: WHERE,
+    // aggregates and joins compose where CALL output does not
+    val call = spark.sql("CALL graft.system.history('db.meta')").collect()
+      .map(_.toSeq).toSet
+    val hist = spark.table("graft.db.meta.history").collect().map(_.toSeq).toSet
+    assert(hist === call && hist.size === 3)
+    assert(spark.sql(
+      """SELECT sum(num_rows) FROM graft.db.meta.history
+        |WHERE kind = 'append'""".stripMargin)
+      .collect().head.getLong(0) === 12L)
+
+    // .files: exactly the live view's files, stats straight off the
+    // manifests (no parquet opened)
+    def files() = spark.table("graft.db.meta.files")
+    assert(files().agg(sum("row_count")).collect().head.getLong(0) === 10L)
+    assert(spark.table("graft.db.meta").count() === 10L)
+    assert(files().filter(col("bucket") < 0 ||
+      col("bucket") >= col("num_buckets")).count() === 0L)
+    assert(files().filter(col("min_ts") > col("max_ts")).count() === 0L)
+    val live = new IcebergLite(s"$warehouse/db/meta").effectiveFiles
+      .map(_.path).toSet
+    assert(files().select("path").collect().map(_.getString(0)).toSet === live)
+
+    // the listing follows a compaction's layout swap, content unchanged
+    spark.sql("CALL graft.system.compact('db.meta')")
+    assert(files().agg(sum("row_count")).collect().head.getLong(0) === 10L)
+    assert(files().select("num_buckets").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(2))
+
+    // an unknown metadata suffix is still just a missing table
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.table("graft.db.meta.nope").collect())
+  }
+
   test("CALL graft.system.restore rolls back to an epoch or tag as a new " +
     "gen; history labels it; re-restoring the same state is a no-op") {
     spark.sql(
