@@ -98,13 +98,25 @@ private[catalog] object GraftProcedures {
         ProcedureParameter.in("buckets", IntegerType)
           .defaultValue("-1")
           .comment("target bucket count; -1 keeps the table's declared count")
+          .build(),
+        ProcedureParameter.in("mode", StringType)
+          .defaultValue("'incremental'")
+          .comment("'incremental' reuses the prior generation's live files " +
+            "and rewrites only the un-replaced epochs (cost ~ churn); " +
+            "'full' re-clusters everything into one file per bucket")
           .build()),
       StructType(Seq(
         StructField("generation", LongType, nullable = false),
         StructField("compacted_files", IntegerType, nullable = false))),
       (table, in) => {
+        val full = in.getUTF8String(2).toString match {
+          case "incremental" => false
+          case "full" => true
+          case other => throw new IllegalArgumentException(
+            s"compact mode '$other': expected 'incremental' or 'full'")
+        }
         val gen = table.compact(SparkSession.active,
-          resolveBuckets(table, in.getInt(1)))
+          resolveBuckets(table, in.getInt(1)), full = full)
         val files =
           if (gen < 0) 0
           else table.compactions.find(_.gen == gen).map(_.files.size).getOrElse(0)

@@ -1,0 +1,172 @@
+package graft.table
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental compaction ([[IcebergLite.compact]] default mode): the
+  * prior generation's live files are reused verbatim and only the
+  * un-replaced epochs' post-delete rows are rewritten — cost proportional
+  * to the churn being folded, never the corpus — while content, gc,
+  * time travel and the restore interaction stay exactly as under the full
+  * rewrite. */
+class CompactIncrementalSpec extends SparkSpec {
+
+  private def mkTable(root: String, epochs: Int = 3,
+                      rowsPerEpoch: Int = 50): IcebergLite = {
+    import spark.implicits._
+    val table = new IcebergLite(root)
+    table.create("conv_id string, turn_idx int, ts timestamp", 2)
+    (0 until epochs).foreach { e =>
+      val base = 1767225600L + e * 3600L
+      // keys unique across epochs (the CDC pairing contract)
+      val df = (0 until rowsPerEpoch).map { i =>
+        (f"conv-$i%03d", e * 10000 + i, new Timestamp((base + i) * 1000L))
+      }.toDF("conv_id", "turn_idx", "ts")
+      assert(table.commitEpoch(df, "q", e.toLong, 2))
+    }
+    table
+  }
+
+  private def contents(t: IcebergLite) =
+    t.read(spark).select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+
+  test("incremental pass reuses the prior generation verbatim and folds " +
+    "deletes that touched it — content identical to a full rewrite") {
+    val t = mkTable(tmpDir("ci-reuse"), epochs = 2)
+    assert(t.compact(spark, 2) === 0L) // no prior gen -> full-equivalent
+    val gen0 = t.compactions.head.files.map(f => f.path -> f).toMap
+
+    // churn AFTER the compaction: a delete touching BOTH gen-0 files and
+    // the new epochs, then two more epochs
+    (2 until 4).foreach { e =>
+      import spark.implicits._
+      val df = (0 until 50).map { i =>
+        (f"conv-$i%03d", e * 10000 + i,
+          new Timestamp((1767225600L + e * 3600L + i) * 1000L))
+      }.toDF("conv_id", "turn_idx", "ts")
+      assert(t.commitEpoch(df, "q", e.toLong, 2))
+    }
+    assert(t.deleteWhere(spark, col("turn_idx") % 10000 < 5,
+      "turn_idx % 10000 < 5") === 20L) // 5 rows x 4 epochs
+    val want = contents(t)
+    assert(want.size === 180)
+
+    assert(t.compact(spark, 2) === 1L)
+    assert(contents(t) === want)
+    val gen1 = t.compactions.find(_.gen == 1L).get
+    // gen-0's files were themselves rewritten by the delete, so the REUSED
+    // files are the delete's compaction-sourced survivors (part-d...),
+    // carried verbatim with their recorded stats; no raw gen-0 path leaks
+    val reused = gen1.files.filterNot(_.path.contains("part-c0001"))
+    assert(reused.nonEmpty)
+    assert(reused.forall(f => f.path.contains("part-d")))
+    assert(reused.map(_.rowCount).sum === 90L) // 100 gen-0 rows - 10 deleted
+    assert(gen1.files.map(_.path).toSet.intersect(gen0.keySet).isEmpty)
+
+    // and a quiet prior gen (no deletes since) is reused by ITS OWN paths
+    import spark.implicits._
+    val df = Seq(("conv-zzz", 99999, new Timestamp(1767260000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(t.commitEpoch(df, "q", 9L, 2))
+    assert(t.compact(spark, 2) === 2L)
+    val gen2 = t.compactions.find(_.gen == 2L).get
+    assert(gen1.files.map(_.path).toSet
+      .subsetOf(gen2.files.map(_.path).toSet))
+    assert(contents(t) === want + (("conv-zzz", 99999)))
+  }
+
+  test("layout changes re-cluster fully: a different bucket count never " +
+    "reuses, full = true folds everything into one file per bucket") {
+    val t = mkTable(tmpDir("ci-layout"), epochs = 2)
+    assert(t.compact(spark, 2) === 0L)
+    import spark.implicits._
+    val df = Seq(("conv-aaa", 99999, new Timestamp(1767260000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(t.commitEpoch(df, "q", 5L, 2))
+    val want = contents(t)
+
+    // bucket-count change: partitionId would change meaning -> full
+    assert(t.compact(spark, 4) === 1L)
+    val gen1 = t.compactions.find(_.gen == 1L).get
+    assert(gen1.files.forall(_.path.contains("part-c0001")))
+    assert(gen1.numBuckets === 4)
+    assert(contents(t) === want)
+
+    // full = true after an incremental pass: one file per bucket again
+    val df2 = Seq(("conv-bbb", 88888, new Timestamp(1767270000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(t.commitEpoch(df2, "q", 6L, 4))
+    assert(t.compact(spark, 4) === 2L) // incremental: reuses gen 1
+    assert(t.effectiveFiles.size > 4)
+    assert(t.compact(spark, 4, full = true) === 3L)
+    assert(t.effectiveFiles.size <= 4)
+    assert(t.compactions.find(_.gen == 3L).get.files
+      .forall(_.path.contains("part-c0003")))
+    assert(contents(t) === want + (("conv-bbb", 88888)))
+  }
+
+  test("gc after an incremental pass reclaims the folded epochs but never " +
+    "the reused files; reads stay identical") {
+    val t = mkTable(tmpDir("ci-gc"), epochs = 2)
+    assert(t.compact(spark, 2) === 0L)
+    import spark.implicits._
+    val df = Seq(("conv-ggg", 77777, new Timestamp(1767260000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(t.commitEpoch(df, "q", 7L, 2))
+    assert(t.compact(spark, 2) === 1L) // incremental: gen-0 files reused
+    val want = contents(t)
+    val reusedPaths = t.compactions.find(_.gen == 0L).get.files.map(_.path)
+
+    val deleted = t.gc()
+    // epoch files (2 epochs x 2 buckets + epoch 7's file(s)) reclaimed;
+    // the reused gen-0 files are LIVE inside gen 1 and must survive
+    assert(deleted.nonEmpty)
+    assert(reusedPaths.forall(p => !deleted.contains(p)))
+    assert(reusedPaths.forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, p))))
+    assert(contents(t) === want)
+    assert(t.gc().isEmpty) // idempotent
+  }
+
+  test("a restore that re-adds already-replaced raw epochs falls back to a " +
+    "full rewrite (the reuse split cannot attribute them) — content exact") {
+    val t = mkTable(tmpDir("ci-restore"), epochs = 2)
+    val pin = t.currentVersion
+    assert(t.compact(spark, 2) === 0L)
+    assert(t.deleteWhere(spark, col("turn_idx") === 3, "turn_idx = 3") === 1L)
+    // roll back to the pre-compaction state: the rewrite manifest re-adds
+    // the RAW epoch files of epochs gen 0 already replaced
+    t.restore(spark, pin)
+    val want = contents(t)
+    assert(want.size === 100)
+    import spark.implicits._
+    val df = Seq(("conv-rrr", 66666, new Timestamp(1767260000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(t.commitEpoch(df, "q", 8L, 2))
+
+    val gen = t.compact(spark, 2) // would reuse, but must detect + go full
+    assert(gen === 1L)
+    val manifest = t.compactions.find(_.gen == 1L).get
+    assert(manifest.files.forall(_.path.contains("part-c0001")))
+    assert(contents(t) === want + (("conv-rrr", 66666)))
+  }
+
+  test("time travel to a pre-compaction epoch is unaffected by incremental " +
+    "passes (raw files pinned by the tag)") {
+    val t = mkTable(tmpDir("ci-tt"), epochs = 2)
+    t.tag("early", 0L)
+    val want0 = t.fileSetsAsOf(0L).flatMap(_.files).map(_.rowCount).sum
+    assert(t.compact(spark, 2) === 0L)
+    import spark.implicits._
+    val df = Seq(("conv-ttt", 55555, new Timestamp(1767260000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(t.commitEpoch(df, "q", 6L, 2))
+    assert(t.compact(spark, 2) === 1L) // incremental
+    t.gc()
+    assert(t.fileSetsAsOf(0L).flatMap(_.files).map(_.rowCount).sum === want0)
+  }
+}

@@ -71,20 +71,35 @@ class TableSpec extends SparkSpec {
     assert(table.readSince(spark, 2L).count() === 1L)
   }
 
-  test("second compaction does not duplicate earlier generations' rows") {
+  test("second compaction does not duplicate earlier generations' rows; " +
+    "incremental reuses gen-0 files verbatim, full re-clusters") {
     import spark.implicits._
     val table = mkTable(tmpDir("t-compact2"))
     assert(table.compact(spark, 2) === 0L)
+    val gen0Files = table.compactions.head.files.map(_.path).toSet
     val df = Seq(("conv-zzz", 1, new Timestamp(1767250000L * 1000L)))
       .toDF("conv_id", "turn_idx", "ts")
     assert(table.commitEpoch(df, "q", 9L, 2))
     assert(table.read(spark).count() === 151L)
-    assert(table.compact(spark, 2) === 1L)
+    assert(table.compact(spark, 2) === 1L) // default: incremental
     // generation 1 supersedes generation 0 entirely; the union of both
     // would return 301 rows (every gen-0 row twice)
     assert(table.read(spark).count() === 151L)
-    assert(table.effectiveFiles.size === 2)
     assert(table.partitionMetrics.values.sum === 151L)
+    // incremental: gen 0's two files are REUSED by path (and stats) in the
+    // gen-1 manifest; only epoch 9's single row was rewritten
+    val gen1 = table.compactions.find(_.gen == 1L).get
+    assert(gen0Files.subsetOf(gen1.files.map(_.path).toSet))
+    val rewritten = gen1.files.map(_.path).filterNot(gen0Files.contains)
+    assert(rewritten.nonEmpty && rewritten.forall(_.contains("part-c0001")))
+    assert(gen1.files.filter(p => gen0Files.contains(p.path))
+      .map(_.rowCount).sum === 150L)
+    // the periodic full rewrite re-clusters to one file per bucket even
+    // with no new epochs, and is then itself a no-op
+    assert(table.compact(spark, 2, full = true) === 2L)
+    assert(table.effectiveFiles.size === 2)
+    assert(table.read(spark).count() === 151L)
+    assert(table.compact(spark, 2, full = true) === -1L)
   }
 
   test("gc removes superseded files; reads byte-identical, replay still safe") {
