@@ -244,6 +244,18 @@ class TableChangesSpec extends SparkSpec {
     t.compact(spark, 4)
     checkLaw()
     assert(TableChanges.between(spark, root, anchor).count() === before)
+    // step 6: more churn, then an INCREMENTAL second compaction (the prior
+    // generation's files reused verbatim) — still layout-only to the feed
+    assert(t.commitEpoch(Seq(("conv7", 0, "user", "late", ts(50)))
+      .toDF("conv_id", "turn_idx", "role", "text", "ts"), "w", 5L, 4))
+    checkLaw()
+    val before2 = TableChanges.between(spark, root, anchor).count()
+    val gen2 = t.compact(spark, 4)
+    assert(gen2 >= 0L)
+    assert(t.compactions.find(_.gen == gen2).get.files.map(_.path)
+      .exists(p => !p.contains(f"part-c$gen2%04d")), "reuse did not happen")
+    checkLaw()
+    assert(TableChanges.between(spark, root, anchor).count() === before2)
   }
 
   test("CALL graft.system.changes reports the same counts through SQL") {
