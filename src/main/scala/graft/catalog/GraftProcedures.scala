@@ -17,7 +17,8 @@ import graft.table.IcebergLite
   * schedules, reachable without JVM access:
   *
   * {{{
-  *   CALL graft.system.compact('db.t')          -- rewrite into one generation
+  *   CALL graft.system.compact('db.t')          -- fold new epochs (incremental;
+  *                                                 mode => 'full' re-clusters)
   *   CALL graft.system.gc('db.t')               -- reclaim superseded files
   *   CALL graft.system.expire_metadata('db.t')  -- retire settled manifests
   *   CALL graft.system.remove_orphans('db.t')   -- drop unreferenced files
