@@ -205,9 +205,12 @@ final class GraftWrite(root: String, info: LogicalWriteInfo,
       .add("partition_id", IntegerType, nullable = false)
     val (factory, conf) = GraftInternals.parquetWriterFactory(spark, physical)
     val reorder = declared.map(f => incoming.fieldIndex(f.name)).toArray
+    val autoCompactEvery = opts.getInt("autoCompactEvery", 0)
+    require(autoCompactEvery >= 0,
+      s"autoCompactEvery must be >= 1 (0 disables), got $autoCompactEvery")
     new EpochStreamingWrite(root, info.queryId(), declared, reorder,
       table.declaredNumBuckets.getOrElse(numBuckets), physical,
-      factory, new SerializableHadoopConf(conf))
+      factory, new SerializableHadoopConf(conf), autoCompactEvery)
   }
 }
 
@@ -248,7 +251,8 @@ final class EpochStreamingWrite(
     numBuckets: Int,
     physicalSchema: StructType,
     factory: OutputWriterFactory,
-    conf: SerializableHadoopConf) extends StreamingWrite {
+    conf: SerializableHadoopConf,
+    autoCompactEvery: Int = 0) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -261,6 +265,27 @@ final class EpochStreamingWrite(
       case StagedEpochFile(p, pid, _) if p != null => (p, pid)
     }
     new IcebergLite(root).commitStagedEpoch(queryId, epochId, staged, numBuckets)
+    // self-maintaining table (`.option("autoCompactEvery", N)`): once N
+    // epochs await folding, run an INCREMENTAL compact right here on the
+    // stream's driver thread — the fold reads only those N epochs (the
+    // prior generation is reused verbatim), so the pause is bounded by the
+    // trigger, never the table. The epoch above is already durable; a
+    // failed fold is a maintenance hiccup the next trigger retries, so it
+    // warns instead of failing the batch. Replay after kill/resume is
+    // safe: the fold is layout-only (CDC/stream tokens unaffected) and a
+    // re-fired trigger with nothing new to fold is a no-op.
+    if (autoCompactEvery > 0) {
+      val t = new IcebergLite(root)
+      val replaced = t.compactions.flatMap(_.replaces).toSet
+      if (t.snapshots.count(s => !replaced.contains(s.epochId)) >= autoCompactEvery)
+        try t.compact(SparkSession.active, numBuckets)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] autoCompactEvery=$autoCompactEvery " +
+              s"fold of $root failed (epoch $epochId is committed and " +
+              s"durable; the next trigger retries): $e")
+        }
+    }
     ()
   }
 

@@ -268,6 +268,55 @@ class StreamingWriteSpec extends SparkSpec {
     assert(back === (0 until 25).map(i => (s"a$i", i)).toSet)
   }
 
+  test("autoCompactEvery: the sink folds epochs incrementally as it " +
+      "streams; content exact, restart exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql(
+      """CREATE TABLE gsw.sw.ac (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='4')""".stripMargin)
+    val ckpt = tmpDir("swrite-ac-ckpt")
+    val mem = MemoryStream[Turn]
+    def start() = mem.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .option("autoCompactEvery", "2")
+      .trigger(Trigger.ProcessingTime(0))
+      .toTable("gsw.sw.ac")
+
+    val q = start()
+    try {
+      (0 until 4).foreach { b =>
+        mem.addData((0 until 10)
+          .map(i => t(f"conv-$i%03d", b * 100 + i, base + b * 100 + i)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val lite = new IcebergLite(s"$warehouse/sw/ac")
+    assert(lite.snapshots.map(_.epochId) === Seq(0L, 1L, 2L, 3L))
+    // the fold fired at 2 pending epochs, twice; the second pass is
+    // INCREMENTAL — the first generation's files reused verbatim
+    assert(lite.compactions.map(_.gen) === Seq(0L, 1L))
+    assert(lite.compactions.find(_.gen == 0L).get.files.map(_.path).toSet
+      .subsetOf(lite.compactions.find(_.gen == 1L).get.files.map(_.path).toSet))
+    assert(spark.table("gsw.sw.ac").count() === 40L)
+
+    // restart on the same checkpoint: exactly-once continues, the fold
+    // waits for its threshold (1 pending epoch -> no new generation)
+    val q2 = start()
+    try {
+      mem.addData((0 until 10)
+        .map(i => t(f"conv-$i%03d", 900 + i, base + 900 + i)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val back = spark.table("gsw.sw.ac")
+      .select("conv_id", "turn_idx").as[(String, Int)].collect()
+    assert(back.length === 50 && back.distinct.length === 50)
+    assert(lite.compactions.size === 2)
+  }
+
   test("flagship redaction pipeline: native sink == foreachBatch sink, " +
       "full rows including lineage") {
     import spark.implicits._
