@@ -155,6 +155,29 @@ class CompactIncrementalSpec extends SparkSpec {
     assert(contents(t) === want + (("conv-rrr", 66666)))
   }
 
+  test("run growth is bounded: k incremental passes leave <= k+1 files per " +
+    "bucket; one full pass re-clusters back to one") {
+    import spark.implicits._
+    val t = mkTable(tmpDir("ci-chain"), epochs = 1)
+    assert(t.compact(spark, 2) === 0L)
+    var expect = contents(t)
+    (1 to 4).foreach { k =>
+      val df = Seq((f"conv-x$k%02d", 50000 + k,
+        new Timestamp((1767260000L + k) * 1000L)))
+        .toDF("conv_id", "turn_idx", "ts")
+      assert(t.commitEpoch(df, "q", (10 + k).toLong, 2))
+      expect += ((f"conv-x$k%02d", 50000 + k))
+      assert(t.compact(spark, 2) === k.toLong)
+      val perBucket = t.effectiveFiles.groupBy(_.partitionId).values.map(_.size)
+      assert(perBucket.forall(_ <= k + 1),
+        s"pass $k left a bucket with ${perBucket.max} runs")
+      assert(contents(t) === expect)
+    }
+    assert(t.compact(spark, 2, full = true) === 5L)
+    assert(t.effectiveFiles.size <= 2)
+    assert(contents(t) === expect)
+  }
+
   test("time travel to a pre-compaction epoch is unaffected by incremental " +
     "passes (raw files pinned by the tag)") {
     val t = mkTable(tmpDir("ci-tt"), epochs = 2)
