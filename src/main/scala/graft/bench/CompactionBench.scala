@@ -58,8 +58,10 @@ object CompactionBench {
           lit(ep * 3600L * 1000000L)).as("ts"))
 
     /** Corpus of `mult * baseEpochs` epochs, fully compacted (untimed
-      * setup), plus `churnEpochs` fresh epochs awaiting the fold. */
-    def build(root: String, mult: Int, churnEpochs: Int): IcebergLite = {
+      * setup), plus `churnEpochs` fresh epochs awaiting the fold. Returns
+      * the table and the PRE-churn corpus row count (what the incremental
+      * fold reuses — the churn rows are reported separately). */
+    def build(root: String, mult: Int, churnEpochs: Int): (IcebergLite, Long) = {
       deleteTree(root)
       val t = new IcebergLite(root)
       t.create(
@@ -70,15 +72,16 @@ object CompactionBench {
         require(t.commitEpoch(epochDf(ep), "bench", ep, buckets))
       }
       require(t.compact(spark, buckets, full = true) >= 0L)
+      val corpusRows = t.effectiveFiles.map(_.rowCount).sum
       (corpusEpochs until corpusEpochs + churnEpochs).foreach { ep =>
         require(t.commitEpoch(epochDf(ep), "bench", ep, buckets))
       }
-      t
+      (t, corpusRows)
     }
 
     // untimed warm-up (JIT, codegen, parquet writer init)
     locally {
-      val t = build("/tmp/graft-cmpbench-warm", 1, 1)
+      val (t, _) = build("/tmp/graft-cmpbench-warm", 1, 1)
       require(t.compact(spark, buckets) >= 0L)
     }
 
@@ -86,8 +89,7 @@ object CompactionBench {
     val points = Seq(1, 4).map { mult =>
       val reps = (0 until 3).map { r =>
         val root = s"/tmp/graft-cmpbench-m$mult-r$r"
-        val t = build(root, mult, churnEpochs)
-        val corpusRows = t.effectiveFiles.map(_.rowCount).sum
+        val (t, corpusRows) = build(root, mult, churnEpochs)
         val incSec = timeS { require(t.compact(spark, buckets) >= 0L) }
         val gen = t.compactions.maxBy(_.gen)
         val rewritten = gen.files.count(_.path.contains(f"part-c${gen.gen}%04d"))

@@ -47,10 +47,7 @@ import graft.table.IcebergLite
 private[catalog] object GraftProcedures {
   /** One row per committed epoch of each helper's result. */
   private def row(values: Any*): InternalRow =
-    new GenericInternalRow(values.map {
-      case s: String => UTF8String.fromString(s)
-      case other => other.asInstanceOf[AnyRef]
-    }.toArray[Any])
+    graft.table.CommitLog.internalRow(values)
 
   private val tableParam =
     ProcedureParameter.in("table", StringType)
@@ -91,6 +88,14 @@ private[catalog] object GraftProcedures {
     case b  => require(b > 0, s"buckets must be positive, got $b"); b
   }
 
+  /** The `mode` parameter convention shared by compact and vacuum. */
+  private def fullMode(proc: String, mode: String): Boolean = mode match {
+    case "incremental" => false
+    case "full" => true
+    case other => throw new IllegalArgumentException(
+      s"$proc mode '$other': expected 'incremental' or 'full'")
+  }
+
   /** Procedure registry for a catalog whose `resolve` maps a dotted table
     * name to an IcebergLite root (validated + path-safe). */
   def procedures(resolve: String => String): Map[String, UnboundProcedure] = Map(
@@ -108,20 +113,22 @@ private[catalog] object GraftProcedures {
           .build()),
       StructType(Seq(
         StructField("generation", LongType, nullable = false),
-        StructField("compacted_files", IntegerType, nullable = false))),
+        StructField("compacted_files", IntegerType, nullable = false),
+        StructField("reused_files", IntegerType, nullable = false))),
       (table, in) => {
-        val full = in.getUTF8String(2).toString match {
-          case "incremental" => false
-          case "full" => true
-          case other => throw new IllegalArgumentException(
-            s"compact mode '$other': expected 'incremental' or 'full'")
-        }
         val gen = table.compact(SparkSession.active,
-          resolveBuckets(table, in.getInt(1)), full = full)
-        val files =
-          if (gen < 0) 0
-          else table.compactions.find(_.gen == gen).map(_.files.size).getOrElse(0)
-        Array(row(gen, files))
+          resolveBuckets(table, in.getInt(1)),
+          full = fullMode("compact", in.getUTF8String(2).toString))
+        // compacted_files = files this fold actually WROTE (part-c<gen>);
+        // reused_files = the prior generation's files carried verbatim —
+        // an operator watching compaction work sees a churn-sized number
+        // for a churn-sized job, not the corpus
+        val (rewritten, reused) =
+          if (gen < 0) (0, 0)
+          else table.compactions.find(_.gen == gen)
+            .map(_.files.partition(_.path.contains(f"part-c$gen%04d")))
+            .map { case (w, r) => (w.size, r.size) }.getOrElse((0, 0))
+        Array(row(gen, rewritten, reused))
       }, resolve),
 
     "gc" -> new Proc("gc",
@@ -150,11 +157,13 @@ private[catalog] object GraftProcedures {
         StructField("removed_path", StringType, nullable = false))),
       (table, _) => table.removeOrphans().map(p => row(p)).toArray, resolve),
 
-    // the whole shrink lifecycle in one call: rewrite the effective view
-    // into one compacted generation, reclaim superseded data files, retire
-    // settled manifests. Each step takes the maintenance lock itself;
-    // reader-retention guards (gc's minLive, expiry's retain_last) apply
-    // exactly as in the individual calls.
+    // the whole shrink lifecycle in one call: fold the un-replaced epochs
+    // into a new generation (INCREMENTAL by default — cost ~ the churn
+    // since the last fold; schedule mode => 'full' periodically to
+    // re-cluster the sorted runs incremental passes accumulate), reclaim
+    // superseded data files, retire settled manifests. Each step takes the
+    // maintenance lock itself; reader-retention guards (gc's minLive,
+    // expiry's retain_last) apply exactly as in the individual calls.
     "vacuum" -> new Proc("vacuum",
       Array(tableParam,
         ProcedureParameter.in("retain_last", IntegerType)
@@ -164,6 +173,11 @@ private[catalog] object GraftProcedures {
         ProcedureParameter.in("buckets", IntegerType)
           .defaultValue("-1")
           .comment("target bucket count; -1 keeps the table's declared count")
+          .build(),
+        ProcedureParameter.in("mode", StringType)
+          .defaultValue("'incremental'")
+          .comment("'incremental' folds only the un-replaced epochs; " +
+            "'full' re-clusters everything (the periodic rewrite)")
           .build()),
       StructType(Seq(
         StructField("generation", LongType, nullable = false),
@@ -171,7 +185,8 @@ private[catalog] object GraftProcedures {
         StructField("expired_manifests", IntegerType, nullable = false))),
       (table, in) => {
         val gen = table.compact(SparkSession.active,
-          resolveBuckets(table, in.getInt(2)))
+          resolveBuckets(table, in.getInt(2)),
+          full = fullMode("vacuum", in.getUTF8String(3).toString))
         val deleted = table.gc().size
         val expired = table.expireMetadata(in.getInt(1)).size
         Array(row(gen, deleted, expired))

@@ -69,10 +69,8 @@ private[sources] final class MetaRowsReaderFactory
           private var i = -1
           override def next(): Boolean = { i += 1; i < rows.length }
           override def get(): InternalRow =
-            new GenericInternalRow(rows(i).map {
-              case s: String => UTF8String.fromString(s)
-              case other => other.asInstanceOf[AnyRef]
-            }.toArray[Any])
+            CommitLog.internalRow(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(rows(i)))
           override def close(): Unit = ()
         }
       case other => throw new IllegalStateException(s"unexpected partition $other")

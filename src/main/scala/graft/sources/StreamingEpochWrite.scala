@@ -275,19 +275,36 @@ final class EpochStreamingWrite(
     // safe: the fold is layout-only (CDC/stream tokens unaffected) and a
     // re-fired trigger with nothing new to fold is a no-op.
     if (autoCompactEvery > 0) {
-      val t = new IcebergLite(root)
-      val replaced = t.compactions.flatMap(_.replaces).toSet
-      if (t.snapshots.count(s => !replaced.contains(s.epochId)) >= autoCompactEvery)
-        try t.compact(SparkSession.active, numBuckets)
-        catch {
+      // the threshold is tracked in memory: ONE metadata scan when the
+      // query starts, then +1 per commit — a per-trigger re-parse of every
+      // snapshot manifest would grow with table age and defeat the
+      // "bounded by the trigger" claim. The counter is a trigger
+      // heuristic; compact() itself recomputes the truth under the
+      // maintenance lock (concurrent writers at worst shift a fold by a
+      // trigger).
+      if (pendingEpochs < 0) {
+        val t = new IcebergLite(root)
+        val replaced = t.compactions.flatMap(_.replaces).toSet
+        pendingEpochs = t.snapshots.count(s => !replaced.contains(s.epochId))
+      } else pendingEpochs += 1
+      if (pendingEpochs >= autoCompactEvery) {
+        try {
+          new IcebergLite(root).compact(SparkSession.active, numBuckets)
+          pendingEpochs = 0
+        } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[graft] autoCompactEvery=$autoCompactEvery " +
               s"fold of $root failed (epoch $epochId is committed and " +
               s"durable; the next trigger retries): $e")
         }
+      }
     }
     ()
   }
+
+  /** Un-folded epoch count for the autoCompactEvery trigger: −1 = not yet
+    * initialized from metadata (first commit of this query run). */
+  private var pendingEpochs: Int = -1
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =

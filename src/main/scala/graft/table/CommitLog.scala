@@ -1,6 +1,9 @@
 package graft.table
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The unified commit log of an [[IcebergLite]] table — appends (visible
   * epochs), content mutations (DELETE/UPDATE/MERGE rewrite gens, with the
@@ -19,6 +22,15 @@ import org.apache.spark.sql.types._
   * from epoch files), compactions (no content change) and pre-CDC
   * manifests. */
 object CommitLog {
+
+  /** Plain JVM values (String / boxed numerics / null) → InternalRow —
+    * the ONE conversion both the CALL procedures and the metadata-table
+    * readers use, so a new value type is handled in a single place. */
+  def internalRow(values: Seq[Any]): InternalRow =
+    new GenericInternalRow(values.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other.asInstanceOf[AnyRef]
+    }.toArray[Any])
 
   val schema: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),

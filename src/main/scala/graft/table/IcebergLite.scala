@@ -1322,20 +1322,27 @@ final class IcebergLite(val root: String) {
     * pruning ([[IcebergLite.pruneFileSets]]): the latest compaction
     * generation and each un-replaced epoch each carry their own recorded
     * `numBuckets`. */
-  def effectiveFileSets: Seq[FileSet] = {
-    val comps = compactions
+  def effectiveFileSets: Seq[FileSet] =
+    effectiveFileSets(compactions, snapshots, deletes)
+
+  /** [[effectiveFileSets]] over metadata the caller already parsed — the
+    * accessors re-list + re-parse manifest JSON per call, so multi-view
+    * callers ([[compact]]'s reuse/rewrite split) parse once and reuse. */
+  private def effectiveFileSets(comps: Seq[CompactionMeta],
+                                snaps: Seq[SnapshotMeta],
+                                dels: Seq[DeleteMeta]): Seq[FileSet] = {
     val replaced = comps.flatMap(_.replaces).toSet
     val latestGen =
       if (comps.isEmpty) Nil
       else { val c = comps.maxBy(_.gen); Seq(FileSet(c.numBuckets, c.files)) }
     val base = latestGen ++
-      snapshots.filterNot(s => replaced.contains(s.epochId))
+      snaps.filterNot(s => replaced.contains(s.epochId))
         .map(s => FileSet(s.numBuckets, s.files))
     // deletes folded into the latest generation are already reflected in
     // its files — applying them again would double-add their survivors
     val folded: Set[Long] =
       if (comps.isEmpty) Set.empty else comps.maxBy(_.gen).foldsDeletes.toSet
-    applyDeletes(base, deletes.filterNot(d => folded.contains(d.gen)))
+    applyDeletes(base, dels.filterNot(d => folded.contains(d.gen)))
   }
 
   /** Ordered application of delete manifests to a file-set view: each
@@ -1558,21 +1565,32 @@ final class IcebergLite(val root: String) {
   def compact(spark: SparkSession, numBuckets: Int,
               sortCols: Seq[String] = Seq("conv_id", "turn_idx"),
               full: Boolean = false): Long = withMaintenanceLock {
+    // metadata parsed ONCE per call: the accessors re-list + re-parse the
+    // manifest JSON on every invocation, and the split below would
+    // otherwise pay O(epochs-to-fold x delete-manifests) driver-side
+    val comps = compactions
+    val snaps = snapshots
+    val dels = deletes
+    val live = effectiveFileSets(comps, snaps, dels).flatMap(_.files)
     val replaced = {
-      val comps = compactions.flatMap(_.replaces).toSet
-      snapshots.map(_.epochId).filterNot(comps.contains)
+      val done = comps.flatMap(_.replaces).toSet
+      snaps.map(_.epochId).filterNot(done.contains)
     }
-    val prior = compactions.sortBy(_.gen).lastOption
+    val prior = comps.sortBy(_.gen).lastOption
     // nothing new to fold: no-op — except a `full` re-cluster of a view
     // that incremental passes (or deletes) left multi-run, which is the
-    // documented periodic rewrite and proceeds with empty `replaces`
+    // documented periodic rewrite and proceeds with empty `replaces`.
+    // "Clustered" means ONE file per bucket, not a file-count bound: a
+    // table whose keys occupy few buckets can stack runs without ever
+    // exceeding numBuckets files in total
     def alreadyClustered: Boolean = prior.exists { p =>
-      p.numBuckets == numBuckets && p.files.size <= numBuckets &&
-        p.files.map(_.path).sorted == effectiveFiles.map(_.path).sorted
+      p.numBuckets == numBuckets &&
+        p.files.groupBy(_.partitionId).values.forall(_.size == 1) &&
+        p.files.map(_.path).sorted == live.map(_.path).sorted
     }
     if (replaced.isEmpty && (!full || prior.isEmpty || alreadyClustered))
       return -1L
-    val gen = compactions.map(_.gen).foldLeft(-1L)(math.max) + 1
+    val gen = comps.map(_.gen).foldLeft(-1L)(math.max) + 1
 
     // the reuse/rewrite split: prior generation's live files carried over
     // verbatim; un-replaced epochs' post-delete rows rewritten. Legal only
@@ -1581,18 +1599,19 @@ final class IcebergLite(val root: String) {
     // was bucketed the same way — anything else re-clusters fully.
     val (reuse: Seq[DataFileMeta], rewriteSrc: Seq[DataFileMeta]) = {
       val candidate = !full && prior.exists(_.numBuckets == numBuckets)
-      if (!candidate) (Nil, effectiveFiles)
+      if (!candidate) (Nil, live)
       else {
         val p = prior.get
         val folded = p.foldsDeletes.toSet
         val reuseSets = applyDeletes(Seq(FileSet(p.numBuckets, p.files)),
-          deletes.filterNot(d => folded.contains(d.gen)),
+          dels.filterNot(d => folded.contains(d.gen)),
           epochFilter = Some(-1L))
-        val replacedSet = compactions.flatMap(_.replaces).toSet
-        val epochFiles = snapshots.filterNot(s => replacedSet.contains(s.epochId))
-          .flatMap(epochFileSetsWithDeletes).flatMap(_.files)
+        val replacedSet = comps.flatMap(_.replaces).toSet
+        val epochFiles = snaps.filterNot(s => replacedSet.contains(s.epochId))
+          .flatMap(sn => applyDeletes(Seq(FileSet(sn.numBuckets, sn.files)),
+            dels, epochFilter = Some(sn.epochId)))
+          .flatMap(_.files)
         val r = reuseSets.flatMap(_.files)
-        val live = effectiveFiles
         val exact = reuseSets.forall(_.numBuckets == numBuckets) &&
           (r.map(_.path) ++ epochFiles.map(_.path)).sorted ==
             live.map(_.path).sorted
