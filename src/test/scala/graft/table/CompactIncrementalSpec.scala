@@ -178,6 +178,27 @@ class CompactIncrementalSpec extends SparkSpec {
     assert(contents(t) === expect)
   }
 
+  test("full re-cluster fires even when the table occupies fewer buckets " +
+    "than numBuckets (clustered == one file per bucket, not a count bound)") {
+    import spark.implicits._
+    val t = new IcebergLite(tmpDir("ci-sparse"))
+    t.create("conv_id string, turn_idx int, ts timestamp", 8)
+    def df(e: Int) = (0 until 20).map(i => ("conv-only", e * 100 + i,
+      new Timestamp((1767225600L + e * 100 + i) * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(t.commitEpoch(df(0), "q", 0L, 8))
+    assert(t.compact(spark, 8) === 0L)
+    assert(t.commitEpoch(df(1), "q", 1L, 8))
+    assert(t.compact(spark, 8) === 1L) // incremental: 2 runs, 1 bucket
+    assert(t.effectiveFiles.groupBy(_.partitionId).values.map(_.size).max === 2)
+    // total files (2) <= numBuckets (8): a total-count notion of
+    // "clustered" would no-op here and stack runs forever
+    assert(t.compact(spark, 8, full = true) === 2L)
+    assert(t.effectiveFiles.groupBy(_.partitionId).values.forall(_.size == 1))
+    assert(t.read(spark).count() === 40L)
+    assert(t.compact(spark, 8, full = true) === -1L) // now truly clustered
+  }
+
   test("time travel to a pre-compaction epoch is unaffected by incremental " +
     "passes (raw files pinned by the tag)") {
     val t = mkTable(tmpDir("ci-tt"), epochs = 2)
