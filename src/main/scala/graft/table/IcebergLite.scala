@@ -1561,7 +1561,13 @@ final class IcebergLite(val root: String) {
     * periodic rewrite). Falls back to a full rewrite automatically when
     * reuse is not layout-safe: no prior generation, a different
     * `numBuckets`, or live files the reuse/rewrite split cannot attribute
-    * (e.g. a [[restore]] re-added raw files of already-replaced epochs). */
+    * (e.g. a [[restore]] re-added raw files of already-replaced epochs).
+    *
+    * Metadata note: a delete manifest whose compaction-sourced survivors
+    * are reused stays retained by [[expireMetadata]] (its files are live
+    * inside the new generation) — delete manifests accumulate across
+    * incremental passes and retire after the periodic full rewrite + gc,
+    * exactly like the sorted runs they patch. */
   def compact(spark: SparkSession, numBuckets: Int,
               sortCols: Seq[String] = Seq("conv_id", "turn_idx"),
               full: Boolean = false): Long = withMaintenanceLock {
