@@ -86,7 +86,9 @@ object CompactionBench {
     }
 
     val churnEpochs = 2 // 256k churn rows at every corpus point
-    val points = Seq(1, 4).map { mult =>
+    val mults = sys.env.getOrElse("GRAFT_CMPBENCH_MULTS", "1,4,16")
+      .split(",").toSeq.map(_.trim.toInt)
+    val points = mults.map { mult =>
       val reps = (0 until 3).map { r =>
         val root = s"/tmp/graft-cmpbench-m$mult-r$r"
         val (t, corpusRows) = build(root, mult, churnEpochs)

@@ -243,28 +243,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(snaps.map(_.getLong(0)).toSeq === (0L until 10L))
     assert(snaps.map(_.getLong(3)).sum === 80L)
 
-    // compact: one generation over all 10 epochs; table content unchanged
+    // compact: one generation over all 10 epochs; table content unchanged.
+    // First fold has no prior generation: everything written, nothing reused
     val before = spark.table("graft.db.m").count()
     val comp = spark.sql("CALL graft.system.compact('db.m')").collect().head
-    assert(comp.getLong(0) === 0L && comp.getInt(1) > 0)
+    assert(comp.getLong(0) === 0L && comp.getInt(1) > 0 && comp.getInt(2) === 0)
     assert(spark.table("graft.db.m").count() === before)
     // idempotent: nothing left to compact -> generation -1
     assert(spark.sql("CALL graft.system.compact('db.m')")
       .collect().head.getLong(0) === -1L)
+    // incremental second fold: the new epoch is written, the prior
+    // generation is REUSED — the output reports churn-sized work
+    sampleDf(4, base = 1767229600L).withColumn("turn_idx",
+      col("turn_idx") + lit(5000))
+      .writeTo("graft.db.m").option("epoch", "10")
+      .option("queryId", "m2").append()
+    val inc = spark.sql("CALL graft.system.compact('db.m')").collect().head
+    assert(inc.getLong(0) === 1L && inc.getInt(1) > 0 && inc.getInt(2) > 0)
+    assert(spark.table("graft.db.m").count() === before + 4)
 
     // gc reclaims the replaced per-epoch files
     val gced = spark.sql("CALL graft.system.gc('db.m')").collect().head.getInt(0)
     assert(gced > 0)
-    assert(spark.table("graft.db.m").count() === before)
+    assert(spark.table("graft.db.m").count() === before + 4)
 
     // expiry retires settled manifests outside the retention window and
-    // records the horizon
+    // records the horizon (11 epochs now; retain_last=2 keeps {9, 10})
     val exp = spark.sql(
       "CALL graft.system.expire_metadata('db.m', retain_last => 2)")
       .collect().head
-    assert(exp.getInt(0) === 8 && exp.getLong(1) === 7L)
-    assert(lite.snapshots.map(_.epochId) === Seq(8L, 9L))
-    assert(lite.expiryHorizon === Some(7L))
+    assert(exp.getInt(0) === 9 && exp.getLong(1) === 8L)
+    assert(lite.snapshots.map(_.epochId) === Seq(9L, 10L))
+    assert(lite.expiryHorizon === Some(8L))
 
     // unknown procedure and unknown table both fail loudly
     val unknownProc = intercept[Exception] {
@@ -282,9 +292,9 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("format") === "iceberglite")
     assert(props("buckets") === "2")
-    assert(props("latest_epoch") === "9")
-    assert(props("num_rows") === "80")
-    assert(props("expiry_horizon") === "7")
+    assert(props("latest_epoch") === "10")
+    assert(props("num_rows") === "84")
+    assert(props("expiry_horizon") === "8")
   }
 
   test("ALTER TABLE ADD COLUMN: add-only evolution, null-fill, versioned time travel") {
