@@ -644,6 +644,52 @@ object SparkEntry {
         .selectExpr("stack(3, 'live_rows', live_rows, " +
           "'live_min_us', live_min_us, 'live_max_us', live_max_us) AS (key, val)")
       hist.unionByName(stats)
+    }),
+    // compaction gate (round-5): the INCREMENTAL fold — prior generation
+    // reused verbatim, a DELETE's survivors folded, only the new epoch
+    // rewritten — must serve content identical to the raw fixture's
+    // post-DELETE state ('inc' view, pinned before the full pass), and the
+    // periodic full re-cluster must serve the same rows again ('full'
+    // view). A reuse split that drops/duplicates rows, mis-attributes a
+    // delete survivor, or a full pass that loses content is a mismatch.
+    "q40_compact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.cmp")
+      s.sql(
+        """CREATE TABLE graft.gate.cmp (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1).foreach { e =>
+        tx.filter(col("turn_idx") % 2 === e)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.cmp")
+          .option("epoch", e.toString).option("queryId", "gate").append()
+      }
+      s.sql("CALL graft.system.compact('gate.cmp')")        // gen 0: epochs 0+1
+      tx.filter(col("turn_idx") % 2 === 0)                  // epoch 2, so the
+        .withColumn("turn_idx", col("turn_idx") + lit(9000)) // fold has fresh
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts") // epochs
+        .writeTo("graft.gate.cmp")
+        .option("epoch", "2").option("queryId", "gate").append()
+      s.sql("DELETE FROM graft.gate.cmp WHERE role = 'tool'") // touches BOTH
+      s.sql("CALL graft.system.compact('gate.cmp')")        // gen 1: reuses
+      val cols = Seq(col("conv_id"), col("turn_idx"), col("role"),  // gen 0's
+        col("tool"), col("text"),                           // delete survivors
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val scratch = s"/tmp/graft-gate-cmp-${new java.io.File(dir).getName}"
+      s.table("graft.gate.cmp").select(cols: _*)
+        .withColumn("part", lit("inc"))
+        .write.mode("overwrite").parquet(s"$scratch/inc")   // pin pre-full
+      s.sql("CALL graft.system.compact('gate.cmp', mode => 'full')")
+      s.read.parquet(s"$scratch/inc")
+        .unionByName(s.table("graft.gate.cmp").select(cols: _*)
+          .withColumn("part", lit("full")))
     })
   )
 
@@ -1183,6 +1229,24 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'live_min_us', epoch_us(min(ts)) FROM $T WHERE role <> 'tool'
          |UNION ALL
-         |SELECT 'live_max_us', epoch_us(max(ts)) FROM $T WHERE role <> 'tool'""".stripMargin
+         |SELECT 'live_max_us', epoch_us(max(ts)) FROM $T WHERE role <> 'tool'""".stripMargin,
+    // q40: both views = the fixture + the epoch-2 slice, minus tool rows —
+    // compaction (incremental or full) is layout-only
+    "q40_compact" ->
+      s"""WITH all_rows AS (
+         |  SELECT conv_id, turn_idx, role, tool, text, ts FROM $T
+         |  UNION ALL
+         |  SELECT conv_id, turn_idx + 9000 AS turn_idx, role, tool, text, ts
+         |  FROM $T WHERE turn_idx % 2 = 0
+         |)
+         |SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'inc' AS part
+         |FROM all_rows WHERE role <> 'tool'
+         |UNION ALL
+         |SELECT conv_id, turn_idx, role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         |  'full' AS part
+         |FROM all_rows WHERE role <> 'tool'""".stripMargin
   )
 }
