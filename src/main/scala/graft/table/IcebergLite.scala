@@ -237,7 +237,7 @@ final class IcebergLite(val root: String) {
     import scala.collection.parallel.CollectionConverters._
     val files = published.par.map { case (dst, idx, rel) =>
       footerStats(dst, epochId, idx, rel)
-    }.toIndexedSeq.seq.sortBy(_.partitionId)
+    }.toIndexedSeq.sortBy(_.partitionId)
     writeSnapshot(queryId, epochId, files, numBuckets)
     deleteRecursively(stagingDir(epochId))
     true
@@ -443,7 +443,7 @@ final class IcebergLite(val root: String) {
     import scala.collection.parallel.CollectionConverters._
     published.par.map { case (dst, idx, rel) =>
       footerStats(dst, epochId, idx, rel)
-    }.toIndexedSeq.seq.sortBy(_.partitionId)
+    }.toIndexedSeq.sortBy(_.partitionId)
   }
 
   /** Step 3: atomically publish the snapshot (manifest + lineage).
@@ -1016,7 +1016,7 @@ final class IcebergLite(val root: String) {
               publishRewriteFile(r.orderBy("__graft_ord").drop("__graft_ord"),
                 stagingSrc, gen, idx, f.partitionId)))))
         }
-      }.toIndexedSeq.seq.sortBy(_._1)
+      }.toIndexedSeq.sortBy(_._1)
     val removes = results.map(_._2)
     val matchedRows = results.map(_._3).sum
     val mergeChangeFiles = results.map(_._4)
@@ -1117,7 +1117,7 @@ final class IcebergLite(val root: String) {
               (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
                 publishRewriteFile(replacement, staging, gen, idx, f.partitionId)))))
         }
-      }.toIndexedSeq.seq.sortBy(_._1)
+      }.toIndexedSeq.sortBy(_._1)
       val removes = results.map(_._2)
       val matchedRows = results.map(_._3).sum
       val changeFiles = results.map(_._4)
@@ -1652,7 +1652,7 @@ final class IcebergLite(val root: String) {
     import scala.collection.parallel.CollectionConverters._
     val files = (published.par.map { case (dst, idx, rel) =>
       footerStats(dst, gen, idx, rel)
-    }.toIndexedSeq.seq ++ reuse).sortBy(_.partitionId)
+    }.toIndexedSeq ++ reuse).sortBy(_.partitionId)
 
     val m = new JHashMap[String, Object]()
     m.put("gen", java.lang.Long.valueOf(gen))
