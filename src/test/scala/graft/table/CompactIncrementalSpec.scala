@@ -199,6 +199,48 @@ class CompactIncrementalSpec extends SparkSpec {
     assert(t.compact(spark, 8, full = true) === -1L) // now truly clustered
   }
 
+  test("model check: random append/delete/compact sequences keep content " +
+    "exactly equal to a set model (3 seeds x 12 steps)") {
+    import spark.implicits._
+    Seq(1, 2, 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val t = new IcebergLite(tmpDir(s"ci-model-$seed"))
+      t.create("conv_id string, turn_idx int, ts timestamp", 4)
+      var model = Set.empty[(String, Int)]
+      var nextEpoch = 0L
+      var nextKey = 0
+      (0 until 12).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => // append 1-30 rows, keys globally unique
+            val n = 1 + rnd.nextInt(30)
+            val rows = (0 until n).map { _ =>
+              val k = nextKey; nextKey += 1
+              (f"conv-${k % 7}%03d", k)
+            }
+            val df = rows.map { case (c, k) =>
+              (c, k, new Timestamp((1767225600L + k) * 1000L)) }
+              .toDF("conv_id", "turn_idx", "ts")
+            assert(t.commitEpoch(df, "q", nextEpoch, 4)); nextEpoch += 1
+            model ++= rows
+          case 2 => // delete a turn_idx range (possibly matching nothing)
+            val lo = rnd.nextInt(math.max(nextKey, 1))
+            val hi = lo + rnd.nextInt(20)
+            t.deleteWhere(spark, col("turn_idx") >= lo && col("turn_idx") <= hi,
+              s"turn_idx in [$lo, $hi]")
+            model = model.filterNot { case (_, k) => k >= lo && k <= hi }
+          case 3 => // fold — incremental or full, whatever the dice say
+            t.compact(spark, 4, full = rnd.nextBoolean())
+        }
+        if (t.effectiveFiles.isEmpty) assert(model.isEmpty)
+        else {
+          val got = t.read(spark).select("conv_id", "turn_idx").collect()
+            .map(r => (r.getString(0), r.getInt(1))).toSet
+          assert(got === model, s"seed $seed step $step diverged")
+        }
+      }
+    }
+  }
+
   test("time travel to a pre-compaction epoch is unaffected by incremental " +
     "passes (raw files pinned by the tag)") {
     val t = mkTable(tmpDir("ci-tt"), epochs = 2)
