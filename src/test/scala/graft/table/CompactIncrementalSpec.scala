@@ -199,6 +199,31 @@ class CompactIncrementalSpec extends SparkSpec {
     assert(t.compact(spark, 8, full = true) === -1L) // now truly clustered
   }
 
+  test("crash recovery: a fold that claimed its files but died before the " +
+    "manifest is invisible, orphan-protected, and redone by the retry") {
+    import spark.implicits._
+    val t = mkTable(tmpDir("ci-crash"), epochs = 2)
+    assert(t.compact(spark, 2) === 0L)
+    val df = Seq(("conv-ccc", 44444, new Timestamp(1767260000L * 1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    assert(t.commitEpoch(df, "q", 5L, 2))
+    val want = contents(t)
+    // run the fold, then simulate the crash: the gen-1 manifest vanishes
+    // while its claimed part-c0001 files stay on disk
+    assert(t.compact(spark, 2) === 1L)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t.root, "metadata", "compact-000001.json"))
+    assert(contents(t) === want) // readers fall back to gen 0 + epoch 5
+    // orphan cleanup must NOT reclaim the claimed-but-unmanifested files:
+    // their gen is above the committed high-water mark (the crash window)
+    assert(t.removeOrphans().forall(p => !p.contains("part-c0001")))
+    // the retry reuses the same gen id, re-claims byte-identically
+    // (claimFrom tolerates the leftover files) and lands the manifest
+    assert(t.compact(spark, 2) === 1L)
+    assert(contents(t) === want)
+    assert(t.compactions.map(_.gen) === Seq(0L, 1L))
+  }
+
   test("model check: random append/delete/compact sequences keep content " +
     "exactly equal to a set model (3 seeds x 12 steps)") {
     import spark.implicits._
