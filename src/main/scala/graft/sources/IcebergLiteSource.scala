@@ -149,6 +149,21 @@ object IcebergLiteSource {
     }
   }
 
+  /** Parquet-level predicate for the scan's pushed filters — row-group /
+    * page skipping inside surviving files ([[ParquetPushdown]]). Computed
+    * DRIVER-side at reader-factory creation so the session toggle
+    * `spark.sql.graft.parquetFilterPushdown` (default on; the off switch
+    * exists for A/B measurement) is honored per query. */
+  def parquetFilterFor(root: String, pushed: Seq[Filter]): Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.spark.sql.internal.SQLConf
+    if (pushed.isEmpty) return None
+    val on = SQLConf.get
+      .getConfString("spark.sql.graft.parquetFilterPushdown", "true").toBoolean
+    if (!on) return None
+    val t = new IcebergLite(root)
+    if (!t.exists) None else ParquetPushdown.build(pushed, t.fullReadSchemaAt(1))
+  }
+
   /** Schema served by `VERSION AS OF epoch` / `asOfEpoch` — the version the
     * snapshot was stamped with, so a pre-evolution epoch reads without the
     * later-added columns. */
@@ -414,20 +429,61 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+        with SupportsPushDownAggregates {
       // column pruning: Catalyst hands us the projected schema; the reader
       // asks parquet for exactly those columns (at 100 TB a 2-column
       // projection must not decode the text payload)
       private var required: StructType = tableSchema
       private var pushed: Array[Filter] = Array.empty
+      // creation-schema columns exist in EVERY data file (evolution is
+      // add-only) — the safe reference set for parquet-level predicates
+      private lazy val v1Schema: StructType = {
+        val t = new IcebergLite(root)
+        if (t.exists) t.fullReadSchemaAt(1) else new StructType()
+      }
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        pushed = filters.filter(PrunePredicate.prunable)
-        filters // ALL remain residual: pruning is file-granular, rows still
-                // need the exact predicate
+        if (filters.nonEmpty) sawFilters = true // gates aggregate pushdown
+        // pushed = used at SOME level below the row check: manifest
+        // file-pruning and/or parquet row-group skipping
+        pushed = filters.filter(f =>
+          PrunePredicate.prunable(f) || ParquetPushdown.convertible(f, v1Schema))
+        filters // ALL remain residual: pruning is file/row-group-granular,
+                // rows still need the exact predicate
       }
       override def pushedFilters(): Array[Filter] = pushed
+
+      // ---- metadata-only aggregate pushdown (see [[MetadataAggScan]]) ----
+      private var sawFilters = false
+      private var aggSpecs: Option[Seq[MetadataAggScan.AggSpec]] = None
+      private def validateAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[Seq[MetadataAggScan.AggSpec]] = {
+        // every engine filter is residual, so Spark only attempts aggregate
+        // pushdown on filterless plans — but the contract is ours to hold
+        if (sawFilters) return None
+        MetadataAggScan.specsOf(agg, tableSchema).filter { specs =>
+          // footer-stats-absent fallback signature (all-null ts file):
+          // decline MIN/MAX rather than serving the 0-sentinel as data
+          val needsTs = specs.exists(s => s == MetadataAggScan.MinTsSpec ||
+            s == MetadataAggScan.MaxTsSpec)
+          !needsTs || {
+            val t = new IcebergLite(root)
+            t.exists && t.effectiveFiles.forall(f =>
+              f.rowCount == 0L || f.minTsMicros != 0L || f.maxTsMicros != 0L)
+          }
+        }
+      }
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        validateAgg(agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        aggSpecs = validateAgg(agg)
+        aggSpecs.isDefined
+      }
+
       override def build(): Scan = {
         // time travel: catalog pin (VERSION AS OF) or reader option; both
         // present must agree — a silent winner would read the wrong epoch
@@ -449,10 +505,16 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
             require(n > 0, s"option $key must be positive, got $n")
             n
           }
-        new IcebergLiteScan(root, required, PrunePredicate.from(pushed.toSeq),
-          options.getBoolean("startAtExpiryHorizon", false),
-          optEpoch.orElse(asOf),
-          posLong("maxEpochsPerTrigger"), posLong("maxRowsPerTrigger"))
+        aggSpecs match {
+          case Some(specs) =>
+            new MetadataAggScan(root, specs, optEpoch.orElse(asOf))
+          case None =>
+            new IcebergLiteScan(root, required, PrunePredicate.from(pushed.toSeq),
+              options.getBoolean("startAtExpiryHorizon", false),
+              optEpoch.orElse(asOf),
+              posLong("maxEpochsPerTrigger"), posLong("maxRowsPerTrigger"),
+              pushed.toSeq)
+        }
       }
     }
 }
@@ -462,7 +524,8 @@ final class IcebergLiteScan(root: String, schema: StructType,
                             startAtExpiryHorizon: Boolean = false,
                             asOf: Option[Long] = None,
                             maxEpochsPerTrigger: Option[Long] = None,
-                            maxRowsPerTrigger: Option[Long] = None)
+                            maxRowsPerTrigger: Option[Long] = None,
+                            pushedSrc: Seq[Filter] = Nil)
     extends Scan with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def description(): String =
@@ -533,7 +596,8 @@ final class IcebergLiteScan(root: String, schema: StructType,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = batchPartitions
     override def createReaderFactory(): PartitionReaderFactory =
-      new ParquetColumnarReaderFactory(schema)
+      new ParquetColumnarReaderFactory(schema,
+        IcebergLiteSource.parquetFilterFor(root, pushedSrc))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -546,7 +610,8 @@ final class IcebergLiteScan(root: String, schema: StructType,
       // registry entry across restarts
       "cp-" + org.apache.commons.codec.digest.DigestUtils
         .md5Hex(checkpointLocation).take(12),
-      startAtExpiryHorizon, maxEpochsPerTrigger, maxRowsPerTrigger)
+      startAtExpiryHorizon, maxEpochsPerTrigger, maxRowsPerTrigger,
+      pushedSrc)
   }
 }
 
@@ -574,7 +639,8 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
                                         readerId: String,
                                         startAtExpiryHorizon: Boolean = false,
                                         maxEpochsPerTrigger: Option[Long] = None,
-                                        maxRowsPerTrigger: Option[Long] = None)
+                                        maxRowsPerTrigger: Option[Long] = None,
+                                        pushedSrc: Seq[Filter] = Nil)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def table = new IcebergLite(root)
   private def latestEpoch: Long =
@@ -706,7 +772,8 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ParquetColumnarReaderFactory(schema)
+    new ParquetColumnarReaderFactory(schema,
+      IcebergLiteSource.parquetFilterFor(root, pushedSrc))
 
   // Source-side commit: epochs are immutable so there is nothing to ack —
   // but advancing the reader registration here is what lets gc() reclaim
@@ -721,7 +788,8 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
   * (round-2 VERDICT: the row-oriented parquet-mr `Group` reader paid ~an
   * order of magnitude at scale). A zero-column projection skips parquet
   * entirely and emits manifest-counted empty rows. */
-final class ParquetColumnarReaderFactory(schema: StructType)
+final class ParquetColumnarReaderFactory(schema: StructType,
+    pqFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -734,16 +802,21 @@ final class ParquetColumnarReaderFactory(schema: StructType)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new MultiFileColumnarReader(filesOf(partition)._1, schema)
+    new MultiFileColumnarReader(filesOf(partition)._1, schema, pqFilter)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val (paths, rowCount) = filesOf(partition)
+    // NOTE the zero-column count path deliberately ignores the parquet
+    // filter: it serves ONLY when no residual filter exists (Spark prunes
+    // to zero columns just for unfiltered counts), and manifest row counts
+    // are exact there.
     if (schema.isEmpty) new CountRowsReader(rowCount)
-    else new RowsFromBatchReader(new MultiFileColumnarReader(paths, schema))
+    else new RowsFromBatchReader(new MultiFileColumnarReader(paths, schema, pqFilter))
   }
 }
 
-final class VectorizedFileReader(path: String, schema: StructType)
+final class VectorizedFileReader(path: String, schema: StructType,
+    pqFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
     extends PartitionReader[ColumnarBatch] {
   // Full public constructor with explicit rebase specs (CORRECTED — correct
   // for our self-written TIMESTAMP_MICROS files). Round-3 ADVICE asked the
@@ -764,9 +837,16 @@ final class VectorizedFileReader(path: String, schema: StructType)
       new HPath(path), 0,
       java.nio.file.Files.size(java.nio.file.Paths.get(path)),
       Array.empty[String])
+    val conf = VectorizedFileReader.confFor(schema)
+    // Row-group / page skipping: HadoopReadOptions picks the predicate up
+    // from the conf (stats + dictionary + bloom filtering default-on), so
+    // non-matching row groups are dropped in ParquetFileReader.getRowGroups
+    // before any data page IO. The vectorized reader never applies the
+    // predicate per-row — Spark's residual filter keeps row exactness.
+    pqFilter.foreach(p => org.apache.parquet.hadoop.ParquetInputFormat
+      .setFilterPredicate(conf, p))
     val attempt = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      VectorizedFileReader.confFor(schema),
-      new org.apache.hadoop.mapreduce.TaskAttemptID())
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     reader.initialize(split, attempt)
     reader.initBatch(new StructType(), InternalRow.empty)
     reader.enableReturningBatches()
@@ -807,7 +887,8 @@ object VectorizedFileReader {
 
 /** Chains [[VectorizedFileReader]]s over a packed partition's files —
   * at most one file open at a time. */
-final class MultiFileColumnarReader(paths: Seq[String], schema: StructType)
+final class MultiFileColumnarReader(paths: Seq[String], schema: StructType,
+    pqFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
     extends PartitionReader[ColumnarBatch] {
   private var idx = 0
   private var cur: VectorizedFileReader = _
@@ -816,7 +897,7 @@ final class MultiFileColumnarReader(paths: Seq[String], schema: StructType)
     while (true) {
       if (cur == null) {
         if (idx >= paths.length) return false
-        cur = new VectorizedFileReader(paths(idx), schema)
+        cur = new VectorizedFileReader(paths(idx), schema, pqFilter)
         idx += 1
       }
       if (cur.next()) return true
