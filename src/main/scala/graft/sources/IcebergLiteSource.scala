@@ -526,11 +526,33 @@ final class IcebergLiteScan(root: String, schema: StructType,
                             maxEpochsPerTrigger: Option[Long] = None,
                             maxRowsPerTrigger: Option[Long] = None,
                             pushedSrc: Seq[Filter] = Nil)
-    extends Scan with SupportsReportPartitioning {
+    extends Scan with SupportsReportPartitioning with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"IcebergLiteScan($root, pruneBy=$pred" +
       asOf.map(e => s", asOf=$e").getOrElse("") + ")"
+
+  // ---- runtime join filtering (dynamic file pruning) -----------------------
+  // Spark evaluates the small side of a conv_id equi-join first and hands
+  // this scan the resulting IN-list just before execution
+  // (SupportsRuntimeFiltering): "enrich these 10k flagged conversations"
+  // then prunes to the flagged convs' buckets — and, through the parquet
+  // predicate, their row groups — instead of scanning the table. Composes
+  // with the static pushed filters by simple conjunction.
+  @volatile private var runtimeFilters: Seq[Filter] = Nil
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("conv_id"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.toSeq.filter(PrunePredicate.prunable)
+
+  /** Static + runtime predicate — rebuilt from the raw filters so interval
+    * intersection / set conjunction rules apply uniformly. */
+  private def effectivePred: PrunePredicate =
+    if (runtimeFilters.isEmpty) pred
+    else PrunePredicate.from(
+      pushedSrc.filter(PrunePredicate.prunable) ++ runtimeFilters)
 
   // planned once per scan (driver-side): file sets + manifest pruning are
   // shared between outputPartitioning() and planInputPartitions(), which
@@ -579,17 +601,34 @@ final class IcebergLiteScan(root: String, schema: StructType,
     else None
   }
 
-  private lazy val batchPartitions: Array[InputPartition] =
-    if (keyGroupedBuckets.isDefined)
-      pruned._2.groupBy(_.partitionId).toSeq.sortBy(_._1).map { case (b, fs) =>
+  /** Bucket ids present BEFORE runtime filtering — the key-grouped layout
+    * reported to Spark. Runtime filtering keeps every one of these
+    * partitions (with a possibly-empty file list) so the reported
+    * KeyGroupedPartitioning stays exactly true after `filter()`: Spark
+    * rejects a scan whose runtime-filtered partition keys change. */
+  private lazy val grouped0: Seq[Int] =
+    pruned._2.map(_.partitionId).distinct.sorted
+
+  private def currentFiles: Seq[DataFileMeta] =
+    if (runtimeFilters.isEmpty) pruned._2 else effectivePred.prune(pruned._1)
+
+  private def batchPartitions: Array[InputPartition] = {
+    val files = currentFiles
+    if (runtimeFilters.nonEmpty)
+      IcebergLiteScan.lastRuntimePlan = Some((pruned._2.length, files.length))
+    if (keyGroupedBuckets.isDefined) {
+      val byBucket = files.groupBy(_.partitionId)
+      grouped0.map { b =>
+        val fs = byBucket.getOrElse(b, Nil)
         BucketFilePartition(b, fs.map(f => s"$root/${f.path}"),
           fs.map(_.rowCount).sum): InputPartition
       }.toArray
-    else IcebergLiteSource.packPartitions(root, pruned._2)
+    } else IcebergLiteSource.packPartitions(root, files)
+  }
 
   override def outputPartitioning(): Partitioning = keyGroupedBuckets match {
     case Some(n) => new KeyGroupedPartitioning(
-      Array(Expressions.bucket(n, "conv_id")), batchPartitions.length)
+      Array(Expressions.bucket(n, "conv_id")), grouped0.length)
     case None => new UnknownPartitioning(0)
   }
 
@@ -597,7 +636,8 @@ final class IcebergLiteScan(root: String, schema: StructType,
     override def planInputPartitions(): Array[InputPartition] = batchPartitions
     override def createReaderFactory(): PartitionReaderFactory =
       new ParquetColumnarReaderFactory(schema,
-        IcebergLiteSource.parquetFilterFor(root, pushedSrc))
+        // the runtime IN-list also reaches parquet's row-group filter
+        IcebergLiteSource.parquetFilterFor(root, pushedSrc ++ runtimeFilters))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -613,6 +653,13 @@ final class IcebergLiteScan(root: String, schema: StructType,
       startAtExpiryHorizon, maxEpochsPerTrigger, maxRowsPerTrigger,
       pushedSrc)
   }
+}
+
+object IcebergLiteScan {
+  /** Test observability hook ONLY (the [[IcebergLite.lastStageArranged]]
+    * pattern): (files before, files after) of the most recent
+    * runtime-filtered partition planning. Never read by engine code. */
+  @volatile private[graft] var lastRuntimePlan: Option[(Int, Int)] = None
 }
 
 /** Offset = highest committed epoch id (−1 before any commit). */

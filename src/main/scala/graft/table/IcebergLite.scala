@@ -482,15 +482,7 @@ final class IcebergLite(val root: String) {
     // serves this version's schema (deterministic: part of the snapshot)
     snap.put("schemaVersion", Integer.valueOf(schemaVersion))
     val list: JList[Object] = new JArrayList[Object]()
-    files.foreach { f =>
-      val m = new JHashMap[String, Object]()
-      m.put("path", f.path)
-      m.put("partitionId", Integer.valueOf(f.partitionId))
-      m.put("rowCount", java.lang.Long.valueOf(f.rowCount))
-      m.put("minTs", java.lang.Long.valueOf(f.minTsMicros))
-      m.put("maxTs", java.lang.Long.valueOf(f.maxTsMicros))
-      list.add(m)
-    }
+    files.foreach(f => list.add(fileJson(f)))
     snap.put("files", list)
     atomicWrite(snapPath(epochId), mapper.writeValueAsBytes(snap))
   }
@@ -526,10 +518,27 @@ final class IcebergLite(val root: String) {
   private def parseBuckets(n: com.fasterxml.jackson.databind.JsonNode): Int =
     if (n.has("numBuckets")) n.get("numBuckets").asInt() else -1
 
+  /** Shared manifest JSON for one data file — snapshot, delete and
+    * compaction manifests must agree on the fields or pruning would
+    * silently diverge between read paths. */
+  private def fileJson(f: DataFileMeta): JHashMap[String, Object] = {
+    val m = new JHashMap[String, Object]()
+    m.put("path", f.path)
+    m.put("partitionId", Integer.valueOf(f.partitionId))
+    m.put("rowCount", java.lang.Long.valueOf(f.rowCount))
+    m.put("minTs", java.lang.Long.valueOf(f.minTsMicros))
+    m.put("maxTs", java.lang.Long.valueOf(f.maxTsMicros))
+    f.convIdMin.foreach(v => m.put("convMin", v))
+    f.convIdMax.foreach(v => m.put("convMax", v))
+    m
+  }
+
   private def parseFiles(n: com.fasterxml.jackson.databind.JsonNode): Seq[DataFileMeta] =
     n.get("files").elements().asScala.map { f =>
       DataFileMeta(f.get("path").asText(), f.get("partitionId").asInt(),
-        f.get("rowCount").asLong(), f.get("minTs").asLong(), f.get("maxTs").asLong())
+        f.get("rowCount").asLong(), f.get("minTs").asLong(), f.get("maxTs").asLong(),
+        Option(f.get("convMin")).map(_.asText()),
+        Option(f.get("convMax")).map(_.asText()))
     }.toSeq
 
   // ---- compaction (S8 — the analogue of save(garbage=4, deflate=True):
@@ -1175,15 +1184,7 @@ final class IcebergLite(val root: String) {
         fs.put("sourceEpoch", java.lang.Long.valueOf(se))
         fs.put("numBuckets", Integer.valueOf(nb))
         val fl: JList[Object] = new JArrayList[Object]()
-        group.map(_._3).sortBy(_.path).foreach { df =>
-          val fm = new JHashMap[String, Object]()
-          fm.put("path", df.path)
-          fm.put("partitionId", Integer.valueOf(df.partitionId))
-          fm.put("rowCount", java.lang.Long.valueOf(df.rowCount))
-          fm.put("minTs", java.lang.Long.valueOf(df.minTsMicros))
-          fm.put("maxTs", java.lang.Long.valueOf(df.maxTsMicros))
-          fl.add(fm)
-        }
+        group.map(_._3).sortBy(_.path).foreach(df => fl.add(fileJson(df)))
         fs.put("files", fl)
         fsl.add(fs)
     }
@@ -1661,15 +1662,7 @@ final class IcebergLite(val root: String) {
     replaced.foreach(e => rl.add(java.lang.Long.valueOf(e)))
     m.put("replaces", rl)
     val fl: JList[Object] = new JArrayList[Object]()
-    files.foreach { f =>
-      val fm = new JHashMap[String, Object]()
-      fm.put("path", f.path)
-      fm.put("partitionId", Integer.valueOf(f.partitionId))
-      fm.put("rowCount", java.lang.Long.valueOf(f.rowCount))
-      fm.put("minTs", java.lang.Long.valueOf(f.minTsMicros))
-      fm.put("maxTs", java.lang.Long.valueOf(f.maxTsMicros))
-      fl.add(fm)
-    }
+    files.foreach(f => fl.add(fileJson(f)))
     m.put("files", fl)
     // every delete manifest present is reflected in the rows just
     // rewritten (compaction reads the post-delete effective view), so
@@ -2218,6 +2211,12 @@ final class IcebergLite(val root: String) {
       var rows = 0L
       var minTs = Long.MaxValue
       var maxTs = Long.MinValue
+      // conv_id bounds (unsigned-byte UTF8 order, the stats' own
+      // comparator): valid only if EVERY row group carries them — a single
+      // stats-less group means unknown rows, so no bounds are recorded
+      var convMin: org.apache.parquet.io.api.Binary = null
+      var convMax: org.apache.parquet.io.api.Binary = null
+      var convBlocks = 0
       md.getBlocks.asScala.foreach { b =>
         rows += b.getRowCount
         b.getColumns.asScala.find(_.getPath.toDotString == "ts").foreach { c =>
@@ -2235,9 +2234,26 @@ final class IcebergLite(val root: String) {
             }
           }
         }
+        b.getColumns.asScala.find(_.getPath.toDotString == "conv_id").foreach { c =>
+          c.getStatistics match {
+            case bs: org.apache.parquet.column.statistics.BinaryStatistics
+                if !bs.isEmpty =>
+              val cmp = bs.comparator()
+                .asInstanceOf[java.util.Comparator[org.apache.parquet.io.api.Binary]]
+              val mn = bs.genericGetMin
+              val mx = bs.genericGetMax
+              if (convMin == null || cmp.compare(mn, convMin) < 0) convMin = mn
+              if (convMax == null || cmp.compare(mx, convMax) > 0) convMax = mx
+              convBlocks += 1
+            case _ =>
+          }
+        }
       }
       if (minTs == Long.MaxValue) { minTs = 0L; maxTs = 0L }
-      DataFileMeta(rel, idx, rows, minTs, maxTs)
+      val boundsOk = convBlocks == md.getBlocks.size() && convMin != null
+      DataFileMeta(rel, idx, rows, minTs, maxTs,
+        if (boundsOk) Some(convMin.toStringUsingUTF8) else None,
+        if (boundsOk) Some(convMax.toStringUsingUTF8) else None)
     } finally reader.close()
   }
 
@@ -2326,8 +2342,18 @@ final class IcebergLite(val root: String) {
   }
 }
 
+/** One data file's manifest entry. `convIdMin`/`convIdMax` (round 5) are
+  * the file's conv_id bounds from the parquet footer's column-chunk stats
+  * — recorded only when every row group carries them, absent on
+  * pre-round-5 manifests (None = no intra-bucket pruning, never wrong).
+  * Bounds compare in UNSIGNED byte order (parquet's UTF8 comparator ==
+  * `UTF8String.compareTo`), and survive truncated footer stats safely:
+  * a truncated min is a prefix (≤ true min), a truncated max is
+  * prefix-incremented (≥ true max) — conservative in both directions. */
 final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
-                              minTsMicros: Long, maxTsMicros: Long)
+                              minTsMicros: Long, maxTsMicros: Long,
+                              convIdMin: Option[String] = None,
+                              convIdMax: Option[String] = None)
 final case class SnapshotMeta(queryId: String, epochId: Long,
                               files: Seq[DataFileMeta], numBuckets: Int = -1,
                               schemaVersion: Int = 1, maxGen: Long = 0L)
@@ -2462,9 +2488,23 @@ object IcebergLite {
                     maxTsMicros: Option[Long], convIdEq: Option[String]): Seq[DataFileMeta] =
     sets.flatMap { fs =>
       val byBucket = convIdEq match {
-        case Some(c) if fs.numBuckets > 0 =>
-          val b = bucketOf(c, fs.numBuckets)
-          fs.files.filter(_.partitionId == b)
+        case Some(c) =>
+          val routed =
+            if (fs.numBuckets > 0) {
+              val b = bucketOf(c, fs.numBuckets)
+              fs.files.filter(_.partitionId == b)
+            } else fs.files
+          // intra-bucket bounds pruning: a file whose manifest conv_id
+          // range excludes the literal (unsigned byte order, matching the
+          // parquet UTF8 comparator the bounds came from) cannot contain
+          // it. Absent bounds (pre-round-5 manifests) admit everything.
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(c)
+          routed.filter { f =>
+            f.convIdMin.forall(mn =>
+              u.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(mn)) >= 0) &&
+            f.convIdMax.forall(mx =>
+              u.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(mx)) <= 0)
+          }
         case _ => fs.files
       }
       byBucket.filter { f =>
