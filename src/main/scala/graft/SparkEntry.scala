@@ -690,6 +690,102 @@ object SparkEntry {
       s.read.parquet(s"$scratch/inc")
         .unionByName(s.table("graft.gate.cmp").select(cols: _*)
           .withColumn("part", lit("full")))
+    }),
+    // scan-pruning gate (round-5): the three new read paths over one
+    // connector-served table — (a) metadata-only aggregate pushdown
+    // (COUNT/MIN/MAX answered from manifests, no data IO), (b) a pushed
+    // conv-IN + turn_idx filter (manifest bucket/bounds pruning + parquet
+    // row-group skipping, rows still residual-exact), (c) a conv_id
+    // equi-join eligible for runtime file pruning. The DuckDB oracle
+    // recomputes all five numbers from the raw fixture — a pruning level
+    // that drops or double-serves a row is a content mismatch.
+    "q41_scan_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.prune")
+      s.sql(
+        """CREATE TABLE graft.gate.prune (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1, 2).foreach { e =>
+        tx.filter(col("turn_idx") % 3 === e)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.prune")
+          .option("epoch", e.toString).option("queryId", "gate").append()
+      }
+      val t = s.table("graft.gate.prune")
+      val aggs = t.agg(count(lit(1)).as("v1"),
+          unix_micros(min(col("ts"))).as("v2"),
+          unix_micros(max(col("ts"))).as("v3"))
+        .selectExpr("stack(3, 'agg_rows', v1, 'agg_min_us', v2, " +
+          "'agg_max_us', v3) AS (key, val)")
+      val slice = t.filter(col("conv_id")
+          .isin("conv-000007", "conv-000042", "conv-000123") &&
+          col("turn_idx") > 5)
+        .agg(count(lit(1)).as("val"))
+        .select(lit("slice_n").as("key"), col("val"))
+      val dim = tx.filter(col("conv_id").startsWith("conv-0000"))
+        .select("conv_id").distinct()
+      val joined = t.join(dim, Seq("conv_id"))
+        .agg(count(lit(1)).as("val"))
+        .select(lit("join_n").as("key"), col("val"))
+      aggs.unionByName(slice).unionByName(joined)
+    }),
+    // branch gate (round-5): the full branch lifecycle must be
+    // content-exact — the 'pre' view (main while the branch holds the odd
+    // rows, pinned before publication), the 'branch' audit view (main +
+    // stages), and the 'post' view after ONE atomic fast_forward. A stage
+    // that leaks into main, a branch view missing live rows, or a
+    // fast-forward that loses/duplicates an epoch is a mismatch.
+    "q42_branch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.br")
+      s.sql(
+        """CREATE TABLE graft.gate.br (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      tx.filter(col("turn_idx") % 2 === 0)
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.br")
+        .option("epoch", "0").option("queryId", "gate").append()
+      s.sql("CALL graft.system.create_branch('gate.br', 'audit')")
+      // the odd rows land ON the branch, split over two staged epochs
+      Seq((1, 3), (3, 4)).foreach { case (rem, modulus) =>
+        tx.filter(col("turn_idx") % 2 === 1 &&
+            col("turn_idx") % modulus === rem)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.br").option("branch", "audit")
+          .option("queryId", "gate").append()
+      }
+      // (turn_idx%2==1) splits exactly into (%3==1) ∪ (%4==3)? No — pin
+      // the slices the TWO stages actually carry; the oracle recomputes
+      // the same two predicates, so coverage never needs to be a partition
+      val cols = Seq(col("conv_id"), col("turn_idx"), col("role"),
+        col("tool"), col("text"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val scratch = s"/tmp/graft-gate-br-${new java.io.File(dir).getName}"
+      s.table("graft.gate.br").select(cols: _*)
+        .withColumn("part", lit("pre"))
+        .write.mode("overwrite").parquet(s"$scratch/pre")
+      s.read.option("branch", "audit").table("graft.gate.br")
+        .select(cols: _*).withColumn("part", lit("branch"))
+        .write.mode("overwrite").parquet(s"$scratch/branch")
+      s.sql("CALL graft.system.fast_forward('gate.br', 'audit')")
+      s.read.parquet(s"$scratch/pre")
+        .unionByName(s.read.parquet(s"$scratch/branch"))
+        .unionByName(s.table("graft.gate.br").select(cols: _*)
+          .withColumn("part", lit("post")))
     })
   )
 
@@ -1247,6 +1343,42 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, role, tool, text,
          |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
          |  'full' AS part
-         |FROM all_rows WHERE role <> 'tool'""".stripMargin
+         |FROM all_rows WHERE role <> 'tool'""".stripMargin,
+    // q41: every pruning level must be content-neutral — the oracle
+    // recomputes the aggregates, the filtered slice and the join from the
+    // raw fixture
+    "q41_scan_prune" ->
+      s"""SELECT 'agg_rows' AS key, count(*) AS val FROM $T
+         |UNION ALL
+         |SELECT 'agg_min_us', epoch_us(min(ts)) FROM $T
+         |UNION ALL
+         |SELECT 'agg_max_us', epoch_us(max(ts)) FROM $T
+         |UNION ALL
+         |SELECT 'slice_n', count(*) FROM $T
+         |WHERE conv_id IN ('conv-000007', 'conv-000042', 'conv-000123')
+         |  AND turn_idx > 5
+         |UNION ALL
+         |SELECT 'join_n', count(*) FROM $T t
+         |JOIN (SELECT DISTINCT conv_id FROM $T
+         |      WHERE conv_id LIKE 'conv-0000%') d USING (conv_id)""".stripMargin,
+    // q42: 'pre' = the committed even rows; 'branch' and 'post' = even
+    // rows plus BOTH staged odd slices (UNION ALL — the slices overlap at
+    // turn_idx ≡ 7 mod 12, and both epochs legitimately carry those rows)
+    "q42_branch" ->
+      s"""WITH base AS (
+         |  SELECT conv_id, turn_idx, role, tool, text,
+         |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |  FROM $T
+         |), pre AS (SELECT * FROM base WHERE turn_idx % 2 = 0),
+         |full_v AS (
+         |  SELECT * FROM base WHERE turn_idx % 2 = 0
+         |  UNION ALL
+         |  SELECT * FROM base WHERE turn_idx % 2 = 1 AND turn_idx % 3 = 1
+         |  UNION ALL
+         |  SELECT * FROM base WHERE turn_idx % 2 = 1 AND turn_idx % 4 = 3
+         |)
+         |SELECT *, 'pre' AS part FROM pre
+         |UNION ALL SELECT *, 'branch' FROM full_v
+         |UNION ALL SELECT *, 'post' FROM full_v""".stripMargin
   )
 }

@@ -99,6 +99,19 @@ object PlanAudit {
             "the .staged audit surface scans only the staged manifests' own " +
             "files with constant-vector identity columns — auditing a stage " +
             "on a 10^12-row table reads the staged files, never the table")
+      case "q41_scan_prune" =>
+        checks += Check("global COUNT/MIN/MAX served by the metadata agg scan",
+          has("IcebergLiteMetadataAggScan"),
+          "the manifests ARE the answer: one result row from the driver, " +
+            "no data IO, no aggregate node over table rows — at 10^12 rows " +
+            "the old shape iterated one empty row per table row")
+        checks += Check("conv IN-list reaches the pruned scan",
+          has("conv-000042"),
+          "bucket routing + per-file conv bounds at the manifest, the same " +
+            "IN-list again at parquet's row-group filter")
+        checks += Check("enrich join is equi (no cartesian)",
+          !has("CartesianProduct") && !has("BroadcastNestedLoopJoin"),
+          "the dim side is broadcastable and runtime file pruning applies")
       case "q24_sketch_build" =>
         checks += Check("CMS aggregate runs partial+final (ObjectHashAggregate)",
           has("ObjectHashAggregate") && has("graft_cms_sketch"),
@@ -130,7 +143,7 @@ object PlanAudit {
       "q3_window_stats", "q19_sliding_stats", "q20_session_bounds",
       "q21_dead_letter", "q22_shingle_detect", "q23_late_data",
       "q24_cms_profile", "q24_sketch_build", "q33_changes", "q36_change_feed",
-      "q37_restore", "q38_wap")
+      "q37_restore", "q38_wap", "q41_scan_prune")
     val out = new StringBuilder
     out ++= "# PLANS — physical-plan audit of the gate queries\n\n"
     out ++= "Checks target the properties that matter at 100 TB: pushdown,\n"

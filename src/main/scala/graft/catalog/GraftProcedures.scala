@@ -232,6 +232,58 @@ private[catalog] object GraftProcedures {
       (table, _) => table.tags.toSeq.sortBy(_._1)
         .map { case (n, e) => row(n, e) }.toArray, resolve),
 
+    // branches: named chains of staged epochs publishing atomically —
+    // write with df.writeTo(...).option("branch", name).append(), audit
+    // with spark.read...option("branch", name), then fast_forward (all
+    // epochs visible at once) or drop_branch (all discarded)
+    "create_branch" -> new Proc("create_branch",
+      Array(tableParam,
+        ProcedureParameter.in("name", StringType)
+          .comment("branch name (letters first; shares the tag name space)")
+          .build()),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("reserved_gen", LongType, nullable = false))),
+      (table, in) => {
+        val name = in.getUTF8String(1).toString
+        Array(row(name, table.createBranch(name)))
+      }, resolve),
+
+    "branches" -> new Proc("branches",
+      Array(tableParam),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("reserved_gen", LongType, nullable = false),
+        StructField("staged_epochs", LongType, nullable = false))),
+      (table, _) => table.branches.toSeq.sortBy(_._1)
+        .map { case (n, g) =>
+          row(n, g, table.branchEpochs(n).length.toLong)
+        }.toArray, resolve),
+
+    "fast_forward" -> new Proc("fast_forward",
+      Array(tableParam,
+        ProcedureParameter.in("name", StringType)
+          .comment("branch to publish — every staged epoch becomes " +
+            "visible in ONE atomic manifest write").build()),
+      StructType(Seq(
+        StructField("activated_epoch", LongType, nullable = false))),
+      (table, in) => {
+        val name = in.getUTF8String(1).toString
+        table.fastForward(name).map(e => row(e)).toArray
+      }, resolve),
+
+    "drop_branch" -> new Proc("drop_branch",
+      Array(tableParam,
+        ProcedureParameter.in("name", StringType)
+          .comment("branch to discard (staged epochs + files deleted; " +
+            "loud if already fast-forwarded)").build()),
+      StructType(Seq(
+        StructField("deleted", StringType, nullable = false))),
+      (table, in) => {
+        val name = in.getUTF8String(1).toString
+        table.dropBranch(name).map(p => row(p)).toArray
+      }, resolve),
+
     // CDC inspection: per-change-type row counts between two versions —
     // the bounded summary of graft.table.TableChanges.since (the full
     // distributed change feed is the programmatic surface; a CALL result

@@ -430,7 +430,7 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-        with SupportsPushDownAggregates {
+        with SupportsPushDownAggregates with SupportsPushDownLimit {
       // column pruning: Catalyst hands us the projected schema; the reader
       // asks parquet for exactly those columns (at 100 TB a 2-column
       // projection must not decode the text payload)
@@ -463,6 +463,15 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
         // every engine filter is residual, so Spark only attempts aggregate
         // pushdown on filterless plans — but the contract is ours to hold
         if (sawFilters) return None
+        // session toggle (default on): A/B measurement + escape hatch,
+        // mirroring spark.sql.graft.parquetFilterPushdown
+        if (!org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("spark.sql.graft.aggregatePushdown", "true").toBoolean)
+          return None
+        // a branch view includes staged epochs — serve it with the
+        // ordinary scan (correctness first; the manifests could answer,
+        // but the decline keeps the branch path single)
+        if (Option(options.get("branch")).exists(_.nonEmpty)) return None
         MetadataAggScan.specsOf(agg, tableSchema).filter { specs =>
           // footer-stats-absent fallback signature (all-null ts file):
           // decline MIN/MAX rather than serving the 0-sentinel as data
@@ -475,6 +484,18 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
           }
         }
       }
+      // ---- limit pushdown: plan only enough FILES to cover the limit ----
+      // (partial: Spark keeps its own Limit; any subset of files is a
+      // valid prefix source for an unordered LIMIT, and manifest row
+      // counts are exact — `SELECT * LIMIT 100` on a 10^12-row table
+      // plans one file, not the table). Declined when filters exist:
+      // a file-cap under a residual filter could starve the limit.
+      private var pushedLimit: Option[Int] = None
+      override def pushLimit(n: Int): Boolean = {
+        if (sawFilters) false
+        else { pushedLimit = Some(n); true }
+      }
+
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         validateAgg(agg).isDefined
@@ -505,15 +526,19 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
             require(n > 0, s"option $key must be positive, got $n")
             n
           }
+        val branch = Option(options.get("branch")).filter(_.nonEmpty)
+        require(branch.isEmpty || optEpoch.orElse(asOf).isEmpty,
+          s"options 'branch' and time travel are exclusive for $root: a " +
+            "branch view is the LIVE table plus the branch's stages")
         aggSpecs match {
-          case Some(specs) =>
+          case Some(specs) if branch.isEmpty =>
             new MetadataAggScan(root, specs, optEpoch.orElse(asOf))
-          case None =>
+          case _ =>
             new IcebergLiteScan(root, required, PrunePredicate.from(pushed.toSeq),
               options.getBoolean("startAtExpiryHorizon", false),
               optEpoch.orElse(asOf),
               posLong("maxEpochsPerTrigger"), posLong("maxRowsPerTrigger"),
-              pushed.toSeq)
+              pushed.toSeq, pushedLimit, branch)
         }
       }
     }
@@ -525,9 +550,35 @@ final class IcebergLiteScan(root: String, schema: StructType,
                             asOf: Option[Long] = None,
                             maxEpochsPerTrigger: Option[Long] = None,
                             maxRowsPerTrigger: Option[Long] = None,
-                            pushedSrc: Seq[Filter] = Nil)
-    extends Scan with SupportsReportPartitioning with SupportsRuntimeFiltering {
+                            pushedSrc: Seq[Filter] = Nil,
+                            limit: Option[Int] = None,
+                            branch: Option[String] = None)
+    extends Scan with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   override def readSchema(): StructType = schema
+
+  /** Manifest-exact statistics for the PRUNED scan (called after filter
+    * pushdown, so a conv-slice reports the slice, not the table): row count
+    * from footer-exact per-file counts, bytes from the recorded on-disk
+    * sizes (round 5; files from older manifests fall back to
+    * `rows x schema default size`). This is what lets Spark auto-broadcast
+    * a small graft dim in a join and lets the dynamic-pruning cost model
+    * run on real numbers — without it a DSv2 source reports
+    * `defaultSizeInBytes` (effectively infinite) and every graft-side
+    * join plans as if the table were unbroadcastable. */
+  override def estimateStatistics(): Statistics = {
+    val files = currentFiles
+    val rows = files.map(_.rowCount).sum
+    val (known, unknown) = files.partition(_.sizeBytes >= 0L)
+    val bytes = known.map(_.sizeBytes).sum +
+      unknown.map(_.rowCount).sum * schema.defaultSize.toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def description(): String =
     s"IcebergLiteScan($root, pruneBy=$pred" +
       asOf.map(e => s", asOf=$e").getOrElse("") + ")"
@@ -559,9 +610,13 @@ final class IcebergLiteScan(root: String, schema: StructType,
   // MUST agree on the layout
   private lazy val pruned: (Seq[FileSet], Seq[DataFileMeta]) = {
     val table = new IcebergLite(root)
-    // manifest pruning composes with time travel: the historical file
-    // sets carry the same footer stats and bucketing as the live view
-    val sets = asOf.fold(table.effectiveFileSets)(table.fileSetsAsOf)
+    // manifest pruning composes with time travel AND branch views: the
+    // historical / staged file sets carry the same footer stats and
+    // bucketing as the live view
+    val sets = branch match {
+      case Some(b) => table.branchFileSets(b)
+      case None => asOf.fold(table.effectiveFileSets)(table.fileSetsAsOf)
+    }
     (sets, pred.prune(sets))
   }
 
@@ -596,7 +651,11 @@ final class IcebergLiteScan(root: String, schema: StructType,
         case _ => layouts.head >=
           org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
       }
-    if (SQLConf.get.getConf(SQLConf.V2_BUCKETING_ENABLED) && uniform && wanted)
+    // a pushed LIMIT sits (modulo Project) directly on the relation — no
+    // join or aggregation above could use the grouping, and the packed
+    // path is where the limit's file cap applies
+    if (limit.isEmpty && SQLConf.get.getConf(SQLConf.V2_BUCKETING_ENABLED) &&
+        uniform && wanted)
       Some(layouts.head)
     else None
   }
@@ -623,7 +682,22 @@ final class IcebergLiteScan(root: String, schema: StructType,
         BucketFilePartition(b, fs.map(f => s"$root/${f.path}"),
           fs.map(_.rowCount).sum): InputPartition
       }.toArray
-    } else IcebergLiteSource.packPartitions(root, files)
+    } else {
+      // limit pushdown (packed path only — a key-grouped scan keeps its
+      // reported layout): enough files to cover the limit, in manifest
+      // order for determinism
+      val capped = limit match {
+        case Some(n) =>
+          var acc = 0L
+          files.takeWhile { f =>
+            val need = acc < n
+            acc += f.rowCount
+            need
+          }
+        case None => files
+      }
+      IcebergLiteSource.packPartitions(root, capped)
+    }
   }
 
   override def outputPartitioning(): Partitioning = keyGroupedBuckets match {
@@ -641,6 +715,11 @@ final class IcebergLiteScan(root: String, schema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (branch.isDefined) throw new UnsupportedOperationException(
+      s"branch reads are batch-only: a stream over branch '${branch.get}' " +
+        s"of $root would double-deliver its epochs after fast_forward " +
+        "(they replay as ordinary committed epochs). Audit the branch " +
+        "with batch reads; stream the live table.")
     if (asOf.isDefined) throw new UnsupportedOperationException(
       s"time-travel reads are batch-only: a stream over $root pinned to " +
         s"epoch ${asOf.get} could never make progress. Stream the live " +

@@ -151,7 +151,19 @@ final class GraftWrite(root: String, info: LogicalWriteInfo,
       val aligned = data.select(
         declared.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
       val buckets = table.declaredNumBuckets.getOrElse(opts.getInt("buckets", 8))
-      if (opts.getBoolean("staged", false)) {
+      val branch = Option(opts.get("branch")).filter(_.nonEmpty)
+      if (branch.isDefined) {
+        // branch write: the epoch joins the branch's staged chain
+        // (invisible until CALL graft.system.fast_forward publishes the
+        // whole chain atomically)
+        require(!overwrite && !truncateFirst,
+          "branch writes are append-only: INSERT OVERWRITE cannot target " +
+            "a branch")
+        require(!opts.getBoolean("staged", false),
+          "options 'branch' and 'staged' are exclusive: a branch write IS " +
+            "a stage (on the branch's shared gen)")
+        table.stageEpochOnBranch(aligned, queryId, epoch, buckets, branch.get)
+      } else if (opts.getBoolean("staged", false)) {
         // write-audit-publish: the epoch lands INVISIBLE (pendingGen+wap
         // stamp); CALL graft.system.publish_staged / discard_staged (or
         // the programmatic API) decides its fate after the audit

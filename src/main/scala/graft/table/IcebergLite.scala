@@ -360,6 +360,12 @@ final class IcebergLite(val root: String) {
       s"epoch $epochId of $root is pending a MERGE activation, not a WAP " +
         "stage — the merge owns its commit; publishStaged refuses to " +
         "activate someone else's half-done atomic operation")
+    branches.find(_._2 == gen).foreach { case (b, _) =>
+      throw new IllegalStateException(
+        s"epoch $epochId of $root is staged on branch '$b' — branch " +
+          "epochs publish together: CALL graft.system.fast_forward, or " +
+          "drop_branch to discard")
+    }
     writeRewriteManifest(gen, s"PUBLISH staged epoch $epochId",
       removes = Nil, adds = Nil, affectsCompacted = false,
       activatesEpoch = Some(epochId), changeFiles = Nil,
@@ -530,6 +536,7 @@ final class IcebergLite(val root: String) {
     m.put("maxTs", java.lang.Long.valueOf(f.maxTsMicros))
     f.convIdMin.foreach(v => m.put("convMin", v))
     f.convIdMax.foreach(v => m.put("convMax", v))
+    if (f.sizeBytes >= 0L) m.put("sizeBytes", java.lang.Long.valueOf(f.sizeBytes))
     m
   }
 
@@ -538,7 +545,8 @@ final class IcebergLite(val root: String) {
       DataFileMeta(f.get("path").asText(), f.get("partitionId").asInt(),
         f.get("rowCount").asLong(), f.get("minTs").asLong(), f.get("maxTs").asLong(),
         Option(f.get("convMin")).map(_.asText()),
-        Option(f.get("convMax")).map(_.asText()))
+        Option(f.get("convMax")).map(_.asText()),
+        Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(-1L))
     }.toSeq
 
   // ---- compaction (S8 — the analogue of save(garbage=4, deflate=True):
@@ -638,7 +646,9 @@ final class IcebergLite(val root: String) {
     * a torn merge (inserts without their matched-row rewrites) computed
     * against an effective view that never saw those rows. */
   private def nextRewriteGen(): Long =
-    (deletes.map(_.gen) ++ rawSnapshots.flatMap(_._2))
+    // committed manifests + pending stamps + BRANCH reservations (a
+    // branch's gen is claimed at createBranch, before any stage exists)
+    (deletes.map(_.gen) ++ rawSnapshots.flatMap(_._2) ++ branches.values)
       .foldLeft(0L)(math.max) + 1L
 
   /** Committed delete manifests, in gen order. */
@@ -1422,6 +1432,152 @@ final class IcebergLite(val root: String) {
     * this epoch stays. */
   private def maxTaggedEpoch: Option[Long] = tags.values.maxOption
 
+  // ---- branches (round-5 session 5) ---------------------------------------
+  // A branch is a NAMED CHAIN of staged epochs sharing one reserved
+  // activation gen — the write-audit-publish protocol generalized from one
+  // epoch to many. Writes to the branch land invisible (the WAP
+  // `pendingGen + wap` stamps, so every existing guard — removeOrphans
+  // protection, id allocation over pending snapshots, gc leaving staged
+  // files alone — applies verbatim); the branch VIEW is the live table
+  // plus its staged epochs; `fastForward` publishes the whole chain with
+  // ONE atomic manifest write, because visibility is keyed on the
+  // existence of `delete-<gen>.json` and every branch epoch shares the
+  // gen. Iceberg's audit-branch workflow, without a second snapshot DAG:
+  // the branch is metadata (one reserved gen + the stages), and every
+  // reader/maintenance mechanism composes with it because a branch epoch
+  // IS a WAP stage.
+
+  private def branchesPath = metaDir.resolve("branches.json")
+
+  /** Live branches: name -> reserved activation gen. */
+  def branches: Map[String, Long] = {
+    if (!Files.exists(branchesPath)) return Map.empty
+    val n = mapper.readTree(Files.readAllBytes(branchesPath))
+    n.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
+  private def writeBranches(m: Map[String, Long]): Unit = {
+    val node = new JHashMap[String, Object]()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      node.put(k, java.lang.Long.valueOf(v))
+    }
+    Files.createDirectories(metaDir)
+    atomicReplace(branchesPath, mapper.writeValueAsBytes(node))
+  }
+
+  /** Create a branch: reserve its activation gen. The reservation is
+    * durable BEFORE any stage exists ([[nextRewriteGen]] scans
+    * `branches.json`), so a concurrent mutation can never claim the gen. */
+  def createBranch(name: String): Long = withMaintenanceLock {
+    require(validTagName(name),
+      s"invalid branch name '$name': must start with a letter and use " +
+        "only letters, digits, '.', '_', '-'")
+    require(!tags.contains(name),
+      s"'$name' is already a tag on $root — tags and branches share the " +
+        "name space to keep reads unambiguous")
+    val cur = branches
+    require(!cur.contains(name),
+      s"branch '$name' already exists on $root (gen ${cur(name)})")
+    val gen = nextRewriteGen()
+    writeBranches(cur + (name -> gen))
+    gen
+  }
+
+  /** Stage an epoch ON a branch — [[stageEpoch]] with the branch's shared
+    * reserved gen instead of a fresh one. Same idempotent-replay contract. */
+  def stageEpochOnBranch(df: DataFrame, queryId: String, epochId: Long,
+                         numBuckets: Int, branch: String): Long = withMaintenanceLock {
+    val gen = branches.getOrElse(branch, throw new IllegalArgumentException(
+      s"no branch '$branch' on $root; branches: " +
+        s"${branches.keys.toSeq.sorted.mkString(", ")}"))
+    withEpochLock(epochId) {
+      require(exists, s"IcebergLite table does not exist at $root")
+      if (isCommitted(epochId)) {
+        val stored = mapper.readTree(Files.readAllBytes(snapPath(epochId)))
+          .get("queryId").asText()
+        val (pending, wap) = pendingStamp(epochId)
+        require(wap && pending.contains(gen),
+          s"epoch $epochId of $root already exists and is not a stage of " +
+            s"branch '$branch' (query '$stored') — cannot re-stage it")
+        require(stored == queryId,
+          s"epoch $epochId of $root already staged by query '$stored'; " +
+            s"refusing idempotent no-op for different query '$queryId'")
+        return gen
+      }
+      val files = stageAndPublish(df, epochId, numBuckets)
+      writeSnapshot(queryId, epochId, files, numBuckets,
+        pendingGen = Some(gen), wapStaged = true)
+      gen
+    }
+  }
+
+  /** The branch's un-published epochs, in epoch order. */
+  def branchEpochs(branch: String): Seq[SnapshotMeta] = {
+    val gen = branches.getOrElse(branch, throw new IllegalArgumentException(
+      s"no branch '$branch' on $root; branches: " +
+        s"${branches.keys.toSeq.sorted.mkString(", ")}"))
+    rawSnapshots.collect {
+      case (s, Some(g)) if g == gen => s
+    }.sortBy(_.epochId)
+  }
+
+  /** Branch READ view: the live table plus the branch's staged epochs —
+    * "main + this audit's deltas". Served by the connector via
+    * `.option("branch", name)` too ([[branchFileSets]]). */
+  def readBranch(spark: SparkSession, branch: String): DataFrame = {
+    val files = branchFileSets(branch).flatMap(_.files)
+      .map(f => s"$root/${f.path}")
+    if (files.isEmpty) return spark.read.schema(fullReadSchema).parquet()
+    spark.read.schema(fullReadSchema).parquet(files: _*)
+  }
+
+  /** Effective live file sets + the branch's staged epochs' sets. */
+  def branchFileSets(branch: String): Seq[FileSet] =
+    effectiveFileSets ++
+      branchEpochs(branch).map(s => FileSet(s.numBuckets, s.files))
+
+  /** Publish the WHOLE branch atomically: one empty rewrite manifest at
+    * the branch's shared gen activates every staged epoch at once (the
+    * same existence rule that activates a merge's pending insert). After
+    * the write the branch name is released — its epochs are ordinary
+    * committed epochs (incremental streams replay each exactly-once, time
+    * travel serves them, compaction folds them). Returns the activated
+    * epoch ids (possibly empty: fast-forwarding an unwritten branch just
+    * releases the name). */
+  def fastForward(branch: String): Seq[Long] = withMaintenanceLock {
+    val cur = branches
+    val gen = cur.getOrElse(branch, throw new IllegalArgumentException(
+      s"no branch '$branch' on $root; branches: " +
+        s"${cur.keys.toSeq.sorted.mkString(", ")}"))
+    val epochs = rawSnapshots.collect {
+      case (s, Some(g)) if g == gen => s.epochId
+    }.sorted
+    if (epochs.nonEmpty && !Files.exists(deletePath(gen)))
+      writeRewriteManifest(gen,
+        s"FAST-FORWARD branch '$branch' (epochs ${epochs.mkString(", ")})",
+        removes = Nil, adds = Nil, affectsCompacted = false,
+        activatesEpoch = None, changeFiles = Nil,
+        op = Some("fast_forward"))
+    writeBranches(cur - branch)
+    epochs
+  }
+
+  /** Discard a branch: drop every staged epoch (snapshot + data files)
+    * and release the name. Loud if already fast-forwarded (the epochs are
+    * visible history — use [[restore]]). Returns deleted relative paths. */
+  def dropBranch(branch: String): Seq[String] = withMaintenanceLock {
+    val cur = branches
+    val gen = cur.getOrElse(branch, throw new IllegalArgumentException(
+      s"no branch '$branch' on $root; branches: " +
+        s"${cur.keys.toSeq.sorted.mkString(", ")}"))
+    require(!Files.exists(deletePath(gen)),
+      s"branch '$branch' of $root was fast-forwarded — its epochs are " +
+        "visible history now (roll back with CALL graft.system.restore)")
+    val dropped = branchEpochs(branch).flatMap(s => discardStaged(s.epochId))
+    writeBranches(cur - branch)
+    dropped
+  }
+
   /** The committed CONTENT-mutation high-water mark: the rewrite
     * generations row-level deletes/updates/merges allocate
     * ([[nextRewriteGen]], always >= 1 — so 0 unambiguously means "never
@@ -2052,17 +2208,23 @@ final class IcebergLite(val root: String) {
     // `pendingGen` makes it unconditionally committed; idempotent and
     // crash-safe (visibility is identical before and after while the
     // manifest exists).
-    deletes.foreach { d =>
-      d.activatesEpoch.foreach { e =>
-        val p = snapPath(e)
-        if (Files.exists(p)) {
-          val node = mapper.readTree(Files.readAllBytes(p))
-          if (node.has("pendingGen")) {
-            node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-              .remove("pendingGen")
-            atomicReplace(p, mapper.writeValueAsBytes(node))
+    // keyed on the pendingGen stamp, not the manifest's activatesEpoch
+    // field: a branch fast-forward activates MANY epochs with one
+    // manifest, and every one must promote
+    locally {
+      val activated = deletes.map(_.gen).toSet
+      rawSnapshots.foreach {
+        case (s, Some(g)) if activated.contains(g) =>
+          val p = snapPath(s.epochId)
+          if (Files.exists(p)) {
+            val node = mapper.readTree(Files.readAllBytes(p))
+            if (node.has("pendingGen")) {
+              node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                .remove("pendingGen")
+              atomicReplace(p, mapper.writeValueAsBytes(node))
+            }
           }
-        }
+        case _ =>
       }
     }
     val comps = compactions
@@ -2253,7 +2415,10 @@ final class IcebergLite(val root: String) {
       val boundsOk = convBlocks == md.getBlocks.size() && convMin != null
       DataFileMeta(rel, idx, rows, minTs, maxTs,
         if (boundsOk) Some(convMin.toStringUsingUTF8) else None,
-        if (boundsOk) Some(convMax.toStringUsingUTF8) else None)
+        if (boundsOk) Some(convMax.toStringUsingUTF8) else None,
+        // on-disk bytes for the connector's SupportsReportStatistics —
+        // one stat call on a file already open for its footer
+        Files.size(p))
     } finally reader.close()
   }
 
@@ -2353,7 +2518,8 @@ final class IcebergLite(val root: String) {
 final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
                               minTsMicros: Long, maxTsMicros: Long,
                               convIdMin: Option[String] = None,
-                              convIdMax: Option[String] = None)
+                              convIdMax: Option[String] = None,
+                              sizeBytes: Long = -1L)
 final case class SnapshotMeta(queryId: String, epochId: Long,
                               files: Seq[DataFileMeta], numBuckets: Int = -1,
                               schemaVersion: Int = 1, maxGen: Long = 0L)

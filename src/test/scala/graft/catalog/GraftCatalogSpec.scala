@@ -683,4 +683,45 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(kinds === Seq("append", "publish", "append"))
   }
+
+  test("branches through the catalog: create_branch, writeTo branch option, " +
+    "audit read, atomic fast_forward, drop") {
+    spark.sql(
+      """CREATE TABLE graft.db.br (
+        |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+        |  text STRING, ts TIMESTAMP)
+        |TBLPROPERTIES ('buckets'='4')""".stripMargin)
+    sampleDf(6).writeTo("graft.db.br").append()
+    spark.sql("CALL graft.system.create_branch('db.br', 'audit')")
+    // two writes land ON the branch — invisible to the main table
+    sampleDf(3, base = 1767225600L + 9000L).writeTo("graft.db.br")
+      .option("branch", "audit").append()
+    sampleDf(2, base = 1767225600L + 18000L).writeTo("graft.db.br")
+      .option("branch", "audit").append()
+    assert(spark.table("graft.db.br").count() === 6L)
+    val listed = spark.sql("CALL graft.system.branches('db.br')").collect()
+    assert(listed.length === 1)
+    assert(listed.head.getString(0) === "audit")
+    assert(listed.head.getLong(2) === 2L)
+    // audit the branch view through the reader option
+    val branchView = spark.read.option("branch", "audit").table("graft.db.br")
+    assert(branchView.count() === 11L)
+    // one CALL publishes the whole chain atomically
+    val activated = spark.sql("CALL graft.system.fast_forward('db.br', 'audit')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(activated.length === 2)
+    assert(spark.table("graft.db.br").count() === 11L)
+    assert(spark.sql("CALL graft.system.branches('db.br')").count() === 0L)
+    // history labels the publish op
+    val kinds = spark.sql("CALL graft.system.history('db.br')")
+      .collect().map(_.getString(0)).toSeq
+    assert(kinds.contains("fast_forward"))
+    // a rejected branch drops completely
+    spark.sql("CALL graft.system.create_branch('db.br', 'scratch')")
+    sampleDf(2, base = 1767225600L + 27000L).writeTo("graft.db.br")
+      .option("branch", "scratch").append()
+    spark.sql("CALL graft.system.drop_branch('db.br', 'scratch')")
+    assert(spark.table("graft.db.br").count() === 11L)
+    assert(spark.sql("CALL graft.system.branches('db.br')").count() === 0L)
+  }
 }
