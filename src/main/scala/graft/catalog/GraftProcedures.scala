@@ -264,12 +264,17 @@ private[catalog] object GraftProcedures {
       Array(tableParam,
         ProcedureParameter.in("name", StringType)
           .comment("branch to publish — every staged epoch becomes " +
-            "visible in ONE atomic manifest write").build()),
+            "visible in ONE atomic manifest write").build(),
+        ProcedureParameter.in("force", BooleanType)
+          .defaultValue("false")
+          .comment("publish even if an incremental reader's offset " +
+            "already passed a branch epoch (that stream will never see it)")
+          .build()),
       StructType(Seq(
         StructField("activated_epoch", LongType, nullable = false))),
       (table, in) => {
         val name = in.getUTF8String(1).toString
-        table.fastForward(name).map(e => row(e)).toArray
+        table.fastForward(name, force = in.getBoolean(2)).map(e => row(e)).toArray
       }, resolve),
 
     "drop_branch" -> new Proc("drop_branch",
@@ -386,10 +391,17 @@ private[catalog] object GraftProcedures {
     "publish_staged" -> new Proc("publish_staged",
       Array(tableParam,
         ProcedureParameter.in("epoch", LongType)
-          .comment("staged epoch to make visible").build()),
+          .comment("staged epoch to make visible").build(),
+        ProcedureParameter.in("force", BooleanType)
+          .defaultValue("false")
+          .comment("publish even if an incremental reader's offset " +
+            "already passed the epoch (that stream will never see it)")
+          .build()),
       StructType(Seq(
         StructField("activated_gen", LongType, nullable = false))),
-      (table, in) => Array(row(table.publishStaged(in.getLong(1)))), resolve),
+      (table, in) => Array(row(
+        table.publishStaged(in.getLong(1), force = in.getBoolean(2)))),
+      resolve),
 
     "discard_staged" -> new Proc("discard_staged",
       Array(tableParam,

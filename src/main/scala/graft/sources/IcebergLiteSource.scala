@@ -245,7 +245,8 @@ final case class PrunePredicate(tsIntervals: Option[Seq[(Long, Long)]],
 object PrunePredicate {
   val empty: PrunePredicate = PrunePredicate(None, Nil)
 
-  private def micros(v: Any): Option[Long] = v match {
+  // shared with ParquetPushdown: one definition of the literal→micros rule
+  private[sources] def micros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
     case _ => None
@@ -474,15 +475,37 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
         if (Option(options.get("branch")).exists(_.nonEmpty)) return None
         MetadataAggScan.specsOf(agg, tableSchema).filter { specs =>
           // footer-stats-absent fallback signature (all-null ts file):
-          // decline MIN/MAX rather than serving the 0-sentinel as data
+          // decline MIN/MAX rather than serving the 0-sentinel as data.
+          // MUST validate the SAME file sets the scan will serve — a
+          // time-travel view can still contain a sentinel file that a
+          // later delete rewrote out of the live view
           val needsTs = specs.exists(s => s == MetadataAggScan.MinTsSpec ||
             s == MetadataAggScan.MaxTsSpec)
           !needsTs || {
             val t = new IcebergLite(root)
-            t.exists && t.effectiveFiles.forall(f =>
-              f.rowCount == 0L || f.minTsMicros != 0L || f.maxTsMicros != 0L)
+            val target = Option(options.get("asOfEpoch")).map(_.toLong)
+              .orElse(asOf)
+            t.exists &&
+              target.fold(t.effectiveFileSets)(t.fileSetsAsOf)
+                .flatMap(_.files).forall(f =>
+                  f.rowCount == 0L || f.minTsMicros != 0L || f.maxTsMicros != 0L)
           }
         }
+      }
+      // supportCompletePushDown + pushAggregation arrive back-to-back with
+      // the same Aggregation — memoize so the O(#epochs) metadata walk in
+      // validateAgg runs once per query, not twice (the whole point of the
+      // pushdown is avoiding I/O)
+      private var lastAgg: AnyRef = null
+      private var lastAggSpecs: Option[Seq[MetadataAggScan.AggSpec]] = None
+      private def validateAggCached(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[Seq[MetadataAggScan.AggSpec]] = {
+        if (!(agg eq lastAgg)) {
+          lastAgg = agg
+          lastAggSpecs = validateAgg(agg)
+        }
+        lastAggSpecs
       }
       // ---- limit pushdown: plan only enough FILES to cover the limit ----
       // (partial: Spark keeps its own Limit; any subset of files is a
@@ -498,10 +521,10 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
 
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        validateAgg(agg).isDefined
+        validateAggCached(agg).isDefined
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-        aggSpecs = validateAgg(agg)
+        aggSpecs = validateAggCached(agg)
         aggSpecs.isDefined
       }
 

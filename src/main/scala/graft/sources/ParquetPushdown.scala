@@ -34,8 +34,15 @@ import org.apache.spark.sql.types._
   *    once stats cover the comparisons);
   *  - timestamps compare as INT64 micros — the engine's writers pin
   *    `TIMESTAMP_MICROS` (see `VectorizedFileReader`), and
-  *    [[PrunePredicate.micros]]-style conversion keeps literal and column
-  *    in the same unit.
+  *    [[PrunePredicate.micros]] conversion keeps literal and column in the
+  *    same unit (shared definition).
+  *
+  * Why not Spark's internal `ParquetFilters`: its constructor wants the
+  * per-file parquet `MessageType` plus a datetime rebase spec resolved per
+  * file — state this connector's shared-conf vectorized reader
+  * deliberately avoids re-deriving (one conf, many files). This object is
+  * the small closed subset the engine needs (6 leaf types, necessary-only
+  * semantics), kept apart so reader wiring stays file-agnostic.
   */
 object ParquetPushdown {
   private sealed trait CmpOp
@@ -44,6 +51,10 @@ object ParquetPushdown {
   private case object GE extends CmpOp
   private case object LT extends CmpOp
   private case object LE extends CmpOp
+
+  /** Above this many IN values, the eq-or-chain degrades to a min/max
+    * range predicate (see the `In` case). */
+  private[sources] val InChainThreshold = 64
 
   /** AND of every translatable filter; None when nothing translates. */
   def build(filters: Seq[Filter], fileSchema: StructType): Option[FilterPredicate] =
@@ -61,10 +72,21 @@ object ParquetPushdown {
     case LessThanOrEqual(a, v) => leaf(s, a, v, LE)
     case In(a, vs) if vs.nonEmpty =>
       // all-or-nothing: a disjunction missing one untranslatable value
-      // would wrongly skip groups containing that value
-      val parts = vs.toSeq.map(v => leaf(s, a, v, EQ))
-      if (parts.forall(_.isDefined)) parts.flatten.reduceOption(FilterApi.or)
-      else None
+      // would wrongly skip groups containing that value.
+      // Above the threshold an eq-or-chain is a liability, not an
+      // optimization: parquet's predicate visitors recurse per Or node
+      // (a 100k-value runtime-join IN-list would build a 100k-deep tree —
+      // StackOverflowError territory — and cost O(n) per row group), so
+      // large lists degrade to the [min, max] RANGE, still a necessary
+      // condition (same shape Spark's ParquetFilters uses past its
+      // inFilterThreshold). The exact membership check stays at the
+      // manifest level (PrunePredicate set conjunction) and in the
+      // residual row filter.
+      if (vs.length <= InChainThreshold) {
+        val parts = vs.toSeq.map(v => leaf(s, a, v, EQ))
+        if (parts.forall(_.isDefined)) parts.flatten.reduceOption(FilterApi.or)
+        else None
+      } else inRange(s, a, vs)
     case And(l, r) =>
       // partial is fine for a conjunction: any subset is still necessary
       (convert(l, s), convert(r, s)) match {
@@ -106,10 +128,69 @@ object ParquetPushdown {
     }
   }
 
-  private def micros(v: Any): Option[java.lang.Long] = v match {
-    case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
-    case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
-    case _ => None
+  private def micros(v: Any): Option[java.lang.Long] =
+    PrunePredicate.micros(v).map(java.lang.Long.valueOf)
+
+  /** `[min, max]` range for an oversized IN — a necessary condition over
+    * the same footer stats the eq-chain would consult, at O(1) predicate
+    * size. All-or-nothing per the Or safety rule: one unconvertible value
+    * kills the whole predicate, because that value could sort outside the
+    * min/max of the convertible subset and the range would wrongly skip
+    * its row groups. */
+  private def inRange(s: StructType, name: String, vs: Array[Any]): Option[FilterPredicate] = {
+    def numeric[T](conv: Any => Option[T])(implicit ord: Ordering[T])
+        : Option[(T, T)] = {
+      val converted = vs.toSeq.map(conv)
+      if (converted.exists(_.isEmpty)) None
+      else {
+        val xs = converted.flatten
+        Some((xs.min, xs.max))
+      }
+    }
+    s.fields.find(_.name == name).map(_.dataType).flatMap {
+      case LongType => numeric {
+        case l: java.lang.Long => Some(l.longValue())
+        case i: java.lang.Integer => Some(i.longValue())
+        case _ => None
+      }.map { case (mn, mx) =>
+        FilterApi.and(cmpLong(name, mn, GE), cmpLong(name, mx, LE))
+      }
+      case IntegerType => numeric {
+        case i: java.lang.Integer => Some(i.intValue())
+        case _ => None
+      }.map { case (mn, mx) =>
+        FilterApi.and(cmpInt(name, mn, GE), cmpInt(name, mx, LE))
+      }
+      case TimestampType => numeric(v => micros(v).map(_.longValue()))
+        .map { case (mn, mx) =>
+          FilterApi.and(cmpLong(name, mn, GE), cmpLong(name, mx, LE))
+        }
+      case DoubleType => numeric {
+        case d: java.lang.Double => Some(d.doubleValue())
+        case _ => None
+      }.map { case (mn, mx) =>
+        FilterApi.and(cmpDouble(name, mn, GE), cmpDouble(name, mx, LE))
+      }
+      case StringType =>
+        // parquet orders UTF8 binary stats unsigned-lexicographically on
+        // bytes — NOT Java String order (UTF-16 code units diverge above
+        // the BMP) — so min/max must be picked under the bytes comparator
+        val bins = vs.toSeq.map {
+          case str: String => Some(Binary.fromString(str))
+          case _ => None
+        }
+        if (bins.exists(_.isEmpty)) None
+        else {
+          implicit val byteOrd: Ordering[Binary] = new Ordering[Binary] {
+            def compare(a: Binary, b: Binary): Int =
+              java.util.Arrays.compareUnsigned(a.getBytes, b.getBytes)
+          }
+          val xs = bins.flatten
+          Some(FilterApi.and(
+            cmpBinary(name, xs.min, GE), cmpBinary(name, xs.max, LE)))
+        }
+      case _ => None
+    }
   }
 
   private def cmpLong(name: String, v: java.lang.Long, op: CmpOp): FilterPredicate = {

@@ -118,6 +118,22 @@ final class GraftWrite(root: String, info: LogicalWriteInfo,
 
   override def toInsertableRelation: InsertableRelation = new InsertableRelation {
     override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+      // append-only guards MUST precede the truncation below: an
+      // INSERT OVERWRITE aimed at a branch/stage would otherwise commit
+      // the (irreversible) live-table truncation and only then throw
+      val branchOpt = Option(opts.get("branch")).filter(_.nonEmpty)
+      if (branchOpt.isDefined) {
+        require(!overwrite && !truncateFirst,
+          "branch writes are append-only: INSERT OVERWRITE cannot target " +
+            "a branch")
+        require(!opts.getBoolean("staged", false),
+          "options 'branch' and 'staged' are exclusive: a branch write IS " +
+            "a stage (on the branch's shared gen)")
+      } else if (opts.getBoolean("staged", false)) {
+        require(!overwrite && !truncateFirst,
+          "staged=true is append-only: INSERT OVERWRITE cannot be audited " +
+            "before its truncation takes effect")
+      }
       if (overwrite || truncateFirst) {
         val t = new IcebergLite(root)
         if (t.exists)
@@ -151,25 +167,16 @@ final class GraftWrite(root: String, info: LogicalWriteInfo,
       val aligned = data.select(
         declared.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
       val buckets = table.declaredNumBuckets.getOrElse(opts.getInt("buckets", 8))
-      val branch = Option(opts.get("branch")).filter(_.nonEmpty)
-      if (branch.isDefined) {
+      if (branchOpt.isDefined) {
         // branch write: the epoch joins the branch's staged chain
         // (invisible until CALL graft.system.fast_forward publishes the
-        // whole chain atomically)
-        require(!overwrite && !truncateFirst,
-          "branch writes are append-only: INSERT OVERWRITE cannot target " +
-            "a branch")
-        require(!opts.getBoolean("staged", false),
-          "options 'branch' and 'staged' are exclusive: a branch write IS " +
-            "a stage (on the branch's shared gen)")
-        table.stageEpochOnBranch(aligned, queryId, epoch, buckets, branch.get)
+        // whole chain atomically); append-only guards ran above, before
+        // the truncation
+        table.stageEpochOnBranch(aligned, queryId, epoch, buckets, branchOpt.get)
       } else if (opts.getBoolean("staged", false)) {
         // write-audit-publish: the epoch lands INVISIBLE (pendingGen+wap
         // stamp); CALL graft.system.publish_staged / discard_staged (or
         // the programmatic API) decides its fate after the audit
-        require(!overwrite && !truncateFirst,
-          "staged=true is append-only: INSERT OVERWRITE cannot be audited " +
-            "before its truncation takes effect")
         table.stageEpoch(aligned, queryId, epoch, buckets)
       } else {
         table.commitEpoch(aligned, queryId, epoch, buckets,

@@ -346,8 +346,10 @@ final class IcebergLite(val root: String) {
     * merge activation protocol, so streams replay it exactly-once as its
     * own epoch, CDC serves its rows as `insert` bounded by the activating
     * gen, and time travel stamps it correctly. Idempotent: re-publishing
-    * returns the same gen. */
-  def publishStaged(epochId: Long): Long = withMaintenanceLock {
+    * returns the same gen. Fails loudly if a registered incremental
+    * reader's offset already passed `epochId` (see
+    * [[requireNoPassedReaders]]) — `force = true` overrides. */
+  def publishStaged(epochId: Long, force: Boolean = false): Long = withMaintenanceLock {
     val all = rawSnapshots.collect {
       case (s, Some(g)) if s.epochId == epochId => (s, g)
     }
@@ -366,6 +368,7 @@ final class IcebergLite(val root: String) {
           "epochs publish together: CALL graft.system.fast_forward, or " +
           "drop_branch to discard")
     }
+    requireNoPassedReaders(epochId, force, s"publishing staged epoch $epochId")
     writeRewriteManifest(gen, s"PUBLISH staged epoch $epochId",
       removes = Nil, adds = Nil, affectsCompacted = false,
       activatesEpoch = Some(epochId), changeFiles = Nil,
@@ -377,13 +380,26 @@ final class IcebergLite(val root: String) {
     * drop the pending snapshot and its data files. Loud if the epoch was
     * already published (visible history is immutable; use [[restore]]).
     * Returns the deleted relative paths. */
-  def discardStaged(epochId: Long): Seq[String] = withMaintenanceLock {
+  def discardStaged(epochId: Long): Seq[String] =
+    discardStaged(epochId, allowBranchEpoch = false)
+
+  /** `allowBranchEpoch` is the internal [[dropBranch]] path only: a single
+    * branch epoch must not be discardable from outside — the "branch
+    * epochs publish together" invariant holds on discard exactly as
+    * [[publishStaged]] enforces it on publish. */
+  private def discardStaged(epochId: Long,
+                            allowBranchEpoch: Boolean): Seq[String] = withMaintenanceLock {
     val staged = stagedEpochs.find(_._1.epochId == epochId).getOrElse(
       throw new IllegalArgumentException(
         s"epoch $epochId of $root is not an un-published WAP stage " +
           "(already published, a merge's pending epoch, or never staged); " +
           s"staged: ${stagedEpochs.map(_._1.epochId).mkString("[", ", ", "]")}"))
-    val (s, _) = staged
+    val (s, gen) = staged
+    if (!allowBranchEpoch) branches.find(_._2 == gen).foreach { case (b, _) =>
+      throw new IllegalStateException(
+        s"epoch $epochId of $root is staged on branch '$b' — branch " +
+          "epochs are discarded together: CALL graft.system.drop_branch")
+    }
     val dataGone = s.files.flatMap { f =>
       val p = Paths.get(root, f.path)
       if (Files.deleteIfExists(p)) Some(f.path) else None
@@ -1402,6 +1418,12 @@ final class IcebergLite(val root: String) {
     require(snapshots.exists(_.epochId == epoch),
       s"cannot tag epoch $epoch of $root: not a committed snapshot " +
         s"(committed: ${snapshots.map(_.epochId).mkString("[", ", ", "]")})")
+    // mirror of createBranch's guard — tags and branches share the name
+    // space so `VERSION AS OF '<name>'` vs `.option("branch", <name>)`
+    // can never resolve the same name to different views
+    require(!branches.contains(name),
+      s"'$name' is already a branch on $root — tags and branches share " +
+        "the name space to keep reads unambiguous")
     val cur = tags
     cur.get(name) match {
       case Some(e) if e == epoch => // idempotent re-tag
@@ -1490,6 +1512,16 @@ final class IcebergLite(val root: String) {
     val gen = branches.getOrElse(branch, throw new IllegalArgumentException(
       s"no branch '$branch' on $root; branches: " +
         s"${branches.keys.toSeq.sorted.mkString(", ")}"))
+    // fastForward crash window: the activation manifest was written but the
+    // crash hit before the branch name was released. A stage against the
+    // published gen would be INSTANTLY visible (visibility is keyed on the
+    // manifest's existence) — no audit, and the branch view would double
+    // count. Same guard stageEpoch has for reused WAP gens.
+    require(!Files.exists(deletePath(gen)),
+      s"branch '$branch' of $root was already fast-forwarded (activation " +
+        "manifest exists; the name survived a crash before release) — " +
+        "re-run CALL graft.system.fast_forward to release the name, then " +
+        "create a fresh branch")
     withEpochLock(epochId) {
       require(exists, s"IcebergLite table does not exist at $root")
       if (isCommitted(epochId)) {
@@ -1511,11 +1543,15 @@ final class IcebergLite(val root: String) {
     }
   }
 
-  /** The branch's un-published epochs, in epoch order. */
+  /** The branch's un-published epochs, in epoch order. Empty in the
+    * fastForward crash window (manifest written, name not yet released):
+    * the epochs are committed history then, and counting them here would
+    * double-count them in [[branchFileSets]]. */
   def branchEpochs(branch: String): Seq[SnapshotMeta] = {
     val gen = branches.getOrElse(branch, throw new IllegalArgumentException(
       s"no branch '$branch' on $root; branches: " +
         s"${branches.keys.toSeq.sorted.mkString(", ")}"))
+    if (Files.exists(deletePath(gen))) return Nil
     rawSnapshots.collect {
       case (s, Some(g)) if g == gen => s
     }.sortBy(_.epochId)
@@ -1540,11 +1576,22 @@ final class IcebergLite(val root: String) {
     * the branch's shared gen activates every staged epoch at once (the
     * same existence rule that activates a merge's pending insert). After
     * the write the branch name is released — its epochs are ordinary
-    * committed epochs (incremental streams replay each exactly-once, time
-    * travel serves them, compaction folds them). Returns the activated
-    * epoch ids (possibly empty: fast-forwarding an unwritten branch just
-    * releases the name). */
-  def fastForward(branch: String): Seq[Long] = withMaintenanceLock {
+    * committed epochs (time travel serves them, compaction folds them,
+    * CDC serves their rows bounded by the activating gen).
+    *
+    * INCREMENTAL-STREAM caveat (offsets are epoch-id watermarks): a
+    * stream only replays a published epoch if its committed offset is
+    * still BELOW that epoch's id. If main committed epochs while the
+    * audit ran, a running stream's offset may already have passed the
+    * branch epochs' ids — those rows would silently never reach it. This
+    * method therefore fails loudly when any [[registerReader registered
+    * reader]]'s offset has passed the smallest branch epoch; pass
+    * `force = true` after retiring those checkpoints (or accept that
+    * only CDC/[[TableChanges]] consumers — which are gen-ordered, not
+    * epoch-ordered — will see the rows). Returns the activated epoch ids
+    * (possibly empty: fast-forwarding an unwritten branch just releases
+    * the name). */
+  def fastForward(branch: String, force: Boolean = false): Seq[Long] = withMaintenanceLock {
     val cur = branches
     val gen = cur.getOrElse(branch, throw new IllegalArgumentException(
       s"no branch '$branch' on $root; branches: " +
@@ -1552,14 +1599,36 @@ final class IcebergLite(val root: String) {
     val epochs = rawSnapshots.collect {
       case (s, Some(g)) if g == gen => s.epochId
     }.sorted
-    if (epochs.nonEmpty && !Files.exists(deletePath(gen)))
+    if (epochs.nonEmpty && !Files.exists(deletePath(gen))) {
+      requireNoPassedReaders(epochs.min, force,
+        s"fast-forwarding branch '$branch'")
       writeRewriteManifest(gen,
         s"FAST-FORWARD branch '$branch' (epochs ${epochs.mkString(", ")})",
         removes = Nil, adds = Nil, affectsCompacted = false,
         activatesEpoch = None, changeFiles = Nil,
         op = Some("fast_forward"))
+    }
     writeBranches(cur - branch)
     epochs
+  }
+
+  /** Loud half of the publish-below-offset contract: incremental streams
+    * plan `(offset, latest]` by epoch id, so an epoch published at an id a
+    * reader has already passed is invisible to it forever — silent
+    * downstream data loss. Refuse unless forced. */
+  private def requireNoPassedReaders(minEpoch: Long, force: Boolean,
+                                     what: String): Unit = {
+    if (force) return
+    val passed = readerOffsets.filter(_._2 >= minEpoch)
+    require(passed.isEmpty,
+      s"$what of $root would publish epoch $minEpoch below the committed " +
+        s"offset of incremental reader(s) " +
+        passed.toSeq.sorted.map { case (r, o) => s"'$r' (offset $o)" }
+          .mkString(", ") +
+        " — those streams plan (offset, latest] by epoch id and would " +
+        "NEVER replay these rows. Retire/restart those checkpoints (or " +
+        "consume via the gen-ordered CDC feed) and re-run with " +
+        "force => true.")
   }
 
   /** Discard a branch: drop every staged epoch (snapshot + data files)
@@ -1573,7 +1642,8 @@ final class IcebergLite(val root: String) {
     require(!Files.exists(deletePath(gen)),
       s"branch '$branch' of $root was fast-forwarded — its epochs are " +
         "visible history now (roll back with CALL graft.system.restore)")
-    val dropped = branchEpochs(branch).flatMap(s => discardStaged(s.epochId))
+    val dropped = branchEpochs(branch)
+      .flatMap(s => discardStaged(s.epochId, allowBranchEpoch = true))
     writeBranches(cur - branch)
     dropped
   }
@@ -2398,14 +2468,24 @@ final class IcebergLite(val root: String) {
         }
         b.getColumns.asScala.find(_.getPath.toDotString == "conv_id").foreach { c =>
           c.getStatistics match {
+            // hasNonNullValue, NOT !isEmpty: an all-null row group has
+            // stats (numNulls set, so !isEmpty) but null min/max — the
+            // comparator would NPE on it
             case bs: org.apache.parquet.column.statistics.BinaryStatistics
-                if !bs.isEmpty =>
+                if bs.hasNonNullValue =>
               val cmp = bs.comparator()
                 .asInstanceOf[java.util.Comparator[org.apache.parquet.io.api.Binary]]
               val mn = bs.genericGetMin
               val mx = bs.genericGetMax
               if (convMin == null || cmp.compare(mn, convMin) < 0) convMin = mn
               if (convMax == null || cmp.compare(mx, convMax) > 0) convMax = mx
+              convBlocks += 1
+            case bs: org.apache.parquet.column.statistics.BinaryStatistics
+                if !bs.isEmpty =>
+              // all-null group: contributes no values, and a NULL conv_id
+              // matches no equality/range/IN predicate, so the other
+              // groups' bounds remain a valid necessary condition — count
+              // the group as covered rather than dropping the file's bounds
               convBlocks += 1
             case _ =>
           }

@@ -108,6 +108,39 @@ class MetadataAggSpec extends SparkSpec {
     assert(row.getTimestamp(1) === nativeHi.getTimestamp(0))
   }
 
+  test("time travel onto a sentinel (all-null ts) epoch declines MIN/MAX " +
+      "instead of serving 1970 (gate validates the SAME view as the scan)") {
+    import spark.implicits._
+    val root = tmpDir("meta-agg-sentinel")
+    val table = new IcebergLite(root)
+    table.create("conv_id string, turn_idx int, ts timestamp", 2)
+    val nulls = (0 until 6).map(i => (s"conv$i", i, null: java.sql.Timestamp))
+    assert(table.commitEpoch(nulls.toDF("conv_id", "turn_idx", "ts"), "w", 0L, 2))
+    // a later delete rewrites the sentinel file out of the LIVE view only
+    table.deleteWhere(spark, col("ts").isNull, "ts IS NULL")
+    val live = (0 until 4).map(i => (s"conv$i", i, tsAt(i)))
+    assert(table.commitEpoch(live.toDF("conv_id", "turn_idx", "ts"), "w", 1L, 2))
+    // live: no sentinel file left -> pushdown serves, exact
+    val liveAgg = conn(table).agg(min(col("ts")).as("lo"))
+    assert(scanOf(liveAgg).isInstanceOf[MetadataAggScan])
+    assert(liveAgg.collect().head.getTimestamp(0) === tsAt(0))
+    // asOf 0: the HISTORICAL file set still holds the sentinel file — the
+    // gate must validate that set and decline, so the real scan answers
+    // NULL (all ts null at epoch 0), not the 1970 sentinel
+    val travel = spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", table.root).option("asOfEpoch", "0").load()
+      .agg(min(col("ts")).as("lo"))
+    assert(!scanOf(travel).isInstanceOf[MetadataAggScan],
+      "asOf view containing a sentinel file must decline the pushdown")
+    assert(travel.collect().head.isNullAt(0))
+    // COUNT is stats-independent: still served from metadata under asOf
+    val cnt = spark.read.format("graft.sources.IcebergLiteSource")
+      .option("path", table.root).option("asOfEpoch", "0").load()
+      .agg(count(lit(1)).as("n"))
+    assert(scanOf(cnt).isInstanceOf[MetadataAggScan])
+    assert(cnt.collect().head.getLong(0) === 6L)
+  }
+
   test("empty table: count 0, min/max null") {
     import spark.implicits._
     val root = tmpDir("meta-agg-empty")

@@ -120,6 +120,36 @@ class ParquetPushdownSpec extends SparkSpec {
     assert(ParquetPushdown.build(Seq(EqualTo("conv_id", null)), s).isEmpty)
   }
 
+  test("oversized IN degrades to a [min,max] range, never a deep or-chain") {
+    val s = new StructType()
+      .add("conv_id", StringType).add("turn_idx", IntegerType)
+    import org.apache.spark.sql.sources._
+    val many: Array[Any] =
+      (0 until ParquetPushdown.InChainThreshold * 8)
+        .map(i => f"conv$i%05d": Any).toArray
+    // a 512-value runtime-join IN-list: one gteq/lteq pair, zero Or nodes
+    // (per-Or recursion in parquet's visitors makes deep chains a
+    // StackOverflow risk at DPP scale)
+    val big = ParquetPushdown.build(Seq(In("conv_id", many)), s)
+    assert(big.isDefined)
+    val repr = big.get.toString
+    assert(repr.contains("gteq") && repr.contains("lteq") &&
+      !repr.contains("or("), repr)
+    assert(repr.contains("conv00000") &&
+      repr.contains(f"conv${many.length - 1}%05d"), repr)
+    // at or below the threshold the exact or-chain survives
+    val small = ParquetPushdown.build(Seq(In("conv_id",
+      Array[Any]("a", "b", "c"))), s).get.toString
+    assert(small.contains("or("), small)
+    // numeric range; a null member still kills the whole predicate
+    val ints: Array[Any] =
+      (0 until 300).map(i => Int.box(i): Any).toArray
+    val ip = ParquetPushdown.build(Seq(In("turn_idx", ints)), s)
+    assert(ip.isDefined && !ip.get.toString.contains("or("), ip)
+    assert(ParquetPushdown.build(
+      Seq(In("conv_id", many :+ (null: Any))), s).isEmpty)
+  }
+
   test("streamed read with a pushed filter stays exact") {
     import org.apache.spark.sql.streaming.Trigger
     val table = buildTable()

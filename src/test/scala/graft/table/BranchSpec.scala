@@ -153,6 +153,69 @@ class BranchSpec extends SparkSpec {
       Option(streamEx.getCause).exists(_.toString.contains("batch-only")))
   }
 
+  test("hardening: overwrite-to-branch refused BEFORE truncation; " +
+      "discard refusal; tag/branch namespace; fast-forward crash window") {
+    import spark.implicits._
+    val table = buildTable()
+    val gen = table.createBranch("audit")
+    stageRows(table, 2L, "audit", 100)
+    // 1) INSERT OVERWRITE at a branch: loud error AND no truncation side
+    //    effect (the guard must fire before the destructive deleteWhere)
+    val df = Seq(("convX", 0, tsAt(0L))).toDF("conv_id", "turn_idx", "ts")
+    val ex = intercept[Exception] {
+      df.write.format("graft.sources.IcebergLiteSource")
+        .option("path", table.root).option("branch", "audit")
+        .mode("overwrite").save()
+    }
+    assert(ex.toString.contains("append-only") ||
+      Option(ex.getCause).exists(_.toString.contains("append-only")))
+    assert(table.read(spark).count() === 80L,
+      "live rows must survive the refused overwrite")
+    assert(table.branchEpochs("audit").map(_.epochId) === Seq(2L))
+    // 2) a single branch epoch cannot be discarded from outside — the
+    //    "publish together" invariant holds on discard too
+    val dex = intercept[IllegalStateException](table.discardStaged(2L))
+    assert(dex.getMessage.contains("drop_branch"))
+    // 3) tag cannot take a live branch's name (mirror of createBranch)
+    val tex = intercept[IllegalArgumentException](table.tag("audit", 0L))
+    assert(tex.getMessage.contains("branch"))
+    // 4) fast-forward crash window (activation manifest written, name not
+    //    yet released): re-staging refused, branch view does not double
+    //    count, re-running fast_forward recovers
+    table.fastForward("audit")
+    assert(table.read(spark).count() === 104L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table.root, "metadata", "branches.json"),
+      s"""{"audit":$gen}""".getBytes)
+    val sex = intercept[IllegalArgumentException](
+      stageRows(table, 5L, "audit", 300))
+    assert(sex.getMessage.contains("fast-forwarded"))
+    assert(table.branchEpochs("audit").isEmpty,
+      "published epochs are not branch stages")
+    assert(table.readBranch(spark, "audit").count() === 104L,
+      "crash window must not double-count the published epochs")
+    assert(table.fastForward("audit") === Seq(2L)) // idempotent recovery
+    assert(table.branches.isEmpty)
+  }
+
+  test("fast-forward below a registered reader's offset is refused; " +
+      "force overrides") {
+    val table = buildTable()
+    table.createBranch("audit")
+    stageRows(table, 2L, "audit", 100)
+    // an incremental stream whose committed offset already passed epoch 2
+    // would NEVER replay it — the publish must fail loudly
+    table.registerReader("slow-stream", 3L)
+    val ex = intercept[IllegalArgumentException](table.fastForward("audit"))
+    assert(ex.getMessage.contains("slow-stream"))
+    assert(table.branches.contains("audit"),
+      "a refused publish must not release the branch name")
+    assert(table.read(spark).count() === 80L)
+    // operator retires the checkpoint, then forces
+    assert(table.fastForward("audit", force = true) === Seq(2L))
+    assert(table.read(spark).count() === 104L)
+  }
+
   test("gens compose: a main DELETE between create and fast-forward; promotion") {
     val table = buildTable()
     table.createBranch("audit") // reserves gen g

@@ -33,6 +33,35 @@ class ConvBoundsSpec extends SparkSpec {
     table
   }
 
+  test("an all-null conv_id row group AFTER a value group neither NPEs " +
+      "the commit nor drops the file's bounds") {
+    import spark.implicits._
+    val root = tmpDir("conv-bounds-nulls")
+    val table = new IcebergLite(root)
+    table.create("conv_id string, turn_idx int, ts timestamp", 1)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    // tiny block size -> many row groups; values first, nulls last
+    // (arranged=true bypasses the engine's nulls-first sort, which is the
+    // only ordering that reaches the null-min/max stats path)
+    hc.setInt("parquet.block.size", 1024)
+    try {
+      val rows = (0 until 300).map(i => (f"conv$i%03d", i, tsAt(i))) ++
+        (0 until 300).map(i => (null: String, 1000 + i, tsAt(i)))
+      val df = rows.toDF("conv_id", "turn_idx", "ts").coalesce(1)
+      assert(table.commitEpoch(df, "w", 0L, 1, arranged = true))
+    } finally {
+      oldBlock.fold(hc.unset("parquet.block.size"))(
+        v => hc.set("parquet.block.size", v))
+    }
+    assert(table.read(spark).count() === 600L)
+    // bounds come from the non-null groups; NULL conv_id matches no
+    // equality/range/IN predicate, so they stay a valid necessary condition
+    val f = table.effectiveFiles.head
+    assert(f.convIdMin === Some("conv000"), f)
+    assert(f.convIdMax === Some("conv299"), f)
+  }
+
   test("bounds recorded at commit; point lookup prunes to ONE file") {
     val table = buildTable()
     val files = table.effectiveFiles

@@ -146,6 +146,24 @@ class WapSpec extends SparkSpec {
     assert(drain(cp).filter(_._2 > 0).map(_._2) === Seq(6L))
   }
 
+  test("publish below a registered reader's offset is refused; force " +
+      "overrides (offsets are epoch-id watermarks)") {
+    val (_, t) = buildTable()
+    val gen = t.stageEpoch(stagedDf(5), "audit-q", 2L, 4)
+    t.registerReader("fast-reader", 2L) // offset already AT the staged id
+    val ex = intercept[IllegalArgumentException](t.publishStaged(2L))
+    assert(ex.getMessage.contains("fast-reader"))
+    assert(t.read(spark).count() === 80L, "refused publish stays invisible")
+    assert(t.publishStaged(2L, force = true) === gen)
+    assert(t.read(spark).count() === 85L)
+    // a reader strictly BELOW the epoch never blocks
+    val (_, t2) = buildTable()
+    t2.stageEpoch(stagedDf(3), "audit-q", 2L, 4)
+    t2.registerReader("ok-reader", 1L)
+    t2.publishStaged(2L)
+    assert(t2.read(spark).count() === 83L)
+  }
+
   test("default epoch allocation skips staged ids: an append while an " +
     "audit is open lands on the next id, and both survive publish") {
     val (_, t) = buildTable()
