@@ -577,7 +577,7 @@ final class IcebergLiteScan(root: String, schema: StructType,
                             limit: Option[Int] = None,
                             branch: Option[String] = None)
     extends Scan with SupportsReportPartitioning with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportOrdering {
   override def readSchema(): StructType = schema
 
   /** Manifest-exact statistics for the PRUNED scan (called after filter
@@ -701,7 +701,11 @@ final class IcebergLiteScan(root: String, schema: StructType,
     if (keyGroupedBuckets.isDefined) {
       val byBucket = files.groupBy(_.partitionId)
       grouped0.map { b =>
-        val fs = byBucket.getOrElse(b, Nil)
+        val fs0 = byBucket.getOrElse(b, Nil)
+        // the reported ordering (outputOrdering) is only true if the
+        // reader consumes the run in bounds order — re-sort the (possibly
+        // runtime-filtered) survivors by the same key the claim used
+        val fs = if (orderedBuckets) orderedRun(fs0).getOrElse(fs0) else fs0
         BucketFilePartition(b, fs.map(f => s"$root/${f.path}"),
           fs.map(_.rowCount).sum): InputPartition
       }.toArray
@@ -722,6 +726,68 @@ final class IcebergLiteScan(root: String, schema: StructType,
       IcebergLiteSource.packPartitions(root, capped)
     }
   }
+
+  // ---- sorted-scan report (SupportsReportOrdering) -------------------------
+  // Every engine-written file is internally sorted (conv_id ASC NULLS
+  // FIRST, turn_idx ASC) — the sink's deterministic layout, and the exact
+  // sort `arranged = true` callers promise. A key-grouped partition
+  // concatenates its bucket's files in list order, so the partition as a
+  // whole is sorted iff the files form a strictly DISJOINT conv_id run:
+  // every file carries manifest bounds; sorted by min, each file's max is
+  // strictly below the next file's min (equality could interleave a shared
+  // conv's turn_idx); and no file after the first contains conv_id NULLs
+  // (nulls sort first globally, so mid-run nulls break the concatenation —
+  // the first file's own nulls are already at its head). One file per
+  // bucket — the shape compaction produces — qualifies trivially;
+  // multi-file buckets qualify when conv populations are disjoint across
+  // epochs (time-correlated id schemes).
+  //
+  // Reported only on the key-grouped path: there KeyGroupedPartitioning
+  // already satisfies the conv_id DISTRIBUTION, so a window or sort-based
+  // aggregate over (conv_id, turn_idx) plans with NO Exchange and NO Sort
+  // — at 100 TB the sort it deletes is a full spill-to-disk pass per
+  // query. (A packed scan's ordering has no consumer: any operator that
+  // needs the order also needs a distribution, and that Exchange destroys
+  // the order anyway.) Runtime filtering only REMOVES files, and a subset
+  // of a disjoint run is still a disjoint run, so the claim survives
+  // filter(); batchPartitions re-sorts the surviving files by the same key.
+  private def unsignedLt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** The bucket's files as a sorted strictly-disjoint run; None when the
+    * concatenation order is unprovable from the manifest. */
+  private def orderedRun(fs: Seq[DataFileMeta]): Option[Seq[DataFileMeta]] = {
+    if (fs.lengthCompare(1) <= 0) return Some(fs)
+    if (!fs.forall(f => f.convIdMin.isDefined && f.convIdNulls.isDefined))
+      return None
+    val sorted = fs.sortWith((a, b) => unsignedLt(a.convIdMin.get, b.convIdMin.get))
+    val disjoint = sorted.sliding(2).forall {
+      case scala.collection.Seq(a, b) => unsignedLt(a.convIdMax.get, b.convIdMin.get)
+      case _ => true
+    }
+    if (disjoint && sorted.tail.forall(_.convIdNulls.contains(0L))) Some(sorted)
+    else None
+  }
+
+  private lazy val orderedBuckets: Boolean =
+    keyGroupedBuckets.isDefined &&
+      // session toggle (default on): A/B measurement + escape hatch,
+      // mirroring spark.sql.graft.parquetFilterPushdown
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.graft.reportOrdering", "true").toBoolean &&
+      schema.fieldNames.contains("conv_id") &&
+      schema.fieldNames.contains("turn_idx") &&
+      pruned._2.groupBy(_.partitionId).values.forall(orderedRun(_).isDefined)
+
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (orderedBuckets) Array(
+      Expressions.sort(Expressions.column("conv_id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("turn_idx"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   override def outputPartitioning(): Partitioning = keyGroupedBuckets match {
     case Some(n) => new KeyGroupedPartitioning(

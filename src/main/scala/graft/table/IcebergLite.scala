@@ -553,6 +553,7 @@ final class IcebergLite(val root: String) {
     f.convIdMin.foreach(v => m.put("convMin", v))
     f.convIdMax.foreach(v => m.put("convMax", v))
     if (f.sizeBytes >= 0L) m.put("sizeBytes", java.lang.Long.valueOf(f.sizeBytes))
+    f.convIdNulls.foreach(v => m.put("convNulls", java.lang.Long.valueOf(v)))
     m
   }
 
@@ -562,7 +563,8 @@ final class IcebergLite(val root: String) {
         f.get("rowCount").asLong(), f.get("minTs").asLong(), f.get("maxTs").asLong(),
         Option(f.get("convMin")).map(_.asText()),
         Option(f.get("convMax")).map(_.asText()),
-        Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(-1L))
+        Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(-1L),
+        Option(f.get("convNulls")).map(_.asLong()))
     }.toSeq
 
   // ---- compaction (S8 — the analogue of save(garbage=4, deflate=True):
@@ -2449,6 +2451,8 @@ final class IcebergLite(val root: String) {
       var convMin: org.apache.parquet.io.api.Binary = null
       var convMax: org.apache.parquet.io.api.Binary = null
       var convBlocks = 0
+      var convNulls = 0L
+      var convNullBlocks = 0
       md.getBlocks.asScala.foreach { b =>
         rows += b.getRowCount
         b.getColumns.asScala.find(_.getPath.toDotString == "ts").foreach { c =>
@@ -2467,6 +2471,12 @@ final class IcebergLite(val root: String) {
           }
         }
         b.getColumns.asScala.find(_.getPath.toDotString == "conv_id").foreach { c =>
+          c.getStatistics match {
+            case st if st != null && st.isNumNullsSet =>
+              convNulls += st.getNumNulls
+              convNullBlocks += 1
+            case _ =>
+          }
           c.getStatistics match {
             // hasNonNullValue, NOT !isEmpty: an all-null row group has
             // stats (numNulls set, so !isEmpty) but null min/max — the
@@ -2498,7 +2508,9 @@ final class IcebergLite(val root: String) {
         if (boundsOk) Some(convMax.toStringUsingUTF8) else None,
         // on-disk bytes for the connector's SupportsReportStatistics —
         // one stat call on a file already open for its footer
-        Files.size(p))
+        Files.size(p),
+        // exact conv_id null count, only when EVERY row group recorded one
+        if (convNullBlocks == md.getBlocks.size()) Some(convNulls) else None)
     } finally reader.close()
   }
 
@@ -2599,7 +2611,14 @@ final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
                               minTsMicros: Long, maxTsMicros: Long,
                               convIdMin: Option[String] = None,
                               convIdMax: Option[String] = None,
-                              sizeBytes: Long = -1L)
+                              sizeBytes: Long = -1L,
+                              // conv_id null count from footer stats (None
+                              // when any row group left numNulls unset, or
+                              // on pre-round-5 manifests). Consumed by the
+                              // scan's ordering report: a file whose nulls
+                              // sort mid-run breaks (conv_id, turn_idx)
+                              // concatenation order
+                              convIdNulls: Option[Long] = None)
 final case class SnapshotMeta(queryId: String, epochId: Long,
                               files: Seq[DataFileMeta], numBuckets: Int = -1,
                               schemaVersion: Int = 1, maxGen: Long = 0L)
