@@ -786,6 +786,45 @@ object SparkEntry {
         .unionByName(s.read.parquet(s"$scratch/branch"))
         .unionByName(s.table("graft.gate.br").select(cols: _*)
           .withColumn("part", lit("post")))
+    }),
+    // merge-on-read DELETE gate (round-5 session 6): three deleteWhereMor
+    // commits — a per-file tiny slice (turn_idx = 3: one turn of every
+    // conv, guaranteed under the DV fraction), a whole-conv purge, and a
+    // compound slice — leave the original files in place with deletion
+    // vectors attached (the hybrid may rewrite where fractions are large;
+    // either way content must match). The result is read back through the
+    // CATALOG connector, so the row-mode vector-skip reader is what the
+    // oracle checks; the engine read path is covered by DvDeleteSpec.
+    "q43_mor_delete" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tx = Fixtures.transcripts(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      val wh = s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}"
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s.sql("DROP TABLE IF EXISTS graft.gate.mor")
+      s.sql(
+        """CREATE TABLE graft.gate.mor (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      Seq(0, 1).foreach { ep =>
+        tx.filter(col("turn_idx") % 2 === ep)
+          .select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+          .writeTo("graft.gate.mor")
+          .option("epoch", ep.toString).option("queryId", "gate").append()
+      }
+      val lite = new graft.table.IcebergLite(s"$wh/gate/mor")
+      lite.deleteWhereMor(s, col("turn_idx") === 3, "turn_idx = 3")
+      lite.deleteWhereMor(s, col("conv_id") === "conv-000001",
+        "conv_id = 'conv-000001'")
+      lite.deleteWhereMor(s,
+        col("role") === "tool" && col("turn_idx") < 6,
+        "role = 'tool' AND turn_idx < 6")
+      s.table("graft.gate.mor")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     })
   )
 
@@ -1379,6 +1418,16 @@ object SparkEntry {
          |)
          |SELECT *, 'pre' AS part FROM pre
          |UNION ALL SELECT *, 'branch' FROM full_v
-         |UNION ALL SELECT *, 'post' FROM full_v""".stripMargin
+         |UNION ALL SELECT *, 'post' FROM full_v""".stripMargin,
+    // q43: survivors of the three MOR deletes, recomputed relationally —
+    // a vector-skip read that dropped a surviving row, kept a deleted one
+    // or double-served a file would shift the multiset
+    "q43_mor_delete" ->
+      s"""SELECT conv_id, turn_idx, role, tool, text,
+         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T
+         |WHERE NOT (turn_idx = 3)
+         |  AND NOT (conv_id = 'conv-000001')
+         |  AND NOT (role = 'tool' AND turn_idx < 6)""".stripMargin
   )
 }

@@ -112,8 +112,10 @@ object ChangeFeed {
               s"file ${f.path} was reclaimed by gc. Batch-read the current " +
               "snapshot, then feed from IcebergLite.currentVersion.")
       }
+      // raw EPOCH files only (never DV'd — vectors attach to the
+      // effective view, epochs are immutable), so dvs is always empty here
       IcebergLiteSource.packPartitions(root, s.files).toSeq.map {
-        case FilePartition(paths, rows) =>
+        case FilePartition(paths, rows, _) =>
           CdcInsertPartition(paths, rows, s.epochId): InputPartition
         case other => other // packPartitions only emits FilePartition
       }

@@ -190,17 +190,22 @@ object IcebergLiteSource {
       (total + parallelism - 1) / parallelism))
     val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     var paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dvs = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
     var rows = 0L
+    def flush(): Unit = {
+      out += FilePartition(paths.toSeq, rows,
+        if (dvs.exists(_.isDefined)) dvs.toSeq else Seq.empty)
+      paths = scala.collection.mutable.ArrayBuffer.empty[String]
+      dvs = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+      rows = 0L
+    }
     files.foreach { f =>
-      if (rows > 0 && rows + f.rowCount > target) {
-        out += FilePartition(paths.toSeq, rows)
-        paths = scala.collection.mutable.ArrayBuffer.empty[String]
-        rows = 0L
-      }
+      if (rows > 0 && rows + f.rowCount > target) flush()
       paths += s"$root/${f.path}"
+      dvs += f.dvPath.map(p => s"$root/$p")
       rows += f.rowCount
     }
-    if (paths.nonEmpty) out += FilePartition(paths.toSeq, rows)
+    if (paths.nonEmpty) flush()
     out.toArray
   }
 }
@@ -488,7 +493,13 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
             t.exists &&
               target.fold(t.effectiveFileSets)(t.fileSetsAsOf)
                 .flatMap(_.files).forall(f =>
-                  f.rowCount == 0L || f.minTsMicros != 0L || f.maxTsMicros != 0L)
+                  (f.rowCount == 0L ||
+                    f.minTsMicros != 0L || f.maxTsMicros != 0L) &&
+                    // a deletion vector keeps the ORIGINAL file's bounds
+                    // (conservative for pruning) — the survivors' true
+                    // min/max may differ, so MIN/MAX must decline;
+                    // COUNT stays (rowCount is survivor-exact)
+                    f.dvPath.isEmpty)
           }
         }
       }
@@ -707,7 +718,10 @@ final class IcebergLiteScan(root: String, schema: StructType,
         // runtime-filtered) survivors by the same key the claim used
         val fs = if (orderedBuckets) orderedRun(fs0).getOrElse(fs0) else fs0
         BucketFilePartition(b, fs.map(f => s"$root/${f.path}"),
-          fs.map(_.rowCount).sum): InputPartition
+          fs.map(_.rowCount).sum,
+          if (fs.exists(_.dvPath.isDefined))
+            fs.map(_.dvPath.map(p => s"$root/$p"))
+          else Seq.empty): InputPartition
       }.toArray
     } else {
       // limit pushdown (packed path only — a key-grouped scan keeps its
@@ -800,7 +814,8 @@ final class IcebergLiteScan(root: String, schema: StructType,
     override def createReaderFactory(): PartitionReaderFactory =
       new ParquetColumnarReaderFactory(schema,
         // the runtime IN-list also reaches parquet's row-group filter
-        IcebergLiteSource.parquetFilterFor(root, pushedSrc ++ runtimeFilters))
+        IcebergLiteSource.parquetFilterFor(root, pushedSrc ++ runtimeFilters),
+        rowMode = currentFiles.exists(_.dvPath.isDefined))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -837,14 +852,20 @@ final case class EpochOffset(epoch: Long) extends Offset {
 
 /** One scan task over one or more data files (packed by
   * [[IcebergLiteSource.packPartitions]]); `rowCount` is the packed total. */
-final case class FilePartition(paths: Seq[String], rowCount: Long) extends InputPartition
+/** `dvs` is per-path: the absolute path of the file's deletion-vector
+  * sidecar, aligned with `paths` (empty seq = no vectors anywhere — the
+  * overwhelmingly common case; `rowCount` is always the SURVIVOR total). */
+final case class FilePartition(paths: Seq[String], rowCount: Long,
+                               dvs: Seq[Option[String]] = Seq.empty)
+    extends InputPartition
 
 /** One scan task = ALL files of one conv_id hash bucket — the key-grouped
   * layout behind storage-partitioned reads ([[IcebergLiteScan]]). The
   * partition key row carries the bucket id, typed to match the reported
   * `bucket(N, conv_id)` transform's result (int). */
 final case class BucketFilePartition(bucketId: Int, paths: Seq[String],
-                                     rowCount: Long)
+                                     rowCount: Long,
+                                     dvs: Seq[Option[String]] = Seq.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucketId)
 }
@@ -988,7 +1009,13 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ParquetColumnarReaderFactory(schema,
-      IcebergLiteSource.parquetFilterFor(root, pushedSrc))
+      IcebergLiteSource.parquetFilterFor(root, pushedSrc),
+      // stream-level row-mode decision: any live deletion vector flips the
+      // stream's scans to row mode (Spark demands scan-wide agreement); a
+      // vector committed after this point trips the factory's loud
+      // columnar guard instead of silently resurrecting rows
+      rowMode = table.deletes.exists(
+        _.fileSets.exists(_.files.exists(_.dvPath.isDefined))))
 
   // Source-side commit: epochs are immutable so there is nothing to ack —
   // but advancing the reader registration here is what lets gc() reclaim
@@ -1004,28 +1031,48 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
   * order of magnitude at scale). A zero-column projection skips parquet
   * entirely and emits manifest-counted empty rows. */
 final class ParquetColumnarReaderFactory(schema: StructType,
-    pqFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    pqFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+    rowMode: Boolean = false)
     extends PartitionReaderFactory {
 
+  // Spark requires ALL of a scan's partitions to agree on columnar vs row
+  // (DataSourceV2ScanExecBase), so the presence of ANY deletion vector in
+  // the planned view flips the WHOLE scan to row mode (`rowMode`, decided
+  // at factory creation): the vector skip needs original row positions,
+  // tracked row-by-row. Vector-free scans — the overwhelmingly common
+  // case; compaction folds vectors away — keep the columnar path
+  // untouched.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    schema.nonEmpty
+    schema.nonEmpty && !rowMode
 
-  private def filesOf(p: InputPartition): (Seq[String], Long) = p match {
-    case FilePartition(paths, n) => (paths, n)
-    case BucketFilePartition(_, paths, n) => (paths, n)
+  private def filesOf(p: InputPartition): (Seq[String], Long, Seq[Option[String]]) = p match {
+    case FilePartition(paths, n, dvs) => (paths, n, dvs)
+    case BucketFilePartition(_, paths, n, dvs) => (paths, n, dvs)
     case other => throw new IllegalStateException(s"unexpected partition $other")
   }
 
-  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new MultiFileColumnarReader(filesOf(partition)._1, schema, pqFilter)
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val (paths, _, dvs) = filesOf(partition)
+    // belt and braces: a columnar read of a DV'd partition would silently
+    // resurrect deleted rows (e.g. a vector committed AFTER this factory
+    // was created mid-stream) — fail loudly instead; a restart replans in
+    // row mode
+    require(dvs.forall(_.isEmpty),
+      "deletion-vector partition reached the columnar reader — the scan " +
+        "was planned before the vector committed; restart the query")
+    new MultiFileColumnarReader(paths, schema, pqFilter)
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (paths, rowCount) = filesOf(partition)
+    val (paths, rowCount, dvs) = filesOf(partition)
     // NOTE the zero-column count path deliberately ignores the parquet
     // filter: it serves ONLY when no residual filter exists (Spark prunes
     // to zero columns just for unfiltered counts), and manifest row counts
-    // are exact there.
+    // are exact there (SURVIVOR counts for MOR entries — no file IO needed
+    // even under deletion vectors).
     if (schema.isEmpty) new CountRowsReader(rowCount)
+    else if (dvs.exists(_.isDefined))
+      new DvRowsReader(paths, dvs, schema, pqFilter)
     else new RowsFromBatchReader(new MultiFileColumnarReader(paths, schema, pqFilter))
   }
 }
@@ -1143,6 +1190,77 @@ final class RowsFromBatchReader(inner: MultiFileColumnarReader)
   }
   override def get(): InternalRow = cur
   override def close(): Unit = inner.close()
+}
+
+/** Row reader for partitions carrying DELETION VECTORS: chains the same
+  * vectorized per-file readers, tracks each row's ORIGINAL position in its
+  * file, and skips positions listed in the file's vector with a merge
+  * pointer (vectors are written sorted). A DV'd file must see every row —
+  * positions are original-file indexes, so the parquet row-group filter is
+  * disabled for exactly those files (a skipped group would misalign every
+  * later position); vector-free files in the same partition keep it. */
+final class DvRowsReader(paths: Seq[String], dvs: Seq[Option[String]],
+    schema: StructType,
+    pqFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    extends PartitionReader[InternalRow] {
+  private var fileIdx = 0
+  private var cur: VectorizedFileReader = _
+  private var rows: java.util.Iterator[InternalRow] =
+    java.util.Collections.emptyIterator()
+  private var pos = -1L
+  private var dead: Array[Long] = Array.emptyLongArray
+  private var deadIdx = 0
+  private var current: InternalRow = _
+
+  private def openNext(): Boolean = {
+    if (fileIdx >= paths.length) return false
+    val dv = if (fileIdx < dvs.length) dvs(fileIdx) else None
+    dead = dv.map(DvRowsReader.positions).getOrElse(Array.emptyLongArray)
+    deadIdx = 0
+    pos = -1L
+    cur = new VectorizedFileReader(paths(fileIdx), schema,
+      if (dv.isDefined) None else pqFilter)
+    fileIdx += 1
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (rows.hasNext) {
+        current = rows.next()
+        pos += 1
+        if (deadIdx < dead.length && dead(deadIdx) == pos) deadIdx += 1
+        else return true
+      } else if (cur != null && cur.next()) {
+        rows = cur.get().rowIterator()
+      } else {
+        if (cur != null) { cur.close(); cur = null }
+        if (!openNext()) return false
+      }
+    }
+    false // unreachable
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
+object DvRowsReader {
+  /** The vector's deleted positions, sorted ascending (written sorted;
+    * sorted again defensively — the merge pointer requires it). */
+  private[sources] def positions(dvPath: String): Array[Long] = {
+    val s = new StructType().add("pos", org.apache.spark.sql.types.LongType)
+    val r = new VectorizedFileReader(dvPath, s)
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    try {
+      while (r.next()) {
+        val it = r.get().rowIterator()
+        while (it.hasNext) buf += it.next().getLong(0)
+      }
+    } finally r.close()
+    val a = buf.result()
+    java.util.Arrays.sort(a)
+    a
+  }
 }
 
 /** Zero-column projection (`SELECT count(*)`): the manifest's per-file

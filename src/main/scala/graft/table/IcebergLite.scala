@@ -13,6 +13,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Minimal Iceberg-style table format, built from scratch (no Iceberg jar in
   * the sandbox — SURVEY.md §7.0): immutable parquet data files + a JSON
@@ -554,6 +555,7 @@ final class IcebergLite(val root: String) {
     f.convIdMax.foreach(v => m.put("convMax", v))
     if (f.sizeBytes >= 0L) m.put("sizeBytes", java.lang.Long.valueOf(f.sizeBytes))
     f.convIdNulls.foreach(v => m.put("convNulls", java.lang.Long.valueOf(v)))
+    f.dvPath.foreach(v => m.put("dv", v))
     m
   }
 
@@ -564,7 +566,8 @@ final class IcebergLite(val root: String) {
         Option(f.get("convMin")).map(_.asText()),
         Option(f.get("convMax")).map(_.asText()),
         Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(-1L),
-        Option(f.get("convNulls")).map(_.asLong()))
+        Option(f.get("convNulls")).map(_.asLong()),
+        Option(f.get("dv")).map(_.asText()))
     }.toSeq
 
   // ---- compaction (S8 — the analogue of save(garbage=4, deflate=True):
@@ -736,6 +739,33 @@ final class IcebergLite(val root: String) {
       if (matched == f.rowCount) None else Some(df.filter(!hit))
     }, (df, hit) => Seq("delete" -> df.filter(hit)))
 
+  /** Row-level DELETE by MERGE-ON-READ deletion vectors — the answer to
+    * "a 10-row purge should not rewrite a 1 GiB file". The same
+    * manifest-pruned per-file machinery as [[deleteWhere]], but a file
+    * whose matched fraction is at most `spark.sql.graft.dvMaxFraction`
+    * (default 0.2) records its deleted ORIGINAL-ROW POSITIONS as a tiny
+    * parquet sidecar ([[publishDvFile]]) instead of being rewritten:
+    * commit cost is O(matched rows), never O(file bytes). The manifest
+    * entry keeps the SAME data path with the `dv` reference and the exact
+    * survivor rowCount, so the whole manifest algebra — effective views,
+    * per-epoch stream patching, compaction folding (a DV'd source entry
+    * contributes its survivors and the compacted output carries no dv),
+    * gc's live-reference guard, time travel, CDC recording, restore —
+    * composes without special cases; only ROW READS need DV awareness
+    * ([[readEntries]] and the connector). Files matched above the
+    * fraction (or fully) fall back to the copy-on-write rewrite/drop per
+    * file — the hybrid is chosen file-by-file. Chained mutations fold:
+    * a later cow rewrite or compaction of a DV'd file folds the vector;
+    * a later MOR delete unions positions into ONE cumulative vector.
+    * Returns rows deleted. */
+  def deleteWhereMor(spark: SparkSession, condition: org.apache.spark.sql.Column,
+                     predicateText: String,
+                     prune: Seq[FileSet] => Seq[DataFileMeta] = _.flatMap(_.files)): Long =
+    rewriteWhere(spark, condition, predicateText, prune, mor = true)({
+      (df, hit, matched, f) =>
+        if (matched == f.rowCount) None else Some(df.filter(!hit))
+    }, (df, hit) => Seq("delete" -> df.filter(hit)))
+
   /** Row-level UPDATE by copy-on-write rewrite — the same manifest-pruned
     * per-file machinery as [[deleteWhere]], but matched rows are kept with
     * `assignments` applied instead of dropped ("fix the tool label on these
@@ -817,6 +847,35 @@ final class IcebergLite(val root: String) {
     claimFrom(part, dst, committed = Files.exists(deletePath(gen)))
     Files.deleteIfExists(part)
     footerStats(dst, gen, partitionId, s"data/$name")
+  }
+
+  /** Publish one DELETION VECTOR: the file's deleted original-row
+    * positions as `data/dv-<gen>-<idx>.parquet` with columns
+    * (`file`: manifest-relative data path, `pos`: long, sorted). A prior
+    * vector on the same entry is UNIONED in — vectors are cumulative, so
+    * every reader applies exactly ONE sidecar per file. Deterministic
+    * bytes under replay (sorted positions, same first-writer-wins claim
+    * as rewrite files). Returns the MOR manifest entry: SAME data path,
+    * survivor rowCount, original (conservative) stats, `dv` set. */
+  private def publishDvFile(f: DataFileMeta, newPos: DataFrame, staging: Path,
+                            gen: Long, seq: Int, matched: Long): DataFileMeta = {
+    val spark = newPos.sparkSession
+    val old = f.dvPath.map(p => spark.read.parquet(s"$root/$p").select(col("pos")))
+    val all = old.fold(newPos)(o => newPos.unionAll(o))
+      .select(lit(f.path).as("file"), col("pos")).sort("pos")
+    val out = staging.resolve(s"dv$seq")
+    all.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val part = listDir(out)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+    val name = f"dv-$gen%04d-$seq%05d.parquet"
+    val dst = dataDir.resolve(name)
+    claimFrom(part, dst, committed = Files.exists(deletePath(gen)))
+    Files.deleteIfExists(part)
+    f.copy(rowCount = f.rowCount - matched,
+      // survivors of a zero-null file are zero-null (exact); any other
+      // original count no longer bounds the survivors exactly → unknown
+      convIdNulls = f.convIdNulls.filter(_ == 0L),
+      dvPath = Some(s"data/$name"))
   }
 
   /** One recorded change-data file for the CDC feed (the Delta-CDF design
@@ -1105,7 +1164,8 @@ final class IcebergLite(val root: String) {
   private def rewriteWhere(spark: SparkSession,
                            condition: org.apache.spark.sql.Column,
                            predicateText: String,
-                           prune: Seq[FileSet] => Seq[DataFileMeta])(
+                           prune: Seq[FileSet] => Seq[DataFileMeta],
+                           mor: Boolean = false)(
       rewrite: (DataFrame, org.apache.spark.sql.Column, Long, DataFileMeta) => Option[DataFrame],
       changeRows: (DataFrame, org.apache.spark.sql.Column) => Seq[(String, DataFrame)]): Long =
     withMaintenanceLock {
@@ -1127,6 +1187,11 @@ final class IcebergLite(val root: String) {
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
       val hit = coalesce(condition, lit(false))
+      // MOR threshold: a file whose matched fraction exceeds this is
+      // rewritten copy-on-write even under mor=true (a vector holding most
+      // of a file is worse than the rewrite it avoids)
+      val dvMaxFraction = spark.conf
+        .get("spark.sql.graft.dvMaxFraction", "0.2").toDouble
       // candidate files are independent — probe and rewrite them
       // CONCURRENTLY (each is its own small Spark job; a serial loop over
       // hundreds of candidates would be driver-latency-bound at scale).
@@ -1134,7 +1199,18 @@ final class IcebergLite(val root: String) {
       // stays deterministic under any completion order.
       import scala.collection.parallel.CollectionConverters._
       val results = candidates.zipWithIndex.par.flatMap { case (f, idx) =>
+        // DV-aware probe: a prior deletion vector's rows are ALREADY
+        // deleted — they must be invisible to the predicate, to the CDC
+        // recording and to any rewrite (which folds the vector). Row
+        // positions are carried alongside for the MOR path (original-file
+        // coordinates: the anti-join filters rows, it never renumbers).
         var df = spark.read.parquet(s"$root/${f.path}")
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+        f.dvPath.foreach { dvp =>
+          val dead = spark.read.parquet(s"$root/$dvp").select(col("pos"))
+          df = df.join(broadcast(dead), df("__graft_pos") === dead("pos"),
+            "left_anti")
+        }
         declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
           df = df.withColumn(c.name, lit(null).cast(c.dataType))
         }
@@ -1146,11 +1222,24 @@ final class IcebergLite(val root: String) {
           // once the gen is settled). rowCount is exact by construction:
           // every frame carries `matched` rows (delete = 1 frame,
           // update = pre + post).
-          val frames = changeRows(df, hit)
+          val rows = df.drop("__graft_pos")
+          val frames = changeRows(rows, hit)
           val cf = publishChangeFile(frames, staging, gen, idx,
             matched * frames.size)
-          Some((idx, f.path, matched, cf,
-            rewrite(df, hit, matched, f).map(replacement =>
+          // merge-on-read: record the matched positions as a deletion
+          // vector instead of rewriting the file — cost ∝ matched rows,
+          // never file size. Only for a genuine subset (full match drops
+          // the file via the rewrite callback; a large fraction rewrites).
+          val useDv = mor && matched < f.rowCount &&
+            matched.toDouble / f.rowCount <= dvMaxFraction
+          if (useDv) {
+            val newPos = df.filter(hit).select(col("__graft_pos").as("pos"))
+            Some((idx, f.path, matched, cf,
+              Some((srcEpoch.getOrElse(f.path, -1L),
+                bucketsOf.getOrElse(f.path, -1),
+                publishDvFile(f, newPos, staging, gen, idx, matched)))))
+          } else Some((idx, f.path, matched, cf,
+            rewrite(rows, hit, matched, f).map(replacement =>
               (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
                 publishRewriteFile(replacement, staging, gen, idx, f.partitionId)))))
         }
@@ -1266,9 +1355,12 @@ final class IcebergLite(val root: String) {
       versionGuards(to)
       val target = attributedViewAt(to)
       val live = effectiveFileSets
-      val livePaths = live.flatMap(_.files.map(_.path)).toSet
-      val targetPaths = target.flatMap(_._2.files.map(_.path)).toSet
-      if (livePaths == targetPaths) return RestoreStats(-1L, 0, 0, 0L)
+      // identity is (path, deletion vector): a MOR delete keeps the path
+      // and swaps the vector, so a path-only diff would neither undo it
+      // (no re-add of the vector-free entry) nor record its CDC inverse
+      val liveKeys = live.flatMap(_.files.map(f => (f.path, f.dvPath))).toSet
+      val targetKeys = target.flatMap(_._2.files.map(f => (f.path, f.dvPath))).toSet
+      if (liveKeys == targetKeys) return RestoreStats(-1L, 0, 0, 0L)
 
       val srcEpoch: Map[String, Long] =
         snapshots.flatMap(s => s.files.map(_.path -> s.epochId)).toMap ++
@@ -1319,10 +1411,10 @@ final class IcebergLite(val root: String) {
             }, n)
           }
         } finally inverted.unpersist()
-        val removes = live.flatMap(_.files.map(_.path))
-          .filterNot(targetPaths.contains)
+        val removes = live.flatMap(_.files)
+          .filterNot(f => targetKeys((f.path, f.dvPath))).map(_.path)
         val adds = target.flatMap { case (se, fs) =>
-          fs.files.filterNot(f => livePaths.contains(f.path))
+          fs.files.filterNot(f => liveKeys((f.path, f.dvPath)))
             .map(f => (se, fs.numBuckets, f))
         }
         writeRewriteManifest(gen,
@@ -1562,12 +1654,8 @@ final class IcebergLite(val root: String) {
   /** Branch READ view: the live table plus the branch's staged epochs —
     * "main + this audit's deltas". Served by the connector via
     * `.option("branch", name)` too ([[branchFileSets]]). */
-  def readBranch(spark: SparkSession, branch: String): DataFrame = {
-    val files = branchFileSets(branch).flatMap(_.files)
-      .map(f => s"$root/${f.path}")
-    if (files.isEmpty) return spark.read.schema(fullReadSchema).parquet()
-    spark.read.schema(fullReadSchema).parquet(files: _*)
-  }
+  def readBranch(spark: SparkSession, branch: String): DataFrame =
+    readEntries(spark, fullReadSchema, branchFileSets(branch).flatMap(_.files))
 
   /** Effective live file sets + the branch's staged epochs' sets. */
   def branchFileSets(branch: String): Seq[FileSet] =
@@ -1860,8 +1948,11 @@ final class IcebergLite(val root: String) {
       if (rewriteSrc.isEmpty) Nil
       else {
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        spark.read.schema(fullReadSchema)
-          .parquet(rewriteSrc.map(f => s"$root/${f.path}"): _*)
+        // readEntries: a DV'd source entry contributes its SURVIVORS, so
+        // compaction FOLDS deletion vectors exactly like delete manifests
+        // (the compacted output carries no dv); determinism holds because
+        // the sortWithinPartitions key (conv_id, turn_idx) is unique
+        readEntries(spark, fullReadSchema, rewriteSrc)
           .repartition(numBuckets, col("conv_id"))
           .sortWithinPartitions(sortCols.map(col): _*)
           .write.mode("overwrite").parquet(staging.toString)
@@ -1908,21 +1999,50 @@ final class IcebergLite(val root: String) {
     * is passed explicitly (see [[fullReadSchemaAt]]): after an
     * [[addColumn]] the files mix schema versions and inference would be
     * nondeterministic; as a bonus no footer is opened at plan time. */
-  def read(spark: SparkSession): DataFrame = {
-    val files = effectiveFiles.map(f => s"$root/${f.path}")
-    spark.read.schema(fullReadSchema).parquet(files: _*)
+  def read(spark: SparkSession): DataFrame =
+    readEntries(spark, fullReadSchema, effectiveFiles)
+
+  /** DV-aware read of manifest entries under `schema` — THE row-read for
+    * every view built from [[DataFileMeta]]s. Entries without a deletion
+    * vector stream through the plain parquet fast path (bit-identical to
+    * the pre-DV read); entries with one are read with parquet's file/row
+    * metadata and LEFT-ANTI joined against their vectors' positions — the
+    * vector side is tiny by construction (MOR is chosen per file only
+    * below the row-fraction threshold) and broadcasts. The `file` column
+    * recorded inside each vector matches the manifest-relative
+    * `data/<name>` (the data dir is flat), reconstructed from
+    * `_metadata.file_path`'s last segment. */
+  def readEntries(spark: SparkSession, schema: StructType,
+                  entries: Seq[DataFileMeta]): DataFrame = {
+    val (dv, plain) = entries.partition(_.dvPath.isDefined)
+    def readPlain(fs: Seq[DataFileMeta]): DataFrame =
+      if (fs.isEmpty) spark.read.schema(schema).parquet()
+      else spark.read.schema(schema).parquet(fs.map(f => s"$root/${f.path}"): _*)
+    if (dv.isEmpty) return readPlain(plain)
+    val vectors = spark.read
+      .parquet(dv.flatMap(_.dvPath).distinct.map(p => s"$root/$p"): _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val masked = spark.read.schema(schema)
+      .parquet(dv.map(f => s"$root/${f.path}"): _*)
+      .withColumn("__graft_file",
+        concat(lit("data/"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val survivors = masked.join(broadcast(vectors),
+        masked("__graft_file") === vectors("__dv_file") &&
+          masked("__graft_pos") === vectors("__dv_pos"), "left_anti")
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    if (plain.isEmpty) survivors else readPlain(plain).unionAll(survivors)
   }
 
   /** Incremental scan: only epochs after `afterEpochId` (streaming-source
     * delta read over the snapshot log), with row-level deletes applied per
     * epoch ([[epochFileSetsWithDeletes]]). Exact only for `afterEpochId` at
     * or past the last compacted epoch. */
-  def readSince(spark: SparkSession, afterEpochId: Long): DataFrame = {
-    val files = snapshots.filter(_.epochId > afterEpochId)
-      .flatMap(epochFileSetsWithDeletes).flatMap(_.files)
-      .map(f => s"$root/${f.path}")
-    spark.read.schema(fullReadSchema).parquet(files: _*)
-  }
+  def readSince(spark: SparkSession, afterEpochId: Long): DataFrame =
+    readEntries(spark, fullReadSchema,
+      snapshots.filter(_.epochId > afterEpochId)
+        .flatMap(epochFileSetsWithDeletes).flatMap(_.files))
 
   /** Time-travel view: the file sets of every snapshot with
     * `epochId <= epoch`, each under its own recorded bucketing — the state
@@ -1981,10 +2101,9 @@ final class IcebergLite(val root: String) {
 
   /** Batch read of the table AS OF `epoch` (see [[fileSetsAsOf]]), under
     * the schema that epoch was committed with. */
-  def readAsOf(spark: SparkSession, epoch: Long): DataFrame = {
-    val files = fileSetsAsOf(epoch).flatMap(_.files).map(f => s"$root/${f.path}")
-    spark.read.schema(fullReadSchemaAt(schemaVersionAt(epoch))).parquet(files: _*)
-  }
+  def readAsOf(spark: SparkSession, epoch: Long): DataFrame =
+    readEntries(spark, fullReadSchemaAt(schemaVersionAt(epoch)),
+      fileSetsAsOf(epoch).flatMap(_.files))
 
   /** Manifest-pruned file selection for an event-time range: only data
     * files whose [minTs, maxTs] stats overlap the range are touched — the
@@ -2001,13 +2120,11 @@ final class IcebergLite(val root: String) {
     * — a millisecond `Timestamp` constructor would truncate the bounds and
     * silently include/exclude rows in the final partial millisecond of the
     * range with TIMESTAMP_MICROS data (manifest pruning is already exact). */
-  def readRange(spark: SparkSession, minTsMicros: Long, maxTsMicros: Long): DataFrame = {
-    val files = filesForRange(minTsMicros, maxTsMicros)
-    if (files.isEmpty) return spark.read.schema(fullReadSchema).parquet()
-    spark.read.schema(fullReadSchema).parquet(files: _*)
+  def readRange(spark: SparkSession, minTsMicros: Long, maxTsMicros: Long): DataFrame =
+    readEntries(spark, fullReadSchema, effectiveFiles
+        .filter(f => f.maxTsMicros >= minTsMicros && f.minTsMicros <= maxTsMicros))
       .filter(col("ts") >= timestamp_micros(lit(minTsMicros)) &&
         col("ts") <= timestamp_micros(lit(maxTsMicros)))
-  }
 
   // ---- incremental-reader registry (GC retention guard) --------------------
 
@@ -2109,10 +2226,14 @@ final class IcebergLite(val root: String) {
     val foldedDeleteFiles = deletes.filter(d => foldedGens.contains(d.gen))
       .flatMap(_.fileSets)
       .filter(fs => fs.sourceEpoch == -1L || minLive.forall(fs.sourceEpoch < _))
-      .flatMap(_.files.map(_.path))
-    // never reclaim anything the live view still references (belt and
-    // braces: folded implies not effective, but the invariant is cheap)
-    val live = effectiveFiles.map(_.path).toSet
+      // a folded MOR entry's vector is superseded alongside its rewrites
+      // (the fold baked the survivors into the compacted files)
+      .flatMap(_.files.flatMap(f => f.path +: f.dvPath.toSeq))
+    // never reclaim anything the live view still references — incl. the
+    // deletion vectors of live MOR entries (an incremental compaction can
+    // fold a gen while REUSING its DV'd entry verbatim; the vector must
+    // survive with it)
+    val live = effectiveFiles.flatMap(f => f.path +: f.dvPath.toSeq).toSet
     // tags pin history: a time-travel read of tagged epoch e reads the RAW
     // files of every epoch <= e, so none of them may be reclaimed while a
     // tag at or above them exists
@@ -2179,13 +2300,19 @@ final class IcebergLite(val root: String) {
     }
     val referenced: Set[String] =
       (rawSnapshots.map(_._1).flatMap(_.files) ++ compactions.flatMap(_.files) ++
-        deletes.flatMap(_.fileSets.flatMap(_.files))).map(_.path).toSet
+        deletes.flatMap(_.fileSets.flatMap(_.files)))
+        .flatMap(f => f.path +: f.dvPath.toSeq).toSet
     val maxEpoch = snapshots.lastOption.map(_.epochId).getOrElse(-1L)
     val maxGen = compactions.map(_.gen).foldLeft(-1L)(math.max)
     val maxDel = deletes.map(_.gen).foldLeft(-1L)(math.max)
     val CompFile = """part-c(\d+)-\d+\.parquet""".r
     val DelFile = """part-d(\d+)-\d+\.parquet""".r
     val EpochFile = """part-(\d+)-\d+\.parquet""".r
+    // deletion vectors follow the delete-rewrite settling rule; after
+    // expireMetadata retired every manifest, the cdc gen horizon keeps the
+    // bound truthful (same rule as change files)
+    val DvFile = """dv-(\d+)-\d+\.parquet""".r
+    val dvSettled = math.max(maxDel, cdcGenHorizon.getOrElse(-1L))
     val doomedData = listDir(dataDir)(
       _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         .sortBy(_.getFileName.toString))
@@ -2194,6 +2321,7 @@ final class IcebergLite(val root: String) {
         p.getFileName.toString match {
           case CompFile(g) => g.toLong <= maxGen
           case DelFile(g) => g.toLong <= maxDel
+          case DvFile(g) => g.toLong <= dvSettled
           case EpochFile(e) => e.toLong <= maxEpoch
           case _ => true // not a name any writer of this table produces
         }
@@ -2618,7 +2746,18 @@ final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
                               // scan's ordering report: a file whose nulls
                               // sort mid-run breaks (conv_id, turn_idx)
                               // concatenation order
-                              convIdNulls: Option[Long] = None)
+                              convIdNulls: Option[Long] = None,
+                              // merge-on-read DELETION VECTOR (round-5
+                              // session 6): relative path of a parquet
+                              // sidecar listing this file's DELETED row
+                              // positions (original-file row indexes,
+                              // columns `file`/`pos`). When set, rowCount
+                              // is the SURVIVOR count (exact, from the
+                              // probe) and ts/conv bounds are the ORIGINAL
+                              // file's — conservative for pruning, which is
+                              // why MIN/MAX metadata answers must decline
+                              // over DV'd entries
+                              dvPath: Option[String] = None)
 final case class SnapshotMeta(queryId: String, epochId: Long,
                               files: Seq[DataFileMeta], numBuckets: Int = -1,
                               schemaVersion: Int = 1, maxGen: Long = 0L)

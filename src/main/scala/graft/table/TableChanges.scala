@@ -76,10 +76,10 @@ object TableChanges {
 
     val (onlyPre, onlyPost) = changedFiles(t, from, toV)
 
-    def readFiles(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty)
+    def readFiles(entries: Seq[DataFileMeta]): DataFrame =
+      if (entries.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
+      else t.readEntries(spark, schema, entries)
 
     val preDf = readFiles(onlyPre)
     val postDf = readFiles(onlyPost)
@@ -123,13 +123,20 @@ object TableChanges {
     * is proportional to what changed, never to the corpus. Returned as
     * absolute (pre-only, post-only) path lists. */
   private[table] def changedFiles(t: IcebergLite, from: TableVersion,
-                                  to: TableVersion): (Seq[String], Seq[String]) = {
+                                  to: TableVersion)
+      : (Seq[DataFileMeta], Seq[DataFileMeta]) = {
     val pre = t.effectiveFileSetsAt(from).flatMap(_.files)
     val post = t.effectiveFileSetsAt(to).flatMap(_.files)
-    val prePaths = pre.map(_.path).toSet
-    val postPaths = post.map(_.path).toSet
-    (pre.collect { case f if !postPaths(f.path) => s"${t.root}/${f.path}" },
-      post.collect { case f if !prePaths(f.path) => s"${t.root}/${f.path}" })
+    // identity is (path, deletion vector), NOT path alone: a MOR delete
+    // keeps the file's path and only swaps its vector — path identity
+    // would treat the entry as untouched and the diff would silently miss
+    // the deleted rows. A changed vector reads the entry on BOTH sides
+    // (each under its own vector); the full-outer key join then surfaces
+    // exactly the newly-deleted rows.
+    val preKeys = pre.map(f => (f.path, f.dvPath)).toSet
+    val postKeys = post.map(f => (f.path, f.dvPath)).toSet
+    (pre.filterNot(f => postKeys((f.path, f.dvPath))),
+      post.filterNot(f => preKeys((f.path, f.dvPath))))
   }
 
   /** Bounded summary of [[since]] — counts per change type, for the SQL

@@ -112,8 +112,8 @@ class IcebergLiteSourceSpec extends SparkSpec {
   private def scanFileCount(df: org.apache.spark.sql.DataFrame): Int =
     scanOf(df).toBatch.planInputPartitions()
       .map {
-        case FilePartition(paths, _) => paths.length
-        case BucketFilePartition(_, paths, _) => paths.length
+        case FilePartition(paths, _, _) => paths.length
+        case BucketFilePartition(_, paths, _, _) => paths.length
       }.sum
 
   test("ts-range + conv_id filter pushdown prunes files at the manifest level") {

@@ -36,8 +36,8 @@ class LimitPushdownSpec extends SparkSpec {
     df.queryExecution.sparkPlan.collect {
       case b: BatchScanExec => b.scan.asInstanceOf[IcebergLiteScan]
     }.head.toBatch.planInputPartitions().map {
-      case FilePartition(paths, _) => paths.length
-      case BucketFilePartition(_, paths, _) => paths.length
+      case FilePartition(paths, _, _) => paths.length
+      case BucketFilePartition(_, paths, _, _) => paths.length
     }.sum
 
   test("LIMIT plans only enough files; result size exact") {

@@ -44,8 +44,8 @@ class RuntimeFilterSpec extends SparkSpec {
 
   private def fileCount(scan: IcebergLiteScan): Int =
     scan.toBatch.planInputPartitions().map {
-      case FilePartition(paths, _) => paths.length
-      case BucketFilePartition(_, paths, _) => paths.length
+      case FilePartition(paths, _, _) => paths.length
+      case BucketFilePartition(_, paths, _, _) => paths.length
     }.sum
 
   test("scan.filter prunes planned files to the IN-list's buckets") {
