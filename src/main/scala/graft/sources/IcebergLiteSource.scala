@@ -429,8 +429,19 @@ final class IcebergLiteTable(root: String, tableSchema: StructType,
     val cond = filters.toSeq.flatMap(IcebergLiteSource.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val pred = PrunePredicate.from(filters.toSeq.filter(PrunePredicate.prunable))
-    new IcebergLite(root).deleteWhere(spark, cond,
-      filters.mkString(" AND "), pred.prune)
+    val t = new IcebergLite(root)
+    // spark.sql.graft.deleteMode = cow (default) | mor: SQL DELETE FROM
+    // routes to deletion vectors per session — a small purge commits
+    // O(matched rows) instead of rewriting files (the per-file hybrid
+    // still rewrites/drops where the fraction warrants it)
+    spark.conf.get("spark.sql.graft.deleteMode", "cow") match {
+      case "mor" =>
+        t.deleteWhereMor(spark, cond, filters.mkString(" AND "), pred.prune)
+      case "cow" =>
+        t.deleteWhere(spark, cond, filters.mkString(" AND "), pred.prune)
+      case other => throw new IllegalArgumentException(
+        s"spark.sql.graft.deleteMode must be 'cow' or 'mor', got '$other'")
+    }
     ()
   }
 

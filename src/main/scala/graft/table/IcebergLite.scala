@@ -179,7 +179,17 @@ final class IcebergLite(val root: String) {
     * The commit key is `(queryId, epochId)`: a replay of the SAME query's
     * epoch is a silent no-op, but a DIFFERENT query (fresh checkpoint, batch
     * ids restarting at 0) writing to this table fails loudly instead of
-    * silently dropping its data under an alien epoch id. */
+    * silently dropping its data under an alien epoch id.
+    *
+    * `arranged = true` is a CORRECTNESS promise, not a layout hint: the
+    * caller asserts every partition is conv_id-bucketed AND sorted
+    * `(conv_id ASC NULLS FIRST, turn_idx ASC)` — the engine's own sink
+    * verifies its plan before claiming it (`arrangedByPlan`). The scan's
+    * `SupportsReportOrdering` report trusts this sort, so an unsorted
+    * "arranged" commit yields WRONG window/sort-merge results on
+    * key-grouped reads (not just an odd file layout). When in doubt pass
+    * false and pay the sort, or disable the report per session with
+    * `spark.sql.graft.reportOrdering=false`. */
   def commitEpoch(df: DataFrame, queryId: String, epochId: Long,
                   numBuckets: Int, arranged: Boolean = false): Boolean =
     withEpochLock(epochId) {
@@ -733,9 +743,18 @@ final class IcebergLite(val root: String) {
   def deleteWhere(spark: SparkSession, condition: org.apache.spark.sql.Column,
                   predicateText: String,
                   prune: Seq[FileSet] => Seq[DataFileMeta] = _.flatMap(_.files)): Long =
-    rewriteWhere(spark, condition, predicateText, prune)({ (df, hit, matched, f) =>
-      // fully-matched file → dropped outright; partial match → rewrite
-      // without the matching rows (row order preserved — no shuffle)
+    deleteImpl(spark, condition, predicateText, prune, mor = false)
+
+  /** Shared body of [[deleteWhere]] / [[deleteWhereMor]] — ONE definition
+    * of the delete callbacks (fully-matched file dropped outright; partial
+    * match rewritten without the matching rows, row order preserved) so
+    * the cow and mor paths can never diverge on semantics. */
+  private def deleteImpl(spark: SparkSession,
+                         condition: org.apache.spark.sql.Column,
+                         predicateText: String,
+                         prune: Seq[FileSet] => Seq[DataFileMeta],
+                         mor: Boolean): Long =
+    rewriteWhere(spark, condition, predicateText, prune, mor)({ (df, hit, matched, f) =>
       if (matched == f.rowCount) None else Some(df.filter(!hit))
     }, (df, hit) => Seq("delete" -> df.filter(hit)))
 
@@ -761,10 +780,7 @@ final class IcebergLite(val root: String) {
   def deleteWhereMor(spark: SparkSession, condition: org.apache.spark.sql.Column,
                      predicateText: String,
                      prune: Seq[FileSet] => Seq[DataFileMeta] = _.flatMap(_.files)): Long =
-    rewriteWhere(spark, condition, predicateText, prune, mor = true)({
-      (df, hit, matched, f) =>
-        if (matched == f.rowCount) None else Some(df.filter(!hit))
-    }, (df, hit) => Seq("delete" -> df.filter(hit)))
+    deleteImpl(spark, condition, predicateText, prune, mor = true)
 
   /** Row-level UPDATE by copy-on-write rewrite — the same manifest-pruned
     * per-file machinery as [[deleteWhere]], but matched rows are kept with
@@ -1824,11 +1840,15 @@ final class IcebergLite(val root: String) {
             dfs.sourceEpoch -> FileSet(dfs.numBuckets, dfs.files))
             .filter(_._2.files.nonEmpty)
       }
+    // the guard must cover deletion-vector sidecars too: a view entry
+    // whose vector is gone would pass a data-path-only check and then
+    // fail deep inside a read (or worse, after a restore COMMITTED it)
     val missing = view.flatMap(_._2.files)
-      .filterNot(f => Files.exists(Paths.get(root, f.path)))
+      .flatMap(f => f.path +: f.dvPath.toSeq)
+      .filterNot(p => Files.exists(Paths.get(root, p)))
     if (missing.nonEmpty) throw new IllegalStateException(
-      s"view at $v of $root is not reproducible: ${missing.size} data " +
-        s"file(s) were reclaimed by gc (first missing: ${missing.head.path})")
+      s"view at $v of $root is not reproducible: ${missing.size} data/" +
+        s"vector file(s) were reclaimed by gc (first missing: ${missing.head})")
     view
   }
 
@@ -1909,7 +1929,11 @@ final class IcebergLite(val root: String) {
     def alreadyClustered: Boolean = prior.exists { p =>
       p.numBuckets == numBuckets &&
         p.files.groupBy(_.partitionId).values.forall(_.size == 1) &&
-        p.files.map(_.path).sorted == live.map(_.path).sorted
+        p.files.map(_.path).sorted == live.map(_.path).sorted &&
+        // a deletion vector on a clustered file still needs the full
+        // rewrite — folding vectors back into plain columnar files is
+        // half the point of the periodic re-cluster
+        live.forall(_.dvPath.isEmpty)
     }
     if (replaced.isEmpty && (!full || prior.isEmpty || alreadyClustered))
       return -1L
@@ -1935,9 +1959,13 @@ final class IcebergLite(val root: String) {
             dels, epochFilter = Some(sn.epochId)))
           .flatMap(_.files)
         val r = reuseSets.flatMap(_.files)
+        // coverage compares (path, vector) identity: a path-only match
+        // could reuse an entry whose vector state diverged from the live
+        // view's (MOR deletes swap vectors without touching paths)
         val exact = reuseSets.forall(_.numBuckets == numBuckets) &&
-          (r.map(_.path) ++ epochFiles.map(_.path)).sorted ==
-            live.map(_.path).sorted
+          (r.map(f => (f.path, f.dvPath)) ++
+            epochFiles.map(f => (f.path, f.dvPath))).sorted ==
+            live.map(f => (f.path, f.dvPath)).sorted
         if (exact) (r, epochFiles) else (Nil, live)
       }
     }
@@ -2111,9 +2139,13 @@ final class IcebergLite(val root: String) {
     * (watermark_processor.py:235). At 10^12 rows this is the difference
     * between scanning a day and scanning the table. */
   def filesForRange(minTsMicros: Long, maxTsMicros: Long): Seq[String] =
+    entriesForRange(minTsMicros, maxTsMicros).map(f => s"$root/${f.path}")
+
+  /** ONE definition of the ts-range overlap rule, shared by
+    * [[filesForRange]] and [[readRange]]. */
+  private def entriesForRange(minTsMicros: Long, maxTsMicros: Long): Seq[DataFileMeta] =
     effectiveFiles
       .filter(f => f.maxTsMicros >= minTsMicros && f.minTsMicros <= maxTsMicros)
-      .map(f => s"$root/${f.path}")
 
   /** Pruned scan: manifest file pruning + a residual row-level filter.
     * Bounds are built with [[org.apache.spark.sql.functions.timestamp_micros]]
@@ -2121,8 +2153,7 @@ final class IcebergLite(val root: String) {
     * silently include/exclude rows in the final partial millisecond of the
     * range with TIMESTAMP_MICROS data (manifest pruning is already exact). */
   def readRange(spark: SparkSession, minTsMicros: Long, maxTsMicros: Long): DataFrame =
-    readEntries(spark, fullReadSchema, effectiveFiles
-        .filter(f => f.maxTsMicros >= minTsMicros && f.minTsMicros <= maxTsMicros))
+    readEntries(spark, fullReadSchema, entriesForRange(minTsMicros, maxTsMicros))
       .filter(col("ts") >= timestamp_micros(lit(minTsMicros)) &&
         col("ts") <= timestamp_micros(lit(maxTsMicros)))
 
@@ -2223,9 +2254,17 @@ final class IcebergLite(val root: String) {
     // incremental reader still needs the source epoch's patched delta
     // (gen-sourced rewrites, sourceEpoch −1, are never streamed)
     val foldedGens = comps.flatMap(_.foldsDeletes).toSet
+    // tags pin history for THIS term too: a folded MOR entry's path IS the
+    // original raw epoch file, and a tagged time-travel view at or above
+    // its source epoch reconstructs from exactly those files (plus their
+    // vectors and rewrite survivors). Gen-sourced sets (sourceEpoch −1)
+    // have no comparable epoch, so any live tag conservatively pins them.
+    val tagPinNow = maxTaggedEpoch
     val foldedDeleteFiles = deletes.filter(d => foldedGens.contains(d.gen))
       .flatMap(_.fileSets)
       .filter(fs => fs.sourceEpoch == -1L || minLive.forall(fs.sourceEpoch < _))
+      .filter(fs => tagPinNow.isEmpty ||
+        (fs.sourceEpoch != -1L && fs.sourceEpoch > tagPinNow.get))
       // a folded MOR entry's vector is superseded alongside its rewrites
       // (the fold baked the survivors into the compacted files)
       .flatMap(_.files.flatMap(f => f.path +: f.dvPath.toSeq))
@@ -2237,7 +2276,7 @@ final class IcebergLite(val root: String) {
     // tags pin history: a time-travel read of tagged epoch e reads the RAW
     // files of every epoch <= e, so none of them may be reclaimed while a
     // tag at or above them exists
-    val tagPin = maxTaggedEpoch
+    val tagPin = tagPinNow
     val doomed =
       comps.filter(_.gen < latest).flatMap(_.files.map(_.path)) ++
         snapshots.filter(s => replacedEpochs.contains(s.epochId) &&

@@ -189,6 +189,63 @@ class DvDeleteSpec extends SparkSpec {
     assert(t.read(spark).filter(col("conv_id") === "conv07").count() === 0L)
   }
 
+  test("tags pin a folded MOR entry's ORIGINAL file and its vector " +
+      "through gc; dropping the tag releases both") {
+    val t = buildTable("dv-tagpin")
+    t.tag("v1", 1L)
+    t.deleteWhereMor(spark,
+      col("conv_id") === "conv04" && col("turn_idx").isin(1, 11), "2 rows")
+    val postDelete = t.currentVersion
+    assert(t.effectiveFiles.exists(_.dvPath.isDefined))
+    t.compact(spark, numBuckets = 2, full = true) // folds the vector's gen
+    val reclaimed = t.gc()
+    assert(!reclaimed.exists(_.startsWith("data/dv-")),
+      s"a tag at epoch 1 must pin the folded vector: $reclaimed")
+    // the tagged history is still fully replayable...
+    assert(t.readAsOf(spark, 0L).count() === 80L)
+    // ...including the post-delete pre-compaction STATE, which needs the
+    // vector to reconstruct (compaction is content-neutral: empty diff)
+    assert(TableChanges.between(spark, t.root, postDelete,
+      Some(t.currentVersion)).count() === 0L)
+    t.dropTag("v1")
+    val after = t.gc()
+    assert(after.exists(_.startsWith("data/dv-")),
+      s"dropping the tag must release the folded vector: $after")
+    assert(t.read(spark).count() === 158L)
+  }
+
+  test("SQL DELETE FROM routes to vectors under " +
+      "spark.sql.graft.deleteMode=mor; cow stays the default") {
+    import spark.implicits._
+    val wh = tmpDir("dv-sql-wh")
+    spark.conf.set("spark.sql.catalog.gdv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdv.db")
+    val t = new IcebergLite(s"$wh/db/sqlmor")
+    t.create("conv_id string, turn_idx int, ts timestamp", 2)
+    val rows = for (c <- 0 until 8; i <- 0 until 10) yield
+      (f"conv$c%02d", i, tsAt(c * 60000000L + i))
+    assert(t.commitEpoch(rows.toDF("conv_id", "turn_idx", "ts"), "w", 0L, 2))
+    try {
+      spark.conf.set("spark.sql.graft.deleteMode", "mor")
+      spark.sql("DELETE FROM gdv.db.sqlmor WHERE turn_idx = 7")
+      assert(t.effectiveFiles.exists(_.dvPath.isDefined),
+        "mor mode must record a vector")
+      assert(spark.table("gdv.db.sqlmor").count() === 72L)
+      spark.conf.set("spark.sql.graft.deleteMode", "cow")
+      spark.sql("DELETE FROM gdv.db.sqlmor WHERE turn_idx = 8")
+      assert(t.effectiveFiles.forall(_.dvPath.isEmpty),
+        "the cow rewrite must fold the earlier vector")
+      assert(spark.table("gdv.db.sqlmor").count() === 64L)
+      spark.conf.set("spark.sql.graft.deleteMode", "bogus")
+      val ex = intercept[Exception](
+        spark.sql("DELETE FROM gdv.db.sqlmor WHERE turn_idx = 9"))
+      assert(ex.toString.contains("deleteMode") ||
+        Option(ex.getCause).exists(_.toString.contains("deleteMode")))
+    } finally spark.conf.unset("spark.sql.graft.deleteMode")
+  }
+
   test("metadata pushdown: COUNT stays (survivor-exact), MIN/MAX declines " +
       "over DV'd entries; orphan scan never eats a referenced vector") {
     val t = buildTable("dv-meta")
