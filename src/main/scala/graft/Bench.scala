@@ -60,21 +60,39 @@ object Bench {
     // and batches 1+ are themselves repeated samples of the steady state
     val stream = StreamBench.run(spark, sfDir)
 
+    // The harness that runs this main keeps only the last ~2000 chars of
+    // stdout — four rounds of full-precision JSON with per-query
+    // {median,best,n} and per-batch stream profiles never fit, so the
+    // line was truncated mid-queries and unparseable every round. The
+    // printed line is now COMPACT (medians at ms precision; it must stay
+    // under ~1900 chars with 44 queries) and the full-precision detail —
+    // {median,best,n} per query, the per-batch stream profile — goes to
+    // BENCH_FULL.json next to the build instead.
+    def r3(v: Double): String = f"$v%.3f"
     val qs = (results.map { case (k, ts) => k -> median(ts) } :+
         ("stream_redact" -> stream.sec))
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val detail = results
       .map { case (k, ts) =>
         "\"" + k + "\":" + s"""{"median":${median(ts)},"best":${ts.min},"n":${ts.size}}"""
       }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum + stream.sec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val full = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries_detail":$detail,"bench_reps":$reps,""" +
       s""""stream_turns":${stream.turns},"stream_turns_per_sec":${stream.turnsPerSec},""" +
       s""""stream_sustained_turns_per_sec":${stream.sustainedTurnsPerSec},""" +
       s""""stream_bench_root":"${stream.benchRoot}","stream_fs":"${stream.fsType}",""" +
       s""""stream_reduced_io":${stream.reducedIo},""" +
       s""""stream_batches":${stream.batchesJson},""" +
+      s""""sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"bench_reps":$reps,""" +
+      s""""stream_turns":${stream.turns},""" +
+      s""""stream_turns_per_sec":${r3(stream.turnsPerSec)},""" +
+      s""""stream_sustained_turns_per_sec":${r3(stream.sustainedTurnsPerSec)},""" +
+      s""""stream_fs":"${stream.fsType}","detail":"BENCH_FULL.json",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

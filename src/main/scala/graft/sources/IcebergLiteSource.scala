@@ -1015,18 +1015,31 @@ final class IcebergLiteMicroBatchStream(root: String, schema: StructType,
       else rangeSnaps.flatMap(t.epochFileSetsWithDeletes)
     // deterministic under replay: same offsets -> same files in manifest
     // order -> same packing
-    IcebergLiteSource.packPartitions(root, pred.prune(sets))
+    val planned = pred.prune(sets)
+    plannedDv = Some(planned.exists(_.dvPath.isDefined))
+    IcebergLiteSource.packPartitions(root, planned)
   }
+
+  // Whether the LAST planned batch carries a deletion vector — set by
+  // planInputPartitions, read by the factory of the same batch (each
+  // trigger builds a fresh MicroBatchScanExec, whose DataSourceRDD
+  // constructor evaluates partitions before the factory). Per-batch
+  // instead of "any vector anywhere in the delete log": one long-folded
+  // MOR delete must not pin every later micro-batch of every stream to
+  // the ~10x-slower row path forever.
+  @volatile private var plannedDv: Option[Boolean] = None
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ParquetColumnarReaderFactory(schema,
       IcebergLiteSource.parquetFilterFor(root, pushedSrc),
-      // stream-level row-mode decision: any live deletion vector flips the
-      // stream's scans to row mode (Spark demands scan-wide agreement); a
-      // vector committed after this point trips the factory's loud
-      // columnar guard instead of silently resurrecting rows
-      rowMode = table.deletes.exists(
-        _.fileSets.exists(_.files.exists(_.dvPath.isDefined))))
+      // row-mode decision for THIS batch's scan (Spark demands scan-wide
+      // columnar agreement). Fallback before any planning — and backstop
+      // against a vector committed between plan and read — is the
+      // conservative whole-log check; a DV'd partition that still reaches
+      // a columnar reader trips the factory's loud guard instead of
+      // silently resurrecting rows.
+      rowMode = plannedDv.getOrElse(table.deletes.exists(
+        _.fileSets.exists(_.files.exists(_.dvPath.isDefined)))))
 
   // Source-side commit: epochs are immutable so there is nothing to ack —
   // but advancing the reader registration here is what lets gc() reclaim

@@ -66,6 +66,14 @@ final class IcebergLite(val root: String) {
 
   /** Create-if-absent (S6; mirrors os.makedirs + error contract at :223-232). */
   def create(schemaDdl: String, numBuckets: Int): Unit = synchronized {
+    // `__graft_*` names are engine internals (row-order pins, bucket ids,
+    // DV positions injected by MERGE/UPDATE/DELETE plans) — a declared
+    // column with such a name would collide inside every mutation's plan
+    val reserved = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      .fieldNames.filter(_.startsWith("__graft"))
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved (the " +
+        "__graft prefix names engine-internal plan columns)")
     Files.createDirectories(metaDir)
     Files.createDirectories(dataDir)
     val t = metaDir.resolve("table.json")
@@ -144,6 +152,9 @@ final class IcebergLite(val root: String) {
         s"column '$name' already exists in $root (declared: ${cur.toDDL})")
       require(!Seq("epoch_id", "partition_id").exists(_.equalsIgnoreCase(name)),
         s"column name '$name' collides with a sink lineage column")
+      require(!name.startsWith("__graft"),
+        s"column name '$name' is reserved (the __graft prefix names " +
+          "engine-internal plan columns)")
       val v = Option(t.get("schemaVersion")).map(_.asInt()).getOrElse(1)
       newVersion = v + 1
       val schemas =
@@ -566,6 +577,7 @@ final class IcebergLite(val root: String) {
     if (f.sizeBytes >= 0L) m.put("sizeBytes", java.lang.Long.valueOf(f.sizeBytes))
     f.convIdNulls.foreach(v => m.put("convNulls", java.lang.Long.valueOf(v)))
     f.dvPath.foreach(v => m.put("dv", v))
+    f.dvRows.foreach(v => m.put("dvRows", java.lang.Long.valueOf(v)))
     m
   }
 
@@ -577,7 +589,8 @@ final class IcebergLite(val root: String) {
         Option(f.get("convMax")).map(_.asText()),
         Option(f.get("sizeBytes")).map(_.asLong()).getOrElse(-1L),
         Option(f.get("convNulls")).map(_.asLong()),
-        Option(f.get("dv")).map(_.asText()))
+        Option(f.get("dv")).map(_.asText()),
+        Option(f.get("dvRows")).map(_.asLong()))
     }.toSeq
 
   // ---- compaction (S8 — the analogue of save(garbage=4, deflate=True):
@@ -891,7 +904,15 @@ final class IcebergLite(val root: String) {
       // survivors of a zero-null file are zero-null (exact); any other
       // original count no longer bounds the survivors exactly → unknown
       convIdNulls = f.convIdNulls.filter(_ == 0L),
-      dvPath = Some(s"data/$name"))
+      dvPath = Some(s"data/$name"),
+      // cumulative vector size: prior vector (if any) + this delete's
+      // positions — exact, both sides come from probe counts. A chained
+      // entry whose prior vector predates the dvRows field stays unknown
+      // (readers then decline the broadcast hint)
+      dvRows = f.dvPath match {
+        case None => Some(matched)
+        case Some(_) => f.dvRows.map(_ + matched)
+      })
   }
 
   /** One recorded change-data file for the CDC feed (the Delta-CDF design
@@ -983,8 +1004,8 @@ final class IcebergLite(val root: String) {
       declared.fieldNames.contains("turn_idx"),
       "MERGE is keyed by (conv_id, turn_idx); this table does not declare them")
     val keys = Seq("conv_id", "turn_idx")
-    require(!declared.fieldNames.exists(Set("__graft_b", "__graft_ord")),
-      "column names __graft_b/__graft_ord are reserved by MERGE internals")
+    require(!declared.fieldNames.exists(Set("__graft_b", "__graft_ord", "__graft_pos")),
+      "column names __graft_b/__graft_ord/__graft_pos are reserved by MERGE internals")
     val updateCols: Set[String] = matched match {
       case Some(MergeUpdateAll) => declared.fieldNames.toSet -- keys
       case Some(MergeUpdateCols(cs)) =>
@@ -1072,7 +1093,21 @@ final class IcebergLite(val root: String) {
     import scala.collection.parallel.CollectionConverters._
     val results = if (matched.isEmpty) IndexedSeq.empty else
       candidates.zipWithIndex.par.flatMap { case ((f, nb), idx) =>
+        // DV-aware read (same rule as rewriteWhere): rows a prior
+        // deletion vector killed are ALREADY deleted — invisible to the
+        // probe, the full-drop count, the CDC images and the rewrite
+        // (whose replacement publishes vector-free, folding the DV).
+        // Without this a MERGE over a MOR-deleted file would resurrect
+        // the purged rows. __graft_pos (original row index) doubles as
+        // the row-order pin below — unlike monotonically_increasing_id,
+        // it is still the file order after the anti-join.
         var df = spark.read.parquet(s"$root/${f.path}")
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+        f.dvPath.foreach { dvp =>
+          val dead = spark.read.parquet(s"$root/$dvp").select(col("pos"))
+          df = df.join(broadcast(dead), df("__graft_pos") === dead("pos"),
+            "left_anti")
+        }
         declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
           df = df.withColumn(c.name, lit(null).cast(c.dataType))
         }
@@ -1088,8 +1123,9 @@ final class IcebergLite(val root: String) {
         val m = df.select(keys.map(col): _*).join(srcB, keys, "left_semi").count()
         if (m == 0L) None
         else {
-          // _ord pins the original row order through the join
-          val ordered = df.withColumn("__graft_ord", monotonically_increasing_id())
+          // _ord pins the original row order through the join (the
+          // original-file row index — survivor order under any prior DV)
+          val ordered = df.withColumnRenamed("__graft_pos", "__graft_ord")
           val (replacement, changeFrames) = matched.get match {
             case MergeUpdateAll | MergeUpdateCols(_) =>
               val t = ordered.alias("t")
@@ -1145,8 +1181,10 @@ final class IcebergLite(val root: String) {
         if (candidates.isEmpty)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
             keySchema)
-        else spark.read.schema(keySchema)
-          .parquet(candidates.map(c => s"$root/${c._1.path}"): _*)
+        // DV-aware: a key that exists ONLY in MOR-deleted rows is NOT
+        // matched — its source row must insert (readEntries anti-joins
+        // each file's vector; raw parquet here would silently drop it)
+        else readEntries(spark, keySchema, candidates.map(_._1))
       val notMatched = srcAll.drop("__graft_b").join(targetKeys, keys, "left_anti")
       inserted = notMatched.count()
       if (inserted > 0L) {
@@ -2034,10 +2072,19 @@ final class IcebergLite(val root: String) {
     * every view built from [[DataFileMeta]]s. Entries without a deletion
     * vector stream through the plain parquet fast path (bit-identical to
     * the pre-DV read); entries with one are read with parquet's file/row
-    * metadata and LEFT-ANTI joined against their vectors' positions — the
-    * vector side is tiny by construction (MOR is chosen per file only
-    * below the row-fraction threshold) and broadcasts. The `file` column
-    * recorded inside each vector matches the manifest-relative
+    * metadata and LEFT-ANTI joined against their vectors' positions.
+    *
+    * Broadcast bound: each vector is small (per-file MOR threshold
+    * `dvMaxFraction`), but the UNION across a view is not — a delete
+    * matching 19% of every file in a 10^12-row table would collect
+    * billions of positions onto the driver if hinted unconditionally. The
+    * hint is applied only while the manifests' recorded total
+    * (`dvRows`, exact) stays under `spark.sql.graft.dvBroadcastMaxRows`
+    * (default 4M positions ≈ 32 MB of longs); above it — or when any
+    * entry predates the dvRows field — the planner chooses from the
+    * sidecars' real file sizes (a shuffled anti-join at the extreme,
+    * which is the correct shape for vector volume that large). The `file`
+    * column recorded inside each vector matches the manifest-relative
     * `data/<name>` (the data dir is flat), reconstructed from
     * `_metadata.file_path`'s last segment. */
   def readEntries(spark: SparkSession, schema: StructType,
@@ -2047,16 +2094,24 @@ final class IcebergLite(val root: String) {
       if (fs.isEmpty) spark.read.schema(schema).parquet()
       else spark.read.schema(schema).parquet(fs.map(f => s"$root/${f.path}"): _*)
     if (dv.isEmpty) return readPlain(plain)
-    val vectors = spark.read
+    val vectors0 = spark.read
       .parquet(dv.flatMap(_.dvPath).distinct.map(p => s"$root/$p"): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val maxBcRows = spark.conf
+      .get("spark.sql.graft.dvBroadcastMaxRows", "4194304").toLong
+    val totalDvRows = dv.foldLeft(Option(0L)) {
+      case (Some(acc), f) => f.dvRows.map(acc + _)
+      case (None, _) => None
+    }
+    val vectors =
+      if (totalDvRows.exists(_ <= maxBcRows)) broadcast(vectors0) else vectors0
     val masked = spark.read.schema(schema)
       .parquet(dv.map(f => s"$root/${f.path}"): _*)
       .withColumn("__graft_file",
         concat(lit("data/"),
           element_at(split(col("_metadata.file_path"), "/"), -1)))
       .withColumn("__graft_pos", col("_metadata.row_index"))
-    val survivors = masked.join(broadcast(vectors),
+    val survivors = masked.join(vectors,
         masked("__graft_file") === vectors("__dv_file") &&
           masked("__graft_pos") === vectors("__dv_pos"), "left_anti")
       .select(schema.fieldNames.toSeq.map(col): _*)
@@ -2137,9 +2192,22 @@ final class IcebergLite(val root: String) {
     * files whose [minTs, maxTs] stats overlap the range are touched — the
     * Iceberg-manifest analogue of the reference's listing-time predicate
     * (watermark_processor.py:235). At 10^12 rows this is the difference
-    * between scanning a day and scanning the table. */
-  def filesForRange(minTsMicros: Long, maxTsMicros: Long): Seq[String] =
-    entriesForRange(minTsMicros, maxTsMicros).map(f => s"$root/${f.path}")
+    * between scanning a day and scanning the table.
+    *
+    * Returns RAW data paths, so it refuses (loudly) any range covering a
+    * file that carries a deletion vector — a caller handing these paths
+    * to `spark.read.parquet` would resurrect the MOR-deleted rows. Use
+    * [[readRange]] (DV-aware rows) or fold vectors with [[compact]]. */
+  def filesForRange(minTsMicros: Long, maxTsMicros: Long): Seq[String] = {
+    val es = entriesForRange(minTsMicros, maxTsMicros)
+    val dvd = es.filter(_.dvPath.isDefined)
+    require(dvd.isEmpty,
+      s"filesForRange returns raw data paths, but ${dvd.size} file(s) in " +
+        s"range carry deletion vectors (e.g. ${dvd.head.path}) — reading " +
+        "them directly would resurrect merge-on-read-deleted rows. Use " +
+        "readRange (applies vectors) or compact() to fold them first.")
+    es.map(f => s"$root/${f.path}")
+  }
 
   /** ONE definition of the ts-range overlap rule, shared by
     * [[filesForRange]] and [[readRange]]. */
@@ -2796,7 +2864,18 @@ final case class DataFileMeta(path: String, partitionId: Int, rowCount: Long,
                               // file's — conservative for pruning, which is
                               // why MIN/MAX metadata answers must decline
                               // over DV'd entries
-                              dvPath: Option[String] = None)
+                              dvPath: Option[String] = None,
+                              // rows in the vector (cumulative across
+                              // chained MOR deletes; known exactly from
+                              // the probe counts). Lets readers bound the
+                              // TOTAL vector volume of a view before
+                              // choosing a broadcast: per-file vectors
+                              // are capped by dvMaxFraction, but the sum
+                              // across a large view is not. None only on
+                              // manifests written before this field
+                              // existed — treated as unknown (no
+                              // broadcast hint)
+                              dvRows: Option[Long] = None)
 final case class SnapshotMeta(queryId: String, epochId: Long,
                               files: Seq[DataFileMeta], numBuckets: Int = -1,
                               schemaVersion: Int = 1, maxGen: Long = 0L)

@@ -273,4 +273,83 @@ class DvDeleteSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, dvPath)))
     assert(t.read(spark).count() === 159L)
   }
+
+  test("MERGE over a DV'd file: purged rows stay dead through UPDATE, " +
+      "full-drop counts survivors, and a purged-only key re-INSERTS") {
+    import spark.implicits._
+    val t = buildTable("dv-merge")
+    // vector conv03's first two turns of epoch 0 (file keeps its path)
+    assert(t.deleteWhereMor(spark,
+      col("conv_id") === "conv03" && col("turn_idx").isin(0, 1),
+      "purge conv03 turns 0-1") === 2L)
+    assert(t.effectiveFiles.exists(_.dvPath.isDefined))
+
+    // (a) UPDATE-all feed touching conv03's SURVIVING turn 2 — the rewrite
+    // folds the vector; the purged turns 0/1 must NOT resurrect
+    val upd = Seq(("conv03", 2, tsAt(999L))).toDF("conv_id", "turn_idx", "ts")
+    val s1 = t.merge(spark, upd, "dv-merge-upd", Some(MergeUpdateAll),
+      insertNotMatched = false)
+    assert(s1.matched === 1L)
+    val c03 = t.read(spark).filter(col("conv_id") === "conv03")
+    assert(c03.count() === 18L) // 20 original - 2 purged, update is in-place
+    assert(c03.filter(col("turn_idx").isin(0, 1)).count() === 0L,
+      "MERGE resurrected MOR-deleted rows")
+    assert(c03.filter(col("turn_idx") === 2).select("ts").head()
+      .getTimestamp(0) === tsAt(999L))
+    // the touched file published vector-free (the rewrite folds the DV)
+    assert(t.read(spark).count() === 158L)
+
+    // (b) a purged-only key is NOT a match: WHEN NOT MATCHED must insert it
+    val ins = Seq(("conv03", 0, tsAt(111L))).toDF("conv_id", "turn_idx", "ts")
+    val s2 = t.merge(spark, ins, "dv-merge-ins", Some(MergeUpdateAll),
+      insertNotMatched = true)
+    assert(s2 === MergeStats(0L, 1L, s2.insertEpoch), s2.toString)
+    assert(t.read(spark)
+      .filter(col("conv_id") === "conv03" && col("turn_idx") === 0)
+      .count() === 1L)
+
+    // (c) DELETE full-drop is survivor-exact: vector 2 rows of a fresh
+    // conv, then tombstone exactly the SURVIVORS — the file must drop,
+    // losing no live rows elsewhere
+    val t2 = buildTable("dv-merge-drop")
+    assert(t2.deleteWhereMor(spark,
+      col("conv_id") === "conv05" && col("turn_idx").isin(0, 1),
+      "purge conv05 turns 0-1") === 2L)
+    val survivors = t2.read(spark)
+      .filter(col("conv_id") === "conv05" && col("turn_idx") < 10)
+      .select("conv_id", "turn_idx", "ts")
+    val total = t2.read(spark).count()
+    val s3 = t2.merge(spark, survivors, "dv-merge-drop",
+      Some(MergeDeleteMatched), insertNotMatched = false)
+    assert(s3.matched === 8L)
+    assert(t2.read(spark).count() === total - 8L)
+    assert(t2.read(spark)
+      .filter(col("conv_id") === "conv05" && col("turn_idx") < 10)
+      .count() === 0L)
+  }
+
+  test("filesForRange refuses DV'd entries loudly; readRange serves " +
+      "survivors; broadcast cap off still reads exactly") {
+    val t = buildTable("dv-range")
+    val lo = baseMicros
+    val hi = baseMicros + 2L * 3600000000L + 7200000000L
+    assert(t.filesForRange(lo, hi).nonEmpty) // pre-delete: fine
+    t.deleteWhereMor(spark,
+      col("conv_id") === "conv01" && col("turn_idx") === 0, "one row")
+    val e = intercept[IllegalArgumentException](t.filesForRange(lo, hi))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    assert(e.getMessage.contains("readRange"), e.getMessage)
+    assert(t.readRange(spark, lo, hi).count() === 159L)
+    // dvRows recorded exactly; chained delete accumulates
+    assert(t.effectiveFiles.flatMap(_.dvRows).sum === 1L)
+    t.deleteWhereMor(spark,
+      col("conv_id") === "conv01" && col("turn_idx") === 1, "one more")
+    assert(t.effectiveFiles.flatMap(_.dvRows).sum === 2L)
+    // with the broadcast cap at 0 the hint is withheld (planner's choice
+    // from real sidecar sizes) — rows must be identical either way
+    val hinted = t.read(spark).count()
+    spark.conf.set("spark.sql.graft.dvBroadcastMaxRows", "0")
+    try assert(t.read(spark).count() === hinted && hinted === 158L)
+    finally spark.conf.unset("spark.sql.graft.dvBroadcastMaxRows")
+  }
 }

@@ -303,5 +303,14 @@ class TableSpec extends SparkSpec {
     intercept[Exception] { table.addColumn("x", "no_such_type") }
     intercept[IllegalArgumentException] { table.schemaDdlAt(99) }
     assert(table.schemaVersion === 2, "failed evolutions must not bump the version")
+
+    // __graft prefix is engine-internal (mutation-plan columns)
+    assert(intercept[IllegalArgumentException] {
+      table.addColumn("__graft_pos", "long")
+    }.getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException] {
+      new IcebergLite(tmpDir("reserved-create"))
+        .create("conv_id string, __graft_ord long", 2)
+    }.getMessage.contains("reserved"))
   }
 }
