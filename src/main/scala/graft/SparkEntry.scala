@@ -825,6 +825,54 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           col("text"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }),
+    // MERGE over deletion-vectored files (round-5 session 7): a MOR purge
+    // vectors turn 1 of the first 30 convs, then a SQL MERGE (a) updates
+    // turn 0 of those same convs — its copy-on-write rewrite touches the
+    // DV'd files and must fold the vectors, never resurrect the purged
+    // rows — and (b) re-inserts turn 1 for the first 10 convs, whose keys
+    // now exist ONLY in purged rows, so they must be NOT MATCHED. The
+    // oracle recomputes the final state relationally; a resurrected row,
+    // a lost survivor from a miscounted full-drop, or a swallowed
+    // re-insert is a content mismatch.
+    "q44_mor_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wh = s"/tmp/graft-gate-warehouse-${new java.io.File(dir).getName}"
+      val s2 = graft.catalog.GraftSessions.withExtensions(wh)
+      val tx = Fixtures.transcripts(s2, dir)
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s2.sql("DROP TABLE IF EXISTS graft.gate.mm")
+      s2.sql(
+        """CREATE TABLE graft.gate.mm (
+          |  conv_id STRING, turn_idx INT, role STRING, tool STRING,
+          |  text STRING, ts TIMESTAMP)
+          |TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      tx.select("conv_id", "turn_idx", "role", "tool", "text", "ts")
+        .writeTo("graft.gate.mm")
+        .option("epoch", "0").option("queryId", "gate").append()
+      val lite = new graft.table.IcebergLite(s"$wh/gate/mm")
+      lite.deleteWhereMor(s2,
+        col("conv_id") < "conv-000030" && col("turn_idx") === 1,
+        "conv_id < 'conv-000030' AND turn_idx = 1")
+      val upd = tx
+        .filter(col("conv_id") < "conv-000030" && col("turn_idx") === 0)
+        .select(col("conv_id"), col("turn_idx"), lit("fixed").as("role"),
+          col("tool"), concat(col("text"), lit(" [mm]")).as("text"), col("ts"))
+      val ins = tx
+        .filter(col("conv_id") < "conv-000010" && col("turn_idx") === 1)
+        .select(col("conv_id"), col("turn_idx"), lit("revived").as("role"),
+          col("tool"), col("text"), col("ts"))
+      upd.unionAll(ins).createOrReplaceTempView("gate_mm_feed")
+      s2.sql(
+        """MERGE INTO graft.gate.mm t USING gate_mm_feed s
+          |ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+          |WHEN MATCHED THEN UPDATE SET role = s.role, text = s.text
+          |WHEN NOT MATCHED THEN INSERT (conv_id, turn_idx, role, tool, text, ts)
+          |  VALUES (s.conv_id, s.turn_idx, s.role, s.tool, s.text, s.ts)""".stripMargin)
+      s2.table("graft.gate.mm")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          col("text"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     })
   )
 
@@ -1428,6 +1476,22 @@ object SparkEntry {
          |FROM $T
          |WHERE NOT (turn_idx = 3)
          |  AND NOT (conv_id = 'conv-000001')
-         |  AND NOT (role = 'tool' AND turn_idx < 6)""".stripMargin
+         |  AND NOT (role = 'tool' AND turn_idx < 6)""".stripMargin,
+    // q44: final state after MOR purge + MERGE — purged (conv<30, t1) rows
+    // gone except the first 10 convs' re-inserts; (conv<30, t0) updated
+    "q44_mor_merge" ->
+      s"""SELECT conv_id, turn_idx,
+         |  CASE WHEN conv_id < 'conv-000030' AND turn_idx = 0
+         |       THEN 'fixed' ELSE role END AS role,
+         |  tool,
+         |  CASE WHEN conv_id < 'conv-000030' AND turn_idx = 0
+         |       THEN concat(text, ' [mm]') ELSE text END AS text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T
+         |WHERE NOT (conv_id < 'conv-000030' AND turn_idx = 1)
+         |UNION ALL
+         |SELECT conv_id, turn_idx, 'revived' AS role, tool, text,
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+         |FROM $T WHERE conv_id < 'conv-000010' AND turn_idx = 1""".stripMargin
   )
 }
