@@ -1380,9 +1380,12 @@ final class IcebergLite(val root: String) {
     * file not live, each under the source epoch its delta belongs to (so
     * a lagging incremental reader of epoch e serves e's post-restore
     * delta; epochs the restore un-appends serve empty deltas). Restoring
-    * across a compaction boundary re-points to the raw files (the
-    * compacted layout is not in the target reconstruction) — content-
-    * correct; run [[compact]] afterwards to re-optimize the layout.
+    * across a compaction boundary normally re-points to the raw files
+    * (content-correct; run [[compact]] afterwards to re-optimize the
+    * layout) — except when a delete in the target's past removed
+    * compaction-generation paths, where the raw replay is impossible and
+    * the target replays the version-bounded live composition instead
+    * (see [[attributedViewAt]]).
     *
     * The restore's CDC rows are recorded at commit time like every
     * mutation's: they are exactly the INVERSE of the forward diff
@@ -1852,31 +1855,71 @@ final class IcebergLite(val root: String) {
           snapshots.map(_.epochId).mkString("[", ", ", "]"))
   }
 
-  /** [[effectiveFileSetsAt]]'s raw reconstruction, with each file set's
+  /** [[effectiveFileSetsAt]]'s reconstruction, with each file set's
     * SOURCE EPOCH kept: the epoch whose delta the files belong to — the
     * attribution [[restore]] must write into its manifest so incremental
     * streams keep patching per-epoch deltas correctly. Base sets carry
     * their snapshot's epoch; delete-rewrite survivors keep the
     * `sourceEpoch` their manifest recorded (−1 = compaction-origin).
-    * Folds deletes exactly like [[applyDeletes]]; callers run
-    * [[versionGuards]] first. */
+    * Callers run [[versionGuards]] first.
+    *
+    * Two replay bases, chosen by what the in-bound delete manifests
+    * reference:
+    *  - RAW (preferred): epochs ≤ v.epoch with every delete ≤ v.gen
+    *    folded in file order. Valid only while no in-bound delete removed
+    *    COMPACTION-generation paths — such removes cannot land on raw
+    *    files, so the raw replay would silently resurrect the purged rows
+    *    (and double-add the delete's rewritten survivors). Raw maximizes
+    *    longevity: gc/tags pin per-epoch files.
+    *  - GENERATION: the exact live composition ([[effectiveFileSets]]'
+    *    algebra) over the BOUNDED inputs — compactions ≤ v.gen, epochs ≤
+    *    v.epoch, deletes ≤ v.gen — which is what a live reader at that
+    *    version actually served. Compaction files attribute to −1
+    *    (compaction-generation data: per-epoch stream patching is
+    *    impossible for them by construction, the same contract the DSv2
+    *    lagging-stream guard enforces). Superseded generation files are
+    *    gc-reclaimable, so these views fail the loud missing-file guard
+    *    earlier than raw ones — correctness over longevity. */
   private def attributedViewAt(v: TableVersion): Seq[(Long, FileSet)] = {
     val snaps = rawSnapshots.collect {
       case (s, None) if s.epochId <= v.epoch => s
       case (s, Some(g)) if s.epochId <= v.epoch && g <= v.gen &&
         Files.exists(deletePath(g)) => s
     }
-    val base: Seq[(Long, FileSet)] =
-      snaps.map(s => s.epochId -> FileSet(s.numBuckets, s.files))
-    val view = deletes.filter(_.gen <= v.gen).sortBy(_.gen)
-      .foldLeft(base) { (sets, d) =>
-        val rm = d.removes.toSet
-        sets.map { case (e, fs) =>
-          e -> fs.copy(files = fs.files.filterNot(f => rm.contains(f.path)))
-        }.filter(_._2.files.nonEmpty) ++
-          d.fileSets.map(dfs =>
-            dfs.sourceEpoch -> FileSet(dfs.numBuckets, dfs.files))
-            .filter(_._2.files.nonEmpty)
+    val delsAt = deletes.filter(_.gen <= v.gen)
+    val view: Seq[(Long, FileSet)] =
+      if (!delsAt.exists(_.affectsCompacted)) {
+        val base: Seq[(Long, FileSet)] =
+          snaps.map(s => s.epochId -> FileSet(s.numBuckets, s.files))
+        applyDeletesAttributed(base, delsAt)
+      } else {
+        // compaction gens and content gens are INDEPENDENT counters, so
+        // "compactions before this version" cannot be read off the gen
+        // number. A generation is usable as the replay base iff it is
+        // built purely from in-bound state: every epoch it replaces ≤
+        // v.epoch and every delete it folded ≤ v.gen (foldsDeletes is
+        // cumulative — a compaction folds every delete manifest present,
+        // so a generation committed AFTER an out-of-bound mutation always
+        // lists it and is excluded). A usable generation committed later
+        // in wall time is still content-identical by fold determinism.
+        val compsAt = compactions.filter(c =>
+          c.foldsDeletes.forall(_ <= v.gen) &&
+            c.replaces.forall(_ <= v.epoch))
+        val replaced = compsAt.flatMap(_.replaces).toSet
+        val latest =
+          if (compsAt.isEmpty) Nil
+          else {
+            val c = compsAt.maxBy(_.gen)
+            Seq(-1L -> FileSet(c.numBuckets, c.files))
+          }
+        val folded: Set[Long] =
+          if (compsAt.isEmpty) Set.empty
+          else compsAt.maxBy(_.gen).foldsDeletes.toSet
+        val base: Seq[(Long, FileSet)] = latest ++
+          snaps.filterNot(s => replaced.contains(s.epochId))
+            .map(s => s.epochId -> FileSet(s.numBuckets, s.files))
+        applyDeletesAttributed(base,
+          delsAt.filterNot(d => folded.contains(d.gen)))
       }
     // the guard must cover deletion-vector sidecars too: a view entry
     // whose vector is gone would pass a data-path-only check and then
@@ -1889,6 +1932,37 @@ final class IcebergLite(val root: String) {
         s"vector file(s) were reclaimed by gc (first missing: ${missing.head})")
     view
   }
+
+  /** [[applyDeletes]] with the source-epoch attribution kept — the same
+    * ordered fold (each delete subtracts its removed paths from every
+    * set, then appends its surviving rewritten files under the
+    * `sourceEpoch` its manifest recorded) — plus a loud SELF-CHECK: every
+    * removed path must actually be present in the reconstructed view when
+    * its delete applies. A remove that lands on nothing means the replay
+    * base is missing state (a generation manifest expired, or the caller
+    * built an incoherent (epoch, gen) token by hand) and silently
+    * skipping it is exactly the resurrect-purged-rows failure this
+    * reconstruction exists to prevent. */
+  private def applyDeletesAttributed(base: Seq[(Long, FileSet)],
+                                     ds: Seq[DeleteMeta]): Seq[(Long, FileSet)] =
+    ds.sortBy(_.gen).foldLeft(base) { (sets, d) =>
+      val rm = d.removes.toSet
+      val present = sets.iterator.flatMap(_._2.files.iterator.map(_.path)).toSet
+      val miss = rm.filterNot(present)
+      if (miss.nonEmpty) throw new IllegalStateException(
+        s"version-pinned replay of $root cannot apply delete gen ${d.gen}: " +
+          s"${miss.size} removed path(s) absent from the reconstructed " +
+          s"view (first: ${miss.head}). Either the manifests this view " +
+          "needs were expired (the state is no longer reproducible — tag " +
+          "versions to pin them) or the (epoch, gen) token was built by " +
+          "hand and is incoherent (use currentVersion/versionAtEpoch)")
+      sets.map { case (e, fs) =>
+        e -> fs.copy(files = fs.files.filterNot(f => rm.contains(f.path)))
+      }.filter(_._2.files.nonEmpty) ++
+        d.fileSets.map(dfs =>
+          dfs.sourceEpoch -> FileSet(dfs.numBuckets, dfs.files))
+          .filter(_._2.files.nonEmpty)
+    }
 
   /** Epochs the CDC feed serves as `insert` slices for the range
     * `(from, to]`: every raw snapshot in the epoch range that is VISIBLE at
@@ -2341,6 +2415,23 @@ final class IcebergLite(val root: String) {
     // fold a gen while REUSING its DV'd entry verbatim; the vector must
     // survive with it)
     val live = effectiveFiles.flatMap(f => f.path +: f.dvPath.toSeq).toSet
+    // tags pin GENERATION-branch reconstructions too: when a delete in a
+    // tagged version's past removed compaction-generation paths, the
+    // tagged view replays over the version-bounded generation
+    // ([[attributedViewAt]]'s generation branch), so superseded
+    // generation files it references must survive while the tag does —
+    // the raw-epoch pin above cannot cover them. Manifest-scale work,
+    // computed only when the combination can occur.
+    val tagKeep: Set[String] =
+      if (tagPinNow.isEmpty || !deletes.exists(_.affectsCompacted)) Set.empty
+      else tags.values.toSet.flatMap { (e: Long) =>
+        try attributedViewAt(versionAtEpoch(e))
+          .flatMap(_._2.files.flatMap(f => f.path +: f.dvPath.toSeq))
+        catch { // already irreproducible (pre-tag gc) — nothing to pin
+          case _: IllegalStateException | _: IllegalArgumentException =>
+            Seq.empty[String]
+        }
+      }
     // tags pin history: a time-travel read of tagged epoch e reads the RAW
     // files of every epoch <= e, so none of them may be reclaimed while a
     // tag at or above them exists
@@ -2352,10 +2443,11 @@ final class IcebergLite(val root: String) {
             tagPin.forall(s.epochId > _))
           .flatMap(_.files.map(_.path)) ++
         foldedDeleteFiles
-    doomed.distinct.filterNot(live.contains).flatMap { rel =>
-      val p = Paths.get(root, rel)
-      if (Files.deleteIfExists(p)) Some(rel) else None
-    }
+    doomed.distinct.filterNot(live.contains).filterNot(tagKeep.contains)
+      .flatMap { rel =>
+        val p = Paths.get(root, rel)
+        if (Files.deleteIfExists(p)) Some(rel) else None
+      }
   }
 
   /** Orphan cleanup (the remove_orphan_files of the lifecycle): deletes

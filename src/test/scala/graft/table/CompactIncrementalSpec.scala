@@ -266,6 +266,82 @@ class CompactIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("model check 2 (full mutation mix): random append / cow-delete / " +
+    "MOR-delete / UPDATE / MERGE / compact / gc sequences keep content " +
+    "exactly equal to a map model (3 seeds x 14 steps)") {
+    import spark.implicits._
+    Seq(11, 12, 13).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val t = new IcebergLite(tmpDir(s"ci-model2-$seed"))
+      t.create("conv_id string, turn_idx int, text string, ts timestamp", 4)
+      // model: key -> text (UPDATE/MERGE mutate values, so a set of keys
+      // is not enough — a resurrected PRE-update row would slip a set)
+      var model = Map.empty[(String, Int), String]
+      var nextEpoch = 0L
+      var nextKey = 0
+      def df(rows: Seq[((String, Int), String)]) =
+        rows.map { case ((c, k), tx) =>
+          (c, k, tx, new Timestamp((1767225600L + k) * 1000L))
+        }.toDF("conv_id", "turn_idx", "text", "ts")
+      (0 until 14).foreach { step =>
+        rnd.nextInt(9) match {
+          case 0 | 1 => // append 1-30 rows, keys globally unique
+            val rows = (0 until 1 + rnd.nextInt(30)).map { _ =>
+              val k = nextKey; nextKey += 1
+              ((f"conv-${k % 7}%03d", k), s"t$k")
+            }
+            assert(t.commitEpoch(df(rows), "q", nextEpoch, 4)); nextEpoch += 1
+            model ++= rows
+          case 2 => // copy-on-write delete of a turn range
+            val lo = rnd.nextInt(math.max(nextKey, 1)); val hi = lo + rnd.nextInt(20)
+            t.deleteWhere(spark, col("turn_idx").between(lo, hi), s"cow [$lo,$hi]")
+            model = model.filterNot { case ((_, k), _) => k >= lo && k <= hi }
+          case 3 => // merge-on-read delete (hybrid vectors/rewrites/drops)
+            val lo = rnd.nextInt(math.max(nextKey, 1)); val hi = lo + rnd.nextInt(20)
+            t.deleteWhereMor(spark, col("turn_idx").between(lo, hi), s"mor [$lo,$hi]")
+            model = model.filterNot { case ((_, k), _) => k >= lo && k <= hi }
+          case 4 => // UPDATE a turn range's text
+            val lo = rnd.nextInt(math.max(nextKey, 1)); val hi = lo + rnd.nextInt(15)
+            t.updateWhere(spark, col("turn_idx").between(lo, hi),
+              Seq("text" -> concat(col("text"), lit("!"))), s"upd [$lo,$hi]")
+            model = model.map { case (key @ (_, k), tx) =>
+              key -> (if (k >= lo && k <= hi) tx + "!" else tx) }
+          case 5 => // MERGE: rewrite some existing keys' text + insert new ones
+            val existing = model.keys.toSeq.sorted
+              .take(1 + rnd.nextInt(8)).map(k => (k, s"m${k._2}"))
+            val inserts = (0 until rnd.nextInt(5)).map { _ =>
+              val k = nextKey; nextKey += 1
+              ((f"conv-${k % 7}%03d", k), s"i$k")
+            }
+            val feed = existing ++ inserts
+            if (feed.nonEmpty) {
+              val st = t.merge(spark, df(feed), s"mdl-$seed-$step",
+                Some(MergeUpdateAll), insertNotMatched = true)
+              // the merge allocates its own insert epoch — advance the
+              // append counter past it or the next append would collide
+              st.insertEpoch.foreach(e => nextEpoch = math.max(nextEpoch, e + 1))
+              // MergeUpdateAll also rewrites ts, but ts is a pure function
+              // of the key in this model, so text captures the state
+              model ++= feed
+            }
+          case 6 => // fold — incremental or full
+            t.compact(spark, 4, full = rnd.nextBoolean())
+          case 7 => // reclaim superseded files — must be content-neutral
+            t.gc(); t.removeOrphans()
+          case 8 => // restore to the CURRENT version — a no-op by contract
+            t.restore(spark, t.currentVersion)
+        }
+        if (t.effectiveFiles.isEmpty) assert(model.isEmpty)
+        else {
+          val got = t.read(spark).select("conv_id", "turn_idx", "text")
+            .collect().map(r => ((r.getString(0), r.getInt(1)), r.getString(2)))
+            .toMap
+          assert(got === model, s"seed $seed step $step diverged")
+        }
+      }
+    }
+  }
+
   test("time travel to a pre-compaction epoch is unaffected by incremental " +
     "passes (raw files pinned by the tag)") {
     val t = mkTable(tmpDir("ci-tt"), epochs = 2)

@@ -215,4 +215,69 @@ class RestoreSpec extends SparkSpec {
     assert(!got.contains(("conv4", 2, "user")))
     assert(t.effectiveFiles.map(_.rowCount).sum === 117L)
   }
+
+  test("reconstruction after a DELETE over compacted data: time travel, " +
+    "CDC and restore all serve the post-delete content (no resurrect)") {
+    val (_, t) = buildTable() // epochs 0-2, 120 rows
+    assert(t.compact(spark, 4) === 0L)
+    // the delete's removes reference COMPACTION-generation paths — the
+    // case a raw per-epoch replay cannot express (its removes land on no
+    // raw file, so a raw reconstruction would silently resurrect conv0)
+    assert(t.deleteWhere(spark, col("conv_id") === "conv0", "purge conv0") === 15L)
+    assert(t.deletes.exists(_.affectsCompacted))
+    val rows = Seq(("convN", 0, "user",
+      new java.sql.Timestamp(base / 1000L))).toDF("conv_id", "turn_idx", "role", "ts")
+    assert(t.commitEpoch(rows, "w", 3L, 4))
+    val at3 = t.versionAtEpoch(3L) // state: compacted, conv0 purged, +convN
+    val want3 = content(t)
+    assert(!want3.exists(_._1 == "conv0") && want3.size === 106)
+
+    // time travel pinned at epoch 3 must NOT resurrect conv0
+    assert(t.readAsOf(spark, 3L).filter(col("conv_id") === "conv0").count() === 0L)
+
+    // churn past the pin, then diff back to it: the CDC between must see
+    // ONLY the post-pin churn, never a phantom conv0 insert/delete
+    assert(t.deleteWhere(spark, col("conv_id") === "conv1", "purge conv1") === 15L)
+    val diff = TableChanges.between(spark, t.root, at3, Some(t.currentVersion))
+    assert(diff.count() === 15L)
+    assert(diff.select("conv_id").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("conv1"))
+
+    // restore to the pin brings conv1 back and leaves conv0 dead
+    val st = t.restore(spark, at3)
+    assert(st.gen >= 0L)
+    assert(content(t) === want3, "restore resurrected purged rows")
+  }
+
+  test("gc pins superseded GENERATION files a tagged view needs when its " +
+    "past deleted over compacted data; dropping the tag releases them") {
+    val (_, t) = buildTable()
+    assert(t.compact(spark, 4) === 0L)
+    assert(t.deleteWhere(spark, col("conv_id") === "conv0", "purge conv0") === 15L)
+    val rows = Seq(("convN", 0, "user",
+      new java.sql.Timestamp(base / 1000L))).toDF("conv_id", "turn_idx", "role", "ts")
+    assert(t.commitEpoch(rows, "w", 3L, 4))
+    t.tag("pin", 3L)
+    // make epoch 3 historical, then supersede the generation the tagged
+    // view replays over (its reconstruction takes the generation branch —
+    // the delete's removes reference gen-0 compaction paths)
+    val rows2 = Seq(("convM", 0, "user",
+      new java.sql.Timestamp(base / 1000L))).toDF("conv_id", "turn_idx", "role", "ts")
+    assert(t.commitEpoch(rows2, "w", 4L, 4))
+    val want = t.readAsOf(spark, 3L).select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(!want.exists(_._1 == "conv0") && want.size === 106)
+    assert(t.compact(spark, 4) > 0L) // new generation supersedes gen 0
+    t.gc()
+    // the tagged view still replays, content-identical — gc must have
+    // kept the superseded gen-0 files it references
+    val got = t.readAsOf(spark, 3L).select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got === want, "gc reclaimed generation files a tagged view needs")
+    // dropping the tag releases the pin: the next gc reclaims, and the
+    // view fails loudly instead of serving a partial state
+    t.dropTag("pin")
+    assert(t.gc().nonEmpty)
+    intercept[IllegalStateException] { t.readAsOf(spark, 3L).count() }
+  }
 }
