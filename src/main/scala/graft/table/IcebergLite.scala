@@ -1505,7 +1505,15 @@ final class IcebergLite(val root: String) {
 
   /** [[effectiveFileSets]] over metadata the caller already parsed — the
     * accessors re-list + re-parse manifest JSON per call, so multi-view
-    * callers ([[compact]]'s reuse/rewrite split) parse once and reuse. */
+    * callers ([[compact]]'s reuse/rewrite split) parse once and reuse.
+    *
+    * LOCKSTEP NOTE: [[attributedViewAt]]'s generation branch replays this
+    * same latest-generation + un-replaced-epochs + un-folded-deletes
+    * composition over version-bounded inputs (with source-epoch
+    * attribution and a loud unapplied-remove self-check, which the live
+    * path must not have — epoch-filtered stream patching RELIES on
+    * removes not landing). A change to the composition rule here must be
+    * mirrored there or live and pinned views diverge. */
   private def effectiveFileSets(comps: Seq[CompactionMeta],
                                 snaps: Seq[SnapshotMeta],
                                 dels: Seq[DeleteMeta]): Seq[FileSet] = {
@@ -1887,34 +1895,57 @@ final class IcebergLite(val root: String) {
         Files.exists(deletePath(g)) => s
     }
     val delsAt = deletes.filter(_.gen <= v.gen)
+    // The generation branch is mandatory when an in-bound delete removed
+    // compaction-generation paths (a raw replay cannot express those
+    // removes — it would silently resurrect the purge), and preferred for
+    // the CURRENT version (where it equals the live view by construction,
+    // whose files exist by definition — the raw replay of the current
+    // state can reference raw files gc already reclaimed, making e.g.
+    // restore-to-current fail where it must no-op).
+    val isCurrent = v == currentVersion
+    val genBranch = delsAt.exists(_.affectsCompacted) || isCurrent
     val view: Seq[(Long, FileSet)] =
-      if (!delsAt.exists(_.affectsCompacted)) {
+      if (!genBranch) {
         val base: Seq[(Long, FileSet)] =
           snaps.map(s => s.epochId -> FileSet(s.numBuckets, s.files))
         applyDeletesAttributed(base, delsAt)
       } else {
         // compaction gens and content gens are INDEPENDENT counters, so
         // "compactions before this version" cannot be read off the gen
-        // number. A generation is usable as the replay base iff it is
-        // built purely from in-bound state: every epoch it replaces ≤
-        // v.epoch and every delete it folded ≤ v.gen (foldsDeletes is
-        // cumulative — a compaction folds every delete manifest present,
-        // so a generation committed AFTER an out-of-bound mutation always
-        // lists it and is excluded). A usable generation committed later
-        // in wall time is still content-identical by fold determinism.
-        val compsAt = compactions.filter(c =>
-          c.foldsDeletes.forall(_ <= v.gen) &&
-            c.replaces.forall(_ <= v.epoch))
-        val replaced = compsAt.flatMap(_.replaces).toSet
-        val latest =
-          if (compsAt.isEmpty) Nil
-          else {
-            val c = compsAt.maxBy(_.gen)
-            Seq(-1L -> FileSet(c.numBuckets, c.files))
-          }
-        val folded: Set[Long] =
-          if (compsAt.isEmpty) Set.empty
-          else compsAt.maxBy(_.gen).foldsDeletes.toSet
+        // number. A generation is usable as the replay base only while
+        // the WHOLE CHAIN up to it is built from in-bound state: each
+        // pass records only the epochs IT newly replaced and the delete
+        // manifests still on disk when IT ran, so a single generation's
+        // lists are not cumulative — one out-of-bound pass (replacing an
+        // epoch > v.epoch or folding a gen > v.gen) poisons every later
+        // generation's files even if that later pass's own lists look
+        // in-bound (a full re-cluster records replaces = ∅). Hence: take
+        // the longest in-bound PREFIX of the generation chain. A usable
+        // generation committed later in wall time is still
+        // content-identical by fold determinism.
+        // The prefix must also be GAPLESS from gen 0 for a historical
+        // token: expireMetadata may retire superseded manifests (gens
+        // allocate max-surviving + 1, so gaps only open below the
+        // latest), and a missing link's replaces/folds are unknown — a
+        // later generation cannot be trusted in-bound across it. For the
+        // CURRENT version the whole surviving chain is usable by
+        // definition (the chosen latest generation IS the live base).
+        val chain = compactions.sortBy(_.gen)
+        val prefix =
+          if (isCurrent) chain
+          else chain.zipWithIndex.takeWhile { case (c, i) =>
+            c.gen == i.toLong &&
+              c.foldsDeletes.forall(_ <= v.gen) &&
+              c.replaces.forall(_ <= v.epoch)
+          }.map(_._1)
+        // replaced/folded are the chain's UNION: the chosen generation's
+        // files transitively contain everything the prefix replaced and
+        // folded, and an expired delete manifest stays excluded via the
+        // earlier pass that recorded its fold
+        val replaced = prefix.flatMap(_.replaces).toSet
+        val latest = prefix.lastOption
+          .map(c => -1L -> FileSet(c.numBuckets, c.files)).toSeq
+        val folded: Set[Long] = prefix.flatMap(_.foldsDeletes).toSet
         val base: Seq[(Long, FileSet)] = latest ++
           snaps.filterNot(s => replaced.contains(s.epochId))
             .map(s => s.epochId -> FileSet(s.numBuckets, s.files))
@@ -1944,10 +1975,13 @@ final class IcebergLite(val root: String) {
     * skipping it is exactly the resurrect-purged-rows failure this
     * reconstruction exists to prevent. */
   private def applyDeletesAttributed(base: Seq[(Long, FileSet)],
-                                     ds: Seq[DeleteMeta]): Seq[(Long, FileSet)] =
+                                     ds: Seq[DeleteMeta]): Seq[(Long, FileSet)] = {
+    // presence maintained incrementally across the fold — rebuilding it
+    // per manifest would make reconstruction O(manifests × view files)
+    val present = base.iterator.flatMap(_._2.files.iterator.map(_.path))
+      .to(scala.collection.mutable.HashSet)
     ds.sortBy(_.gen).foldLeft(base) { (sets, d) =>
       val rm = d.removes.toSet
-      val present = sets.iterator.flatMap(_._2.files.iterator.map(_.path)).toSet
       val miss = rm.filterNot(present)
       if (miss.nonEmpty) throw new IllegalStateException(
         s"version-pinned replay of $root cannot apply delete gen ${d.gen}: " +
@@ -1956,6 +1990,8 @@ final class IcebergLite(val root: String) {
           "needs were expired (the state is no longer reproducible — tag " +
           "versions to pin them) or the (epoch, gen) token was built by " +
           "hand and is incoherent (use currentVersion/versionAtEpoch)")
+      present --= rm
+      d.fileSets.foreach(_.files.foreach(f => present += f.path))
       sets.map { case (e, fs) =>
         e -> fs.copy(files = fs.files.filterNot(f => rm.contains(f.path)))
       }.filter(_._2.files.nonEmpty) ++
@@ -1963,6 +1999,7 @@ final class IcebergLite(val root: String) {
           dfs.sourceEpoch -> FileSet(dfs.numBuckets, dfs.files))
           .filter(_._2.files.nonEmpty)
     }
+  }
 
   /** Epochs the CDC feed serves as `insert` slices for the range
     * `(from, to]`: every raw snapshot in the epoch range that is VISIBLE at
@@ -2427,9 +2464,16 @@ final class IcebergLite(val root: String) {
       else tags.values.toSet.flatMap { (e: Long) =>
         try attributedViewAt(versionAtEpoch(e))
           .flatMap(_._2.files.flatMap(f => f.path +: f.dvPath.toSeq))
-        catch { // already irreproducible (pre-tag gc) — nothing to pin
+        catch {
+          // reconstruction failed — could be a view that was ALREADY
+          // irreproducible before it was tagged, or a transient manifest
+          // race. Reclaiming on failure would turn either into permanent
+          // loss, so pin EVERY superseded generation file this pass
+          // (conservative: the table keeps some reclaimable bytes until
+          // the tag is dropped or the view reconstructs again)
           case _: IllegalStateException | _: IllegalArgumentException =>
-            Seq.empty[String]
+            comps.filter(_.gen < latest)
+              .flatMap(_.files.flatMap(f => f.path +: f.dvPath.toSeq))
         }
       }
     // tags pin history: a time-travel read of tagged epoch e reads the RAW
@@ -2654,10 +2698,18 @@ final class IcebergLite(val root: String) {
     // silently). Recorded even on partial failure above: each snapshot
     // deletion is individually safe and the horizon is monotonic.
     if (expirable.nonEmpty) recordExpiryHorizon(expirable.map(_.epochId).max)
-    // a superseded generation can retire once nothing it replaces is visible
+    // a superseded generation can retire once nothing it replaces is
+    // visible — and NO TAG exists: a tagged version's reconstruction may
+    // replay over a superseded generation ([[attributedViewAt]]'s
+    // generation branch) and needs the manifest's replaces/foldsDeletes
+    // chain intact (each pass records only what IT saw, so retiring one
+    // link would let a later generation qualify for a version it is not
+    // in-bound for). Compaction manifests are metadata-scale; holding
+    // them while a tag lives is the cheap side of the retention contract.
     val liveEpochs = snapshots.map(_.epochId).toSet
     val deletedComps = comps
-      .filter(c => c.gen < latestGen && c.replaces.forall(!liveEpochs.contains(_)))
+      .filter(c => tagPin.isEmpty && c.gen < latestGen &&
+        c.replaces.forall(!liveEpochs.contains(_)))
       .flatMap { c =>
         val p = metaDir.resolve(f"compact-${c.gen}%06d.json")
         if (Files.deleteIfExists(p)) Some(p.getFileName.toString) else None

@@ -270,7 +270,12 @@ class CompactIncrementalSpec extends SparkSpec {
     "MOR-delete / UPDATE / MERGE / compact / gc sequences keep content " +
     "exactly equal to a map model (3 seeds x 14 steps)") {
     import spark.implicits._
-    Seq(11, 12, 13).foreach { seed =>
+    // soak knobs: GRAFT_MODEL_SEEDS=n widens the seed sweep,
+    // GRAFT_MODEL_STEPS=k deepens each sequence (CI default stays small)
+    val seeds = sys.env.get("GRAFT_MODEL_SEEDS").map(_.toInt)
+      .map(n => (11 until 11 + n).toSeq).getOrElse(Seq(11, 12, 13))
+    val steps = sys.env.get("GRAFT_MODEL_STEPS").map(_.toInt).getOrElse(14)
+    seeds.foreach { seed =>
       val rnd = new scala.util.Random(seed)
       val t = new IcebergLite(tmpDir(s"ci-model2-$seed"))
       t.create("conv_id string, turn_idx int, text string, ts timestamp", 4)
@@ -283,7 +288,7 @@ class CompactIncrementalSpec extends SparkSpec {
         rows.map { case ((c, k), tx) =>
           (c, k, tx, new Timestamp((1767225600L + k) * 1000L))
         }.toDF("conv_id", "turn_idx", "text", "ts")
-      (0 until 14).foreach { step =>
+      (0 until steps).foreach { step =>
         rnd.nextInt(9) match {
           case 0 | 1 => // append 1-30 rows, keys globally unique
             val rows = (0 until 1 + rnd.nextInt(30)).map { _ =>

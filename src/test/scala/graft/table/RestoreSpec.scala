@@ -280,4 +280,42 @@ class RestoreSpec extends SparkSpec {
     assert(t.gc().nonEmpty)
     intercept[IllegalStateException] { t.readAsOf(spark, 3L).count() }
   }
+
+  test("a later full re-cluster (replaces = empty) never qualifies as the " +
+    "replay base for an older version: one out-of-bound pass poisons the " +
+    "whole chain after it") {
+    val (_, t) = buildTable()
+    assert(t.compact(spark, 4) === 0L)
+    assert(t.deleteWhere(spark, col("conv_id") === "conv0", "purge conv0") === 15L)
+    val rows = Seq(("convN", 0, "user",
+      new java.sql.Timestamp(base / 1000L))).toDF("conv_id", "turn_idx", "role", "ts")
+    assert(t.commitEpoch(rows, "w", 3L, 4))
+    val at3 = t.versionAtEpoch(3L)
+    val want3 = content(t)
+    // out-of-bound churn: epoch 4, an incremental fold covering it, then
+    // a FULL re-cluster whose manifest records replaces = ∅ (everything
+    // was already replaced) and only in-bound folds — the manifest LOOKS
+    // in-bound for at3 on its own lists; only the chain says otherwise
+    val rows2 = Seq(("convM", 0, "user",
+      new java.sql.Timestamp(base / 1000L))).toDF("conv_id", "turn_idx", "role", "ts")
+    assert(t.commitEpoch(rows2, "w", 4L, 4))
+    assert(t.compact(spark, 4) > 0L)
+    assert(t.compact(spark, 4, full = true) > 0L)
+    assert(t.compactions.last.replaces.isEmpty,
+      "precondition: the full re-cluster records no new replaces")
+    // the pinned view must NOT contain epoch 4's rows, NOT double-count
+    // epoch 3, and keep conv0 dead
+    val got = t.readAsOf(spark, 3L).select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(got.length === got.distinct.length, "double-counted rows")
+    assert(got.toSet === want3.map(r => (r._1, r._2)))
+    assert(!got.exists(_._1 == "convM"), "phantom future rows")
+    // CDC anchored at the pin sees exactly the post-pin churn
+    val diff = TableChanges.between(spark, t.root, at3, Some(t.currentVersion))
+    assert(diff.count() === 1L)
+    assert(diff.head().getString(0) === "convM")
+    // restore to the pin across the re-cluster is content-exact
+    t.restore(spark, at3)
+    assert(content(t) === want3)
+  }
 }
