@@ -692,7 +692,16 @@ final class IcebergLite(val root: String) {
   private def nextRewriteGen(): Long =
     // committed manifests + pending stamps + BRANCH reservations (a
     // branch's gen is claimed at createBranch, before any stage exists)
-    (deletes.map(_.gen) ++ rawSnapshots.flatMap(_._2) ++ branches.values)
+    // + the retired-gen horizon and every gen a surviving compaction
+    // records as folded: expireMetadata retires folded delete manifests,
+    // and a counter computed from survivors alone would REGRESS and
+    // re-allocate a retired gen — a new delete under a recycled number
+    // is silently treated as already-folded by the latest generation's
+    // foldsDeletes filter and never applied (found by the model-check
+    // soak: live view resurrected a fresh DELETE's rows after two
+    // expiry passes)
+    (deletes.map(_.gen) ++ rawSnapshots.flatMap(_._2) ++ branches.values ++
+      cdcGenHorizon ++ compactions.flatMap(_.foldsDeletes))
       .foldLeft(0L)(math.max) + 1L
 
   /** Committed delete manifests, in gen order. */
@@ -1904,6 +1913,10 @@ final class IcebergLite(val root: String) {
     // restore-to-current fail where it must no-op).
     val isCurrent = v == currentVersion
     val genBranch = delsAt.exists(_.affectsCompacted) || isCurrent
+    // epochs the replay serves through a compaction generation instead of
+    // a raw snapshot — input to the expiry-coverage loudness check below
+    var replayReplaced = Set.empty[Long]
+    var replayCoversExpired = false
     val view: Seq[(Long, FileSet)] =
       if (!genBranch) {
         val base: Seq[(Long, FileSet)] =
@@ -1923,18 +1936,24 @@ final class IcebergLite(val root: String) {
         // the longest in-bound PREFIX of the generation chain. A usable
         // generation committed later in wall time is still
         // content-identical by fold determinism.
-        // The prefix must also be GAPLESS from gen 0 for a historical
-        // token: expireMetadata may retire superseded manifests (gens
-        // allocate max-surviving + 1, so gaps only open below the
-        // latest), and a missing link's replaces/folds are unknown — a
-        // later generation cannot be trusted in-bound across it. For the
+        // For a historical token the prefix must be verifiable across
+        // GAPS: expireMetadata may retire superseded manifests, and a
+        // missing link's replaces/folds are not directly known. They are
+        // BOUNDED, though — a retired compaction's replaced epochs were
+        // all expired (≤ expiryHorizon) and every retired delete gen was
+        // recorded into cdcGenHorizon — so a gap is provably in-bound
+        // whenever both horizons sit within the token; otherwise the
+        // prefix stops at the gap (trusting a later generation across an
+        // unverifiable link is how purged rows resurrect). For the
         // CURRENT version the whole surviving chain is usable by
         // definition (the chosen latest generation IS the live base).
         val chain = compactions.sortBy(_.gen)
+        val gapsOk = expiryHorizon.forall(_ <= v.epoch) &&
+          cdcGenHorizon.forall(_ <= v.gen)
         val prefix =
           if (isCurrent) chain
           else chain.zipWithIndex.takeWhile { case (c, i) =>
-            c.gen == i.toLong &&
+            (c.gen == i.toLong || gapsOk) &&
               c.foldsDeletes.forall(_ <= v.gen) &&
               c.replaces.forall(_ <= v.epoch)
           }.map(_._1)
@@ -1943,6 +1962,12 @@ final class IcebergLite(val root: String) {
         // folded, and an expired delete manifest stays excluded via the
         // earlier pass that recorded its fold
         val replaced = prefix.flatMap(_.replaces).toSet
+        replayReplaced = replaced
+        // a gap crossed under gapsOk means retired links' replaced
+        // (expired) epochs are inside the chain's later files even though
+        // no surviving manifest lists them
+        replayCoversExpired = prefix.zipWithIndex
+          .exists { case (c, i) => c.gen != i.toLong }
         val latest = prefix.lastOption
           .map(c => -1L -> FileSet(c.numBuckets, c.files)).toSeq
         val folded: Set[Long] = prefix.flatMap(_.foldsDeletes).toSet
@@ -1952,6 +1977,27 @@ final class IcebergLite(val root: String) {
         applyDeletesAttributed(base,
           delsAt.filterNot(d => folded.contains(d.gen)))
       }
+    // expiry-coverage loudness: every epoch at or below the expiry
+    // horizon AND the token's epoch bound must be served by a surviving
+    // snapshot or through a compaction generation in the replay base —
+    // otherwise its rows are silently absent (a truncated view is the
+    // same failure class as a resurrected purge, in the other direction).
+    // Epoch ids are allocated densely from 0 by every engine write path,
+    // so coverage is countable.
+    if (!isCurrent) expiryHorizon.foreach { h =>
+      val bound = math.min(h, v.epoch)
+      if (bound >= 0L && !replayCoversExpired) {
+        val covered = snaps.map(_.epochId).toSet ++ replayReplaced
+        val missing = (bound + 1L) - covered.count(_ <= bound)
+        if (missing > 0L) throw new IllegalStateException(
+          s"view at $v of $root is not reproducible: $missing epoch(s) at " +
+            s"or below the expiry horizon ($h) have neither a surviving " +
+            "snapshot manifest nor a covering compaction generation in " +
+            "the replay base — their rows would be silently missing. Tag " +
+            "versions to pin retention, or anchor at a version past the " +
+            "horizon.")
+      }
+    }
     // the guard must cover deletion-vector sidecars too: a view entry
     // whose vector is gone would pass a data-path-only check and then
     // fail deep inside a read (or worse, after a restore COMMITTED it)

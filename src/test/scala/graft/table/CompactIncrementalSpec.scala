@@ -267,8 +267,9 @@ class CompactIncrementalSpec extends SparkSpec {
   }
 
   test("model check 2 (full mutation mix): random append / cow-delete / " +
-    "MOR-delete / UPDATE / MERGE / compact / gc sequences keep content " +
-    "exactly equal to a map model (3 seeds x 14 steps)") {
+    "MOR-delete / UPDATE / MERGE / compact / gc / tag / expiry sequences " +
+    "keep content — live AND every tagged view — exactly equal to a map " +
+    "model (3 seeds x 14 steps)") {
     import spark.implicits._
     // soak knobs: GRAFT_MODEL_SEEDS=n widens the seed sweep,
     // GRAFT_MODEL_STEPS=k deepens each sequence (CI default stays small)
@@ -284,19 +285,25 @@ class CompactIncrementalSpec extends SparkSpec {
       var model = Map.empty[(String, Int), String]
       var nextEpoch = 0L
       var nextKey = 0
+      // per-epoch snapshots of the model: versionAtEpoch(e) serves "the
+      // state when e was freshly committed", which is what a tagged view
+      // must keep reconstructing bit-exactly through gc/expiry/compaction
+      var epochModel = Map.empty[Long, Map[(String, Int), String]]
+      var liveTags = Vector.empty[(String, Long)]
       def df(rows: Seq[((String, Int), String)]) =
         rows.map { case ((c, k), tx) =>
           (c, k, tx, new Timestamp((1767225600L + k) * 1000L))
         }.toDF("conv_id", "turn_idx", "text", "ts")
       (0 until steps).foreach { step =>
-        rnd.nextInt(9) match {
+        rnd.nextInt(11) match {
           case 0 | 1 => // append 1-30 rows, keys globally unique
             val rows = (0 until 1 + rnd.nextInt(30)).map { _ =>
               val k = nextKey; nextKey += 1
               ((f"conv-${k % 7}%03d", k), s"t$k")
             }
-            assert(t.commitEpoch(df(rows), "q", nextEpoch, 4)); nextEpoch += 1
+            assert(t.commitEpoch(df(rows), "q", nextEpoch, 4))
             model ++= rows
+            epochModel += (nextEpoch -> model); nextEpoch += 1
           case 2 => // copy-on-write delete of a turn range
             val lo = rnd.nextInt(math.max(nextKey, 1)); val hi = lo + rnd.nextInt(20)
             t.deleteWhere(spark, col("turn_idx").between(lo, hi), s"cow [$lo,$hi]")
@@ -322,12 +329,17 @@ class CompactIncrementalSpec extends SparkSpec {
             if (feed.nonEmpty) {
               val st = t.merge(spark, df(feed), s"mdl-$seed-$step",
                 Some(MergeUpdateAll), insertNotMatched = true)
-              // the merge allocates its own insert epoch — advance the
-              // append counter past it or the next append would collide
-              st.insertEpoch.foreach(e => nextEpoch = math.max(nextEpoch, e + 1))
               // MergeUpdateAll also rewrites ts, but ts is a pure function
               // of the key in this model, so text captures the state
               model ++= feed
+              // the merge allocates its own insert epoch — advance the
+              // append counter past it or the next append would collide;
+              // its fresh-commit state includes the merge's rewrites
+              // (one atomic gen), so snapshot AFTER applying the feed
+              st.insertEpoch.foreach { e =>
+                nextEpoch = math.max(nextEpoch, e + 1)
+                epochModel += (e -> model)
+              }
             }
           case 6 => // fold — incremental or full
             t.compact(spark, 4, full = rnd.nextBoolean())
@@ -335,6 +347,22 @@ class CompactIncrementalSpec extends SparkSpec {
             t.gc(); t.removeOrphans()
           case 8 => // restore to the CURRENT version — a no-op by contract
             t.restore(spark, t.currentVersion)
+          case 9 => // tag the latest epoch (cap 3 live tags: drop oldest)
+            val snaps = t.snapshots
+            if (snaps.nonEmpty) {
+              if (liveTags.size >= 3) {
+                t.dropTag(liveTags.head._1)
+                liveTags = liveTags.tail
+              }
+              val e = snaps.last.epochId
+              val name = s"tag$step"
+              if (!liveTags.exists(_._2 == e)) {
+                t.tag(name, e)
+                liveTags :+= (name, e)
+              }
+            }
+          case 10 => // retire settled manifests — content-neutral, tag-safe
+            t.expireMetadata(retainLast = 2)
         }
         if (t.effectiveFiles.isEmpty) assert(model.isEmpty)
         else {
@@ -342,6 +370,19 @@ class CompactIncrementalSpec extends SparkSpec {
             .collect().map(r => ((r.getString(0), r.getInt(1)), r.getString(2)))
             .toMap
           assert(got === model, s"seed $seed step $step diverged")
+        }
+        // every tagged view must keep reconstructing bit-exactly through
+        // whatever gc/expiry/compaction/mutations happened since — the
+        // tag retention contract. (The latest epoch's AS OF is the live
+        // view by documented fast path, so compare it to the live model.)
+        val latestEpoch = t.snapshots.lastOption.map(_.epochId)
+        liveTags.foreach { case (name, e) =>
+          val want = if (latestEpoch.contains(e)) model else epochModel(e)
+          val got = t.readAsOf(spark, e).select("conv_id", "turn_idx", "text")
+            .collect().map(r => ((r.getString(0), r.getInt(1)), r.getString(2)))
+            .toMap
+          assert(got === want,
+            s"seed $seed step $step: tagged view '$name' (epoch $e) diverged")
         }
       }
     }
