@@ -1598,7 +1598,22 @@ final class IcebergLite(val root: String) {
       case Some(e) => throw new IllegalStateException(
         s"tag '$name' already points at epoch $e of $root; drop it first " +
           s"to retarget (refusing a silent move to $epoch)")
-      case None => writeTags(cur + (name -> epoch))
+      case None =>
+        // a tag is a REPLAYABILITY promise: it pins gc/expiry from here
+        // on, but it cannot resurrect state already reclaimed — verify
+        // the pinned view reconstructs NOW, or refuse the tag instead of
+        // minting a promise every later read breaks loudly. (Checked
+        // against versionAtEpoch, not the live fast path: `AS OF` the
+        // latest epoch serves the live view today but degrades to
+        // reconstruction the moment the next epoch lands.)
+        try attributedViewAt(versionAtEpoch(epoch))
+        catch {
+          case e: IllegalStateException => throw new IllegalStateException(
+            s"cannot tag epoch $epoch of $root: its pinned view is " +
+              "already irreproducible (a tag pins future reclamation, it " +
+              s"cannot undo past gc/expiry) — ${e.getMessage}")
+        }
+        writeTags(cur + (name -> epoch))
     }
   }
 
@@ -1913,16 +1928,44 @@ final class IcebergLite(val root: String) {
     // restore-to-current fail where it must no-op).
     val isCurrent = v == currentVersion
     val genBranch = delsAt.exists(_.affectsCompacted) || isCurrent
-    // epochs the replay serves through a compaction generation instead of
-    // a raw snapshot — input to the expiry-coverage loudness check below
-    var replayReplaced = Set.empty[Long]
-    var replayCoversExpired = false
-    val view: Seq[(Long, FileSet)] =
-      if (!genBranch) {
-        val base: Seq[(Long, FileSet)] =
-          snaps.map(s => s.epochId -> FileSet(s.numBuckets, s.files))
-        applyDeletesAttributed(base, delsAt)
-      } else {
+    // checks shared by both replay bases: expiry coverage (a silently
+    // truncated view is the same failure class as a resurrected purge, in
+    // the other direction — epoch ids are allocated densely from 0 by
+    // every engine write path, so coverage is countable) and on-disk
+    // existence incl. deletion-vector sidecars (an entry whose vector is
+    // gone would pass a data-path-only check and then fail deep inside a
+    // read — or worse, after a restore COMMITTED it).
+    def finish(view: Seq[(Long, FileSet)], replayReplaced: Set[Long],
+               replayCoversExpired: Boolean): Seq[(Long, FileSet)] = {
+      if (!isCurrent) expiryHorizon.foreach { h =>
+        val bound = math.min(h, v.epoch)
+        if (bound >= 0L && !replayCoversExpired) {
+          val covered = snaps.map(_.epochId).toSet ++ replayReplaced
+          val gone = (bound + 1L) - covered.count(_ <= bound)
+          if (gone > 0L) throw new IllegalStateException(
+            s"view at $v of $root is not reproducible: $gone epoch(s) at " +
+              s"or below the expiry horizon ($h) have neither a surviving " +
+              "snapshot manifest nor a covering compaction generation in " +
+              "the replay base — their rows would be silently missing. " +
+              "Tag versions to pin retention, or anchor at a version past " +
+              "the horizon.")
+        }
+      }
+      val missing = view.flatMap(_._2.files)
+        .flatMap(f => f.path +: f.dvPath.toSeq)
+        .filterNot(p => Files.exists(Paths.get(root, p)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"view at $v of $root is not reproducible: ${missing.size} data/" +
+          s"vector file(s) were reclaimed by gc (first missing: ${missing.head})")
+      view
+    }
+    def rawView(): Seq[(Long, FileSet)] = {
+      val base: Seq[(Long, FileSet)] =
+        snaps.map(s => s.epochId -> FileSet(s.numBuckets, s.files))
+      finish(applyDeletesAttributed(base, delsAt), Set.empty,
+        replayCoversExpired = false)
+    }
+    def genView(): Seq[(Long, FileSet)] = {
         // compaction gens and content gens are INDEPENDENT counters, so
         // "compactions before this version" cannot be read off the gen
         // number. A generation is usable as the replay base only while
@@ -1962,52 +2005,32 @@ final class IcebergLite(val root: String) {
         // folded, and an expired delete manifest stays excluded via the
         // earlier pass that recorded its fold
         val replaced = prefix.flatMap(_.replaces).toSet
-        replayReplaced = replaced
-        // a gap crossed under gapsOk means retired links' replaced
-        // (expired) epochs are inside the chain's later files even though
-        // no surviving manifest lists them
-        replayCoversExpired = prefix.zipWithIndex
-          .exists { case (c, i) => c.gen != i.toLong }
         val latest = prefix.lastOption
           .map(c => -1L -> FileSet(c.numBuckets, c.files)).toSeq
         val folded: Set[Long] = prefix.flatMap(_.foldsDeletes).toSet
         val base: Seq[(Long, FileSet)] = latest ++
           snaps.filterNot(s => replaced.contains(s.epochId))
             .map(s => s.epochId -> FileSet(s.numBuckets, s.files))
-        applyDeletesAttributed(base,
-          delsAt.filterNot(d => folded.contains(d.gen)))
+        finish(
+          applyDeletesAttributed(base,
+            delsAt.filterNot(d => folded.contains(d.gen))),
+          replaced,
+          // a gap crossed under gapsOk means retired links' replaced
+          // (expired) epochs are inside the chain's later files even
+          // though no surviving manifest lists them
+          replayCoversExpired = prefix.zipWithIndex
+            .exists { case (c, i) => c.gen != i.toLong })
       }
-    // expiry-coverage loudness: every epoch at or below the expiry
-    // horizon AND the token's epoch bound must be served by a surviving
-    // snapshot or through a compaction generation in the replay base —
-    // otherwise its rows are silently absent (a truncated view is the
-    // same failure class as a resurrected purge, in the other direction).
-    // Epoch ids are allocated densely from 0 by every engine write path,
-    // so coverage is countable.
-    if (!isCurrent) expiryHorizon.foreach { h =>
-      val bound = math.min(h, v.epoch)
-      if (bound >= 0L && !replayCoversExpired) {
-        val covered = snaps.map(_.epochId).toSet ++ replayReplaced
-        val missing = (bound + 1L) - covered.count(_ <= bound)
-        if (missing > 0L) throw new IllegalStateException(
-          s"view at $v of $root is not reproducible: $missing epoch(s) at " +
-            s"or below the expiry horizon ($h) have neither a surviving " +
-            "snapshot manifest nor a covering compaction generation in " +
-            "the replay base — their rows would be silently missing. Tag " +
-            "versions to pin retention, or anchor at a version past the " +
-            "horizon.")
-      }
+    if (genBranch) genView()
+    // raw preferred for longevity (gc/tags pin per-epoch files), but a
+    // raw replay can die on files gc reclaimed BEFORE the view was ever
+    // needed (e.g. epochs compacted and collected pre-tag) while the
+    // generation chain still serves the same content — fall back before
+    // giving up
+    else try rawView() catch {
+      case raw: IllegalStateException =>
+        try genView() catch { case _: IllegalStateException => throw raw }
     }
-    // the guard must cover deletion-vector sidecars too: a view entry
-    // whose vector is gone would pass a data-path-only check and then
-    // fail deep inside a read (or worse, after a restore COMMITTED it)
-    val missing = view.flatMap(_._2.files)
-      .flatMap(f => f.path +: f.dvPath.toSeq)
-      .filterNot(p => Files.exists(Paths.get(root, p)))
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"view at $v of $root is not reproducible: ${missing.size} data/" +
-        s"vector file(s) were reclaimed by gc (first missing: ${missing.head})")
-    view
   }
 
   /** [[applyDeletes]] with the source-epoch attribution kept — the same

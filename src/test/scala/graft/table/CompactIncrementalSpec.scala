@@ -295,7 +295,7 @@ class CompactIncrementalSpec extends SparkSpec {
           (c, k, tx, new Timestamp((1767225600L + k) * 1000L))
         }.toDF("conv_id", "turn_idx", "text", "ts")
       (0 until steps).foreach { step =>
-        rnd.nextInt(11) match {
+        rnd.nextInt(13) match {
           case 0 | 1 => // append 1-30 rows, keys globally unique
             val rows = (0 until 1 + rnd.nextInt(30)).map { _ =>
               val k = nextKey; nextKey += 1
@@ -357,12 +357,40 @@ class CompactIncrementalSpec extends SparkSpec {
               val e = snaps.last.epochId
               val name = s"tag$step"
               if (!liveTags.exists(_._2 == e)) {
-                t.tag(name, e)
-                liveTags :+= (name, e)
+                // the engine REFUSES a tag whose pinned view gc already
+                // made irreproducible (a tag pins future reclamation,
+                // it cannot undo the past) — a loud refusal is legal
+                try { t.tag(name, e); liveTags :+= (name, e) }
+                catch { case _: IllegalStateException => }
               }
             }
           case 10 => // retire settled manifests — content-neutral, tag-safe
             t.expireMetadata(retainLast = 2)
+          case 11 => // restore to a random LIVE TAG — content rolls back
+            if (liveTags.nonEmpty) {
+              val (_, e) = liveTags(rnd.nextInt(liveTags.size))
+              t.restore(spark, t.versionAtEpoch(e))
+              model = epochModel(e)
+            }
+          case 12 => // single-epoch branch WAP: stage, then publish or drop
+            val rows = (0 until 1 + rnd.nextInt(10)).map { _ =>
+              val k = nextKey; nextKey += 1
+              ((f"conv-${k % 7}%03d", k), s"b$k")
+            }
+            val name = s"br$step"
+            t.createBranch(name)
+            val e = nextEpoch; nextEpoch += 1
+            t.stageEpochOnBranch(df(rows), s"br-$seed-$step", e, 4, name)
+            if (rnd.nextBoolean()) {
+              t.fastForward(name)
+              model ++= rows
+              epochModel += (e -> model)
+            } else {
+              t.dropBranch(name)
+              // the drop frees the id (engine allocation would reuse it);
+              // keep the test counter dense to match
+              nextEpoch -= 1
+            }
         }
         if (t.effectiveFiles.isEmpty) assert(model.isEmpty)
         else {
