@@ -1606,7 +1606,11 @@ final class IcebergLite(val root: String) {
         // against versionAtEpoch, not the live fast path: `AS OF` the
         // latest epoch serves the live view today but degrades to
         // reconstruction the moment the next epoch lands.)
-        try attributedViewAt(versionAtEpoch(epoch))
+        // forcePinned: the tagged epoch is often the CURRENT version,
+        // whose fast path (live view) trivially exists — the promise
+        // being minted is the PINNED reconstruction every later read
+        // will run, so that is what must be verified
+        try attributedViewAt(versionAtEpoch(epoch), forcePinned = true)
         catch {
           case e: IllegalStateException => throw new IllegalStateException(
             s"cannot tag epoch $epoch of $root: its pinned view is " +
@@ -1912,7 +1916,8 @@ final class IcebergLite(val root: String) {
     *    lagging-stream guard enforces). Superseded generation files are
     *    gc-reclaimable, so these views fail the loud missing-file guard
     *    earlier than raw ones — correctness over longevity. */
-  private def attributedViewAt(v: TableVersion): Seq[(Long, FileSet)] = {
+  private def attributedViewAt(v: TableVersion,
+                               forcePinned: Boolean = false): Seq[(Long, FileSet)] = {
     val snaps = rawSnapshots.collect {
       case (s, None) if s.epochId <= v.epoch => s
       case (s, Some(g)) if s.epochId <= v.epoch && g <= v.gen &&
@@ -1926,7 +1931,7 @@ final class IcebergLite(val root: String) {
     // whose files exist by definition — the raw replay of the current
     // state can reference raw files gc already reclaimed, making e.g.
     // restore-to-current fail where it must no-op).
-    val isCurrent = v == currentVersion
+    val isCurrent = !forcePinned && v == currentVersion
     val genBranch = delsAt.exists(_.affectsCompacted) || isCurrent
     // checks shared by both replay bases: expiry coverage (a silently
     // truncated view is the same failure class as a resurrected purge, in
@@ -2029,7 +2034,12 @@ final class IcebergLite(val root: String) {
     // giving up
     else try rawView() catch {
       case raw: IllegalStateException =>
-        try genView() catch { case _: IllegalStateException => throw raw }
+        try genView() catch {
+          case gen: IllegalStateException =>
+            // surface BOTH diagnoses — the generation error often names
+            // the real remedy (horizon vs gc retention)
+            raw.addSuppressed(gen); throw raw
+        }
     }
   }
 
@@ -2528,8 +2538,12 @@ final class IcebergLite(val root: String) {
     // generation files it references must survive while the tag does —
     // the raw-epoch pin above cannot cover them. Manifest-scale work,
     // computed only when the combination can occur.
+    // computed whenever tags AND generations exist: a tagged view can
+    // depend on superseded generation files even with NO delete over
+    // compacted data — the raw→generation fallback serves a tag whose
+    // raw epoch files were reclaimed before the tag existed
     val tagKeep: Set[String] =
-      if (tagPinNow.isEmpty || !deletes.exists(_.affectsCompacted)) Set.empty
+      if (tagPinNow.isEmpty) Set.empty
       else tags.values.toSet.flatMap { (e: Long) =>
         try attributedViewAt(versionAtEpoch(e))
           .flatMap(_._2.files.flatMap(f => f.path +: f.dvPath.toSeq))

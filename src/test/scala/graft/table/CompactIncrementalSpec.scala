@@ -359,9 +359,14 @@ class CompactIncrementalSpec extends SparkSpec {
               if (!liveTags.exists(_._2 == e)) {
                 // the engine REFUSES a tag whose pinned view gc already
                 // made irreproducible (a tag pins future reclamation,
-                // it cannot undo the past) — a loud refusal is legal
+                // it cannot undo the past) — ONLY that refusal is legal;
+                // any other failure must surface
                 try { t.tag(name, e); liveTags :+= (name, e) }
-                catch { case _: IllegalStateException => }
+                catch {
+                  case ex: IllegalStateException =>
+                    assert(ex.getMessage.contains("cannot tag epoch"),
+                      s"unexpected tag failure: ${ex.getMessage}")
+                }
               }
             }
           case 10 => // retire settled manifests — content-neutral, tag-safe
