@@ -181,7 +181,7 @@ object StreamBench {
   }
 
   def run(spark: SparkSession, sfDir: String, numBuckets: Int = 0,
-          slicesOverride: String = null, nativeSink: Boolean = false): StreamResult = {
+          slicesOverride: String = null, nativeSink: Boolean = true): StreamResult = {
     val slices =
       if (slicesOverride != null) slicesOverride else ensureSlices(spark, sfDir)
     val buckets =

@@ -37,8 +37,14 @@ import graft.table.IcebergLite
   * same files.
   *
   * Semantics notes:
-  *  - writes are APPEND-only epochs (the table is a snapshot log); SQL
-  *    `INSERT INTO` works, overwrite/DELETE do not — by design, loudly;
+  *  - writes through THIS catalog are APPEND-only epochs (the table is a
+  *    snapshot log): SQL `INSERT INTO` works, `INSERT OVERWRITE` does not
+  *    — by design, loudly. Row-level DML — `DELETE FROM`, `UPDATE`,
+  *    `MERGE INTO` — IS available, via the session extensions
+  *    ([[GraftSessions.withExtensions]] / `spark.sql.extensions =
+  *    graft.catalog.GraftExtensions`), which rewrite the resolved plans
+  *    into the engine's manifest-pruned copy-on-write (or merge-on-read)
+  *    mutations;
   *  - `INSERT INTO ... SELECT` must project the business columns BY NAME
   *    (the table advertises ACCEPT_ANY_SCHEMA because readers see the two
   *    sink-appended lineage columns, so Spark's by-position resolution is

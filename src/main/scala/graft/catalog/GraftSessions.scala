@@ -13,18 +13,32 @@ import org.apache.spark.sql.SparkSession
   * session unchanged), builds, and restores the globals. The sibling shares
   * the context — do NOT `stop()` it. */
 object GraftSessions {
+  // one derived session per warehouse, not one per call (round-6): a
+  // sibling session is ~100 ms of SessionState/analyzer/catalog init, and
+  // callers that mutate the same warehouse repeatedly (the gate queries,
+  // a REPL user issuing several DMLs) would otherwise rebuild it every
+  // statement. Keyed by warehouse; invalidated when its SparkContext was
+  // stopped (tests stop and recreate contexts between suites).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
   def withExtensions(warehouse: String): SparkSession = {
+    val cached = cache.get(warehouse)
+    if (cached != null && !cached.sparkContext.isStopped) return cached
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
-    try SparkSession.builder()
-      .withExtensions(new GraftExtensions()(_))
-      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-      .config("spark.sql.catalog.graft.warehouse", warehouse)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    finally {
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        .config("spark.sql.catalog.graft.warehouse", warehouse)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      cache.put(warehouse, s)
+      s
+    } finally {
       SparkSession.setDefaultSession(prevDefault.orNull)
       SparkSession.setActiveSession(prevActive.orNull)
     }

@@ -328,7 +328,7 @@ object Pipeline {
                           numBuckets: Int = 8,
                           maxFilesPerTrigger: Int = 1,
                           trigger: Trigger = Trigger.AvailableNow(),
-                          nativeSink: Boolean = false): StreamingQuery = {
+                          nativeSink: Boolean = true): StreamingQuery = {
     import spark.implicits._
     enforceStateFormat(checkpoint)
     val table = new IcebergLite(tableRoot)
@@ -356,7 +356,10 @@ object Pipeline {
     // batch; the native DSv2 path ships rows straight from the stateful
     // stage's output tasks into bucket files (Spark-arranged clustering,
     // metadata-only driver commit — measured 1.12x on the pure sink path,
-    // see BENCH.md SinkBench).
+    // see BENCH.md SinkBench). DEFAULT since round 6: native (round-5
+    // VERDICT #2 — parity, kill/resume byte-identity and cross-sink
+    // content equality were proven in round 5; the opt-in default only
+    // existed to keep that round's records path-comparable).
     if (nativeSink)
       writer.format("graft.sources.IcebergLiteSource")
         .option("path", tableRoot)

@@ -1065,11 +1065,24 @@ final class IcebergLite(val root: String) {
       deleteRecursively(stagingSrc)
       throw new IllegalArgumentException(msg)
     }
-    val srcCount = srcAll.count()
+    // ONE validation job (round-6, guide §1.2): row count, NULL-key count,
+    // distinct-key count AND every layout's occupied-bucket set come out
+    // of a single aggregate over the staged feed — the round-5 shape paid
+    // one job per check plus one per bucket layout.
+    val base = effectiveFileSets
+    val layoutNbs = base.map(_.numBuckets).distinct.filter(_ > 0)
+    val vAggs: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).as("n"),
+      count(when(col("conv_id").isNull || col("turn_idx").isNull, 1)).as("nulls"),
+      count_distinct(col("conv_id"), col("turn_idx")).as("dk")) ++
+      layoutNbs.map(nb =>
+        collect_set(pmod(hash(col("conv_id")), lit(nb))).as(s"__b$nb"))
+    val vRow = srcAll.agg(vAggs.head, vAggs.tail: _*).head()
+    val srcCount = vRow.getAs[Long]("n")
     if (srcCount == 0L) { deleteRecursively(stagingSrc); return MergeStats(0L, 0L, None) }
-    if (srcAll.filter(col("conv_id").isNull || col("turn_idx").isNull)
-      .limit(1).count() != 0L) failMerge("MERGE source has NULL key column(s)")
-    val distinctKeys = srcAll.select(keys.map(col): _*).distinct().count()
+    if (vRow.getAs[Long]("nulls") != 0L)
+      failMerge("MERGE source has NULL key column(s)")
+    val distinctKeys = vRow.getAs[Long]("dk")
     if (distinctKeys != srcCount) failMerge(
       s"MERGE source has duplicate (conv_id, turn_idx) keys ($srcCount rows, " +
         s"$distinctKeys distinct) — SQL MERGE forbids multiple source " +
@@ -1077,11 +1090,9 @@ final class IcebergLite(val root: String) {
 
     // per-layout occupied-bucket sets: bounded aggregates of the feed
     // (≤ numBuckets values each), the manifest-level candidate pruning
-    val base = effectiveFileSets
     val bucketSets: Map[Int, Set[Int]] =
-      base.map(_.numBuckets).distinct.filter(_ > 0).map { nb =>
-        nb -> srcAll.select(pmod(hash(col("conv_id")), lit(nb)).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
+      layoutNbs.map { nb =>
+        nb -> vRow.getAs[scala.collection.Seq[Int]](s"__b$nb").toSet
       }.toMap
     val candidates: Seq[(DataFileMeta, Int)] = base.flatMap { fs =>
       fs.files.filter(f => fs.numBuckets <= 0 ||
@@ -1095,21 +1106,55 @@ final class IcebergLite(val root: String) {
         deletes.flatMap(_.fileSets.flatMap(fs =>
           fs.files.map(_.path -> fs.sourceEpoch)))
 
-    // candidate files are independent — probe and rewrite them
-    // CONCURRENTLY (same shape as rewriteWhere: serial per-file jobs would
-    // be driver-latency-bound over hundreds of candidates); names use the
-    // candidate index so the mapping is completion-order-independent
+    // ---- batched probe (round-6, guide §1.2/§2.4): ONE key-pruned job
+    // computes every candidate's matched-row count — the round-5 shape ran
+    // one semi-join count job PER candidate file. The per-file bucket
+    // slice of the feed was pruning only (a key matches iff it is in the
+    // feed at all — bucket is a function of conv_id), so the combined
+    // semi-join computes identical counts. Prior deletion vectors are
+    // anti-joined in the same job, keeping MOR-deleted rows invisible.
     import scala.collection.parallel.CollectionConverters._
+    val probeKeySchema = org.apache.spark.sql.types.StructType(
+      declared.fields.filter(f => keys.contains(f.name)))
+    val matchedByName: Map[String, Long] =
+      if (matched.isEmpty || candidates.isEmpty) Map.empty
+      else {
+        var probe = spark.read.schema(probeKeySchema)
+          .parquet(candidates.map { case (f, _) => s"$root/${f.path}" }: _*)
+          .withColumn("__graft_file",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+        val dvCands = candidates.map(_._1).filter(_.dvPath.isDefined)
+        if (dvCands.nonEmpty) {
+          val dead = spark.read
+            .parquet(dvCands.flatMap(_.dvPath).distinct.map(p => s"$root/$p"): _*)
+            .select(element_at(split(col("file"), "/"), -1).as("__graft_file"),
+              col("pos").as("__graft_pos"))
+          probe = probe.join(dead, Seq("__graft_file", "__graft_pos"),
+            "left_anti")
+        }
+        probe.join(srcAll.select(keys.map(col): _*), keys, "left_semi")
+          .groupBy(col("__graft_file")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    def mergeNameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    // matched files are independent — rewrite them CONCURRENTLY (serial
+    // per-file jobs would be driver-latency-bound over hundreds of
+    // candidates); names use the candidate index so the mapping is
+    // completion-order-independent
     val results = if (matched.isEmpty) IndexedSeq.empty else
       candidates.zipWithIndex.par.flatMap { case ((f, nb), idx) =>
+        val m = matchedByName.getOrElse(mergeNameOf(f.path), 0L)
+        if (m == 0L) None
+        else {
         // DV-aware read (same rule as rewriteWhere): rows a prior
         // deletion vector killed are ALREADY deleted — invisible to the
-        // probe, the full-drop count, the CDC images and the rewrite
-        // (whose replacement publishes vector-free, folding the DV).
-        // Without this a MERGE over a MOR-deleted file would resurrect
-        // the purged rows. __graft_pos (original row index) doubles as
-        // the row-order pin below — unlike monotonically_increasing_id,
-        // it is still the file order after the anti-join.
+        // full-drop count, the CDC images and the rewrite (whose
+        // replacement publishes vector-free, folding the DV). Without
+        // this a MERGE over a MOR-deleted file would resurrect the
+        // purged rows. __graft_pos (original row index) doubles as the
+        // row-order pin below — unlike monotonically_increasing_id, it
+        // is still the file order after the anti-join.
         var df = spark.read.parquet(s"$root/${f.path}")
           .withColumn("__graft_pos", col("_metadata.row_index"))
         f.dvPath.foreach { dvp =>
@@ -1123,15 +1168,11 @@ final class IcebergLite(val root: String) {
         val srcB =
           if (nb == n) srcAll.filter(col("__graft_b") === f.partitionId)
           // legacy/unbucketed file sets (numBuckets <= 0): partitionId is
-          // not a conv_id bucket, so no slice of the feed is safe — probe
+          // not a conv_id bucket, so no slice of the feed is safe — join
           // against the whole feed (pmod(x, -1) would be 0 for every row
           // and silently skip files with partitionId != 0)
           else if (nb <= 0) srcAll
           else srcAll.filter(pmod(hash(col("conv_id")), lit(nb)) === f.partitionId)
-        // column-pruned probe: only the key columns of the file are decoded
-        val m = df.select(keys.map(col): _*).join(srcB, keys, "left_semi").count()
-        if (m == 0L) None
-        else {
           // _ord pins the original row order through the join (the
           // original-file row index — survivor order under any prior DV)
           val ordered = df.withColumnRenamed("__graft_pos", "__graft_ord")
@@ -1195,14 +1236,22 @@ final class IcebergLite(val root: String) {
         // each file's vector; raw parquet here would silently drop it)
         else readEntries(spark, keySchema, candidates.map(_._1))
       val notMatched = srcAll.drop("__graft_b").join(targetKeys, keys, "left_anti")
-      inserted = notMatched.count()
-      if (inserted > 0L) {
-        val epoch = nextEpochId
-        withEpochLock(epoch) {
-          val files = stageAndPublish(notMatched, epoch, n)
+      // stage FIRST and take the insert count from the staged files'
+      // footer row counts (exact) — the round-5 shape executed the
+      // anti-join twice, once for count() and once for the write
+      // (round-6, guide §1.2 "don't compute things you throw away")
+      val epoch = nextEpochId
+      withEpochLock(epoch) {
+        val files = stageAndPublish(notMatched, epoch, n)
+        inserted = files.map(_.rowCount).sum
+        if (inserted > 0L) {
           writeSnapshot(queryId, epoch, files, n, pendingGen = Some(gen))
+          insertEpoch = Some(epoch)
+        } else {
+          // a zero-row feed remainder: nothing to commit — sweep any
+          // empty file the writer produced so no unreferenced data lands
+          files.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
         }
-        insertEpoch = Some(epoch)
       }
     }
 
@@ -1255,18 +1304,50 @@ final class IcebergLite(val root: String) {
       // of a file is worse than the rewrite it avoids)
       val dvMaxFraction = spark.conf
         .get("spark.sql.graft.dvMaxFraction", "0.2").toDouble
-      // candidate files are independent — probe and rewrite them
-      // CONCURRENTLY (each is its own small Spark job; a serial loop over
-      // hundreds of candidates would be driver-latency-bound at scale).
-      // Rewrite names use the candidate INDEX, so the name↔content mapping
-      // stays deterministic under any completion order.
+      // ---- batched probe (round-6, guide §1.2 "the distributed
+      // algorithm" / §2.4): ONE job computes every candidate's matched
+      // count. The round-5 shape ran one column-pruned count job PER
+      // candidate file — dozens of driver-planned jobs per mutation whose
+      // per-job fixed cost dwarfed the actual scan at epoch-file sizes.
+      // A single scan over all candidates keyed by `_metadata` file name
+      // computes the same counts in one pass (file NAMES are unique per
+      // table: the data dir is flat), with prior deletion vectors
+      // anti-joined in the same job so MOR-deleted rows stay invisible to
+      // the predicate exactly as before.
       import scala.collection.parallel.CollectionConverters._
+      val probeSchema = fullReadSchema
+      var probeDf = spark.read.schema(probeSchema)
+        .parquet(candidates.map(f => s"$root/${f.path}"): _*)
+        .withColumn("__graft_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+      val dvCands = candidates.filter(_.dvPath.isDefined)
+      if (dvCands.nonEmpty) {
+        val dead = spark.read
+          .parquet(dvCands.flatMap(_.dvPath).distinct.map(p => s"$root/$p"): _*)
+          .select(element_at(split(col("file"), "/"), -1).as("__graft_file"),
+            col("pos").as("__graft_pos"))
+        probeDf = probeDf.join(dead, Seq("__graft_file", "__graft_pos"),
+          "left_anti")
+      }
+      val matchedByName: Map[String, Long] = probeDf.filter(hit)
+        .groupBy(col("__graft_file")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+      // matched files are independent — rewrite them CONCURRENTLY (each is
+      // its own small Spark job; a serial loop over hundreds of candidates
+      // would be driver-latency-bound at scale). Rewrite names use the
+      // candidate INDEX, so the name↔content mapping stays deterministic
+      // under any completion order.
       val results = candidates.zipWithIndex.par.flatMap { case (f, idx) =>
-        // DV-aware probe: a prior deletion vector's rows are ALREADY
-        // deleted — they must be invisible to the predicate, to the CDC
-        // recording and to any rewrite (which folds the vector). Row
-        // positions are carried alongside for the MOR path (original-file
-        // coordinates: the anti-join filters rows, it never renumbers).
+        val matched = matchedByName.getOrElse(nameOf(f.path), 0L)
+        if (matched == 0L) None
+        else {
+        // DV-aware read: a prior deletion vector's rows are ALREADY
+        // deleted — they must be invisible to the CDC recording and to any
+        // rewrite (which folds the vector). Row positions are carried
+        // alongside for the MOR path (original-file coordinates: the
+        // anti-join filters rows, it never renumbers).
         var df = spark.read.parquet(s"$root/${f.path}")
           .withColumn("__graft_pos", col("_metadata.row_index"))
         f.dvPath.foreach { dvp =>
@@ -1277,9 +1358,6 @@ final class IcebergLite(val root: String) {
         declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
           df = df.withColumn(c.name, lit(null).cast(c.dataType))
         }
-        val matched = df.filter(hit).count()
-        if (matched == 0L) None
-        else {
           // record the CDC rows BEFORE the manifest (crash in between
           // leaves unreferenced change files; removeOrphans reclaims them
           // once the gen is settled). rowCount is exact by construction:
@@ -2900,7 +2978,7 @@ final class IcebergLite(val root: String) {
   // ---- internals -----------------------------------------------------------
 
   private def footerStats(p: Path, epochId: Long, idx: Int, rel: String): DataFileMeta = {
-    val in = HadoopInputFile.fromPath(new HPath(p.toUri), new Configuration())
+    val in = HadoopInputFile.fromPath(new HPath(p.toUri), IcebergLite.hadoopConf)
     val reader = ParquetFileReader.open(in)
     try {
       val md = reader.getFooter
@@ -3172,6 +3250,12 @@ final case class ChangeFileMeta(path: String, rowCount: Long)
 final case class FileSet(numBuckets: Int, files: Seq[DataFileMeta])
 
 object IcebergLite {
+  /** One shared Hadoop conf for footer reads: `new Configuration()` parses
+    * the XML default resources every call — measurable when every epoch
+    * commit reads one footer per bucket (round-6). Footer reads never
+    * depend on per-table settings. */
+  private[table] lazy val hadoopConf = new Configuration()
+
   private val maintenanceMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val maintenanceHeld: ThreadLocal[java.util.HashSet[String]] =
