@@ -208,7 +208,13 @@ object Dedup {
     val sigUdf = udf { (text: String) =>
       minhashSig(Normalize.shingles(text, k).distinct, numHashes)
     }
-    val withSig = docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+    // spread the docs over every core before the signature pass (guide
+    // §2.5: the docs fixture is a few small parquet files, so the
+    // shingle+64-hash compute would otherwise run at file-count
+    // parallelism); scale-adaptive, tiny shuffle of the raw docs only
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val withSig = docs.repartition(par)
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
     val bandUdf = udf { (sig: Seq[Long]) =>
       (0 until bands).map { b =>
         var h = 0x1234abcdL ^ b
@@ -290,7 +296,10 @@ object Dedup {
     val shUdf = udf { (text: String) =>
       simhash60(Normalize.shingles(text, k).distinct)
     }
-    docs.select(col("doc_id"), shUdf(col("text")).as("simhash"))
+    // spread before the md5-per-shingle fingerprint pass (guide §2.5 —
+    // same file-count-parallelism fix as the minhash signature pass)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shUdf(col("text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHam, found by the

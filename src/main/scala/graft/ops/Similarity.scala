@@ -201,9 +201,15 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
-  def embedDupLsh(embs: DataFrame, idCol: String = "vec_id",
+  def embedDupLsh(embs0: DataFrame, idCol: String = "vec_id",
                   vecCol: String = "vec", pct: Int = 90,
                   tables: Int = 4, bits: Int = 4, dim: Int = 32): DataFrame = {
+    // spread before the sketch/quantization passes (guide §2.5: the emb
+    // fixture is ONE parquet file, so every per-vector UDF pass would
+    // otherwise run single-task); scale-adaptive, shuffles only the raw
+    // vectors once
+    val embs = embs0.repartition(
+      embs0.sparkSession.sparkContext.defaultParallelism)
     val cand = embedDupCandidates(embs, idCol, vecCol, tables, bits, dim)
     // per-vector quantization + squared norm computed ONCE per vector
     val vecs = embs.select(col(idCol).as("vec_id"), quantCol(col(vecCol)).as("q"))

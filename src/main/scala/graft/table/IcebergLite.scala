@@ -776,9 +776,9 @@ final class IcebergLite(val root: String) {
                          predicateText: String,
                          prune: Seq[FileSet] => Seq[DataFileMeta],
                          mor: Boolean): Long =
-    rewriteWhere(spark, condition, predicateText, prune, mor)({ (df, hit, matched, f) =>
-      if (matched == f.rowCount) None else Some(df.filter(!hit))
-    }, (df, hit) => Seq("delete" -> df.filter(hit)))
+    rewriteWhere(spark, condition, predicateText, prune, mor)(
+      (df, hit) => df.filter(!hit), dropFullyMatched = true,
+      (df, hit) => Seq("delete" -> df.filter(hit)))
 
   /** Row-level DELETE by MERGE-ON-READ deletion vectors — the answer to
     * "a 10-row purge should not rewrite a 1 GiB file". The same
@@ -846,15 +846,16 @@ final class IcebergLite(val root: String) {
           "contract — DELETE the rows and INSERT corrected ones instead")
     }
     val assign = assignments.toMap
-    rewriteWhere(spark, condition, predicateText, prune)({ (df, hit, _, _) =>
-      // ONE projection so every RHS sees original column values
-      Some(df.select(df.columns.toSeq.map { c =>
+    rewriteWhere(spark, condition, predicateText, prune)({ (df, hit) =>
+      // ONE projection so every RHS sees original column values; the
+      // bookkeeping columns pass through the `case None` branch
+      df.select(df.columns.toSeq.map { c =>
         assign.get(c) match {
           case Some(v) => when(hit, v.cast(typeOf(c))).otherwise(col(c)).as(c)
           case None    => col(c)
         }
-      }: _*))
-    }, { (df, hit) =>
+      }: _*)
+    }, dropFullyMatched = false, { (df, hit) =>
       // CDC images: pre = the matched rows as they were; post = the SAME
       // rows with assignments applied unconditionally (every row of `pre`
       // matched, and re-evaluating `hit` post-assignment would be wrong —
@@ -1138,83 +1139,145 @@ final class IcebergLite(val root: String) {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
     def mergeNameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    // matched files are independent — rewrite them CONCURRENTLY (serial
-    // per-file jobs would be driver-latency-bound over hundreds of
-    // candidates); names use the candidate index so the mapping is
-    // completion-order-independent
-    val results = if (matched.isEmpty) IndexedSeq.empty else
-      candidates.zipWithIndex.par.flatMap { case ((f, nb), idx) =>
-        val m = matchedByName.getOrElse(mergeNameOf(f.path), 0L)
-        if (m == 0L) None
-        else {
-        // DV-aware read (same rule as rewriteWhere): rows a prior
+    // ---- batched rewrites (round-6 phase 2, same shape as rewriteWhere):
+    // all matched candidates are read in ONE DV-masked job, joined with
+    // the staged feed ONCE on the natural key (the per-file bucket slice
+    // was pruning only — source keys are unique, so the left join yields
+    // at most one source row per target row), and the CDC images /
+    // replacement rows written by ONE dynamic-partitioned job each,
+    // partitioned by source file and sorted by original row position —
+    // per-file content and order identical to the per-file writer's.
+    val mergeMatchedCands: Seq[((DataFileMeta, Int), Int)] =
+      if (matched.isEmpty) Nil
+      else candidates.zipWithIndex.filter { case ((f, _), _) =>
+        matchedByName.getOrElse(mergeNameOf(f.path), 0L) > 0L
+      }
+    val results: IndexedSeq[(Int, String, Long, ChangeFileMeta, Option[(Long, Int, DataFileMeta)])] =
+      if (mergeMatchedCands.isEmpty) IndexedSeq.empty
+      else {
+        def matchedOf(f: DataFileMeta): Long = matchedByName(mergeNameOf(f.path))
+        // full drops exist only for WHEN MATCHED DELETE with every
+        // survivor matched — same rule as the round-5 per-file path
+        val dropNames: Set[String] = matched.get match {
+          case MergeDeleteMatched => mergeMatchedCands.collect {
+            case ((f, _), _) if matchedOf(f) == f.rowCount => mergeNameOf(f.path)
+          }.toSet
+          case _ => Set.empty
+        }
+        val schemaFull = fullReadSchema
+        // DV-aware combined read (same rule as rewriteWhere): rows a prior
         // deletion vector killed are ALREADY deleted — invisible to the
         // full-drop count, the CDC images and the rewrite (whose
-        // replacement publishes vector-free, folding the DV). Without
-        // this a MERGE over a MOR-deleted file would resurrect the
-        // purged rows. __graft_pos (original row index) doubles as the
-        // row-order pin below — unlike monotonically_increasing_id, it
-        // is still the file order after the anti-join.
-        var df = spark.read.parquet(s"$root/${f.path}")
+        // replacement publishes vector-free, folding the DV). Without this
+        // a MERGE over a MOR-deleted file would resurrect the purged rows.
+        // __graft_pos (original row index) doubles as the row-order pin —
+        // still the file order after the anti-join.
+        var allT = spark.read.schema(schemaFull)
+          .parquet(mergeMatchedCands.map { case ((f, _), _) => s"$root/${f.path}" }: _*)
+          .withColumn("__graft_file",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn("__graft_pos", col("_metadata.row_index"))
-        f.dvPath.foreach { dvp =>
-          val dead = spark.read.parquet(s"$root/$dvp").select(col("pos"))
-          df = df.join(broadcast(dead), df("__graft_pos") === dead("pos"),
-            "left_anti")
+        val dvPrior = mergeMatchedCands.map(_._1._1).filter(_.dvPath.isDefined)
+        if (dvPrior.nonEmpty) {
+          val dead = spark.read
+            .parquet(dvPrior.flatMap(_.dvPath).distinct.map(p => s"$root/$p"): _*)
+            .select(element_at(split(col("file"), "/"), -1).as("__graft_file"),
+              col("pos").as("__graft_pos"))
+          allT = allT.join(dead, Seq("__graft_file", "__graft_pos"), "left_anti")
         }
-        declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
-          df = df.withColumn(c.name, lit(null).cast(c.dataType))
+        val outCols = schemaFull.fieldNames.toSeq
+        val bookCols = Seq("__graft_file", "__graft_pos")
+        val t = allT.alias("t")
+        val s = srcAll.drop("__graft_b").alias("s")
+        val joined = t.join(s,
+          keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "left")
+        val hitS = col("s.conv_id").isNotNull
+        def tSide(extra: Seq[org.apache.spark.sql.Column] = Nil) =
+          outCols.map(c => col(s"t.$c").as(c)) ++
+            bookCols.map(c => col(s"t.$c").as(c)) ++ extra
+        val (replacementAll, cdcFrames) = matched.get match {
+          case MergeUpdateAll | MergeUpdateCols(_) =>
+            // CDC images from the SAME join the rewrite uses: pre = the
+            // matched target rows as they were, post = with the source's
+            // values applied
+            val hits = joined.filter(hitS)
+            val pre = hits.select(tSide(): _*)
+            val post = hits.select(outCols.map {
+              case c if updateCols.contains(c) => col(s"s.$c").as(c)
+              case other => col(s"t.$other").as(other)
+            } ++ bookCols.map(c => col(s"t.$c").as(c)): _*)
+            (Some(joined.select(outCols.map {
+              case c if updateCols.contains(c) =>
+                when(hitS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+              case other => col(s"t.$other").as(other)
+            } ++ bookCols.map(c => col(s"t.$c").as(c)): _*)),
+              Seq("update_preimage" -> pre, "update_postimage" -> post))
+          case MergeDeleteMatched =>
+            val pre = joined.filter(hitS).select(tSide(): _*)
+            (Some(joined.filter(!hitS).select(tSide(): _*)),
+              Seq("delete" -> pre))
         }
-        val srcB =
-          if (nb == n) srcAll.filter(col("__graft_b") === f.partitionId)
-          // legacy/unbucketed file sets (numBuckets <= 0): partitionId is
-          // not a conv_id bucket, so no slice of the feed is safe — join
-          // against the whole feed (pmod(x, -1) would be 0 for every row
-          // and silently skip files with partitionId != 0)
-          else if (nb <= 0) srcAll
-          else srcAll.filter(pmod(hash(col("conv_id")), lit(nb)) === f.partitionId)
-          // _ord pins the original row order through the join (the
-          // original-file row index — survivor order under any prior DV)
-          val ordered = df.withColumnRenamed("__graft_pos", "__graft_ord")
-          val (replacement, changeFrames) = matched.get match {
-            case MergeUpdateAll | MergeUpdateCols(_) =>
-              val t = ordered.alias("t")
-              val s = srcB.alias("s")
-              val joined = t.join(s,
-                keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
-                "left")
-              val hitS = col("s.conv_id").isNotNull
-              val tCols = ordered.columns.toSeq.filter(_ != "__graft_ord")
-              // CDC images from the SAME join the rewrite uses: pre = the
-              // matched target rows as they were, post = with the source's
-              // values applied
-              val hits = joined.filter(hitS)
-              val pre = hits.select(tCols.map(c => col(s"t.$c").as(c)): _*)
-              val post = hits.select(tCols.map {
-                case c if updateCols.contains(c) => col(s"s.$c").as(c)
-                case other => col(s"t.$other").as(other)
-              }: _*)
-              (Some(joined.select(ordered.columns.toSeq.map {
-                case "__graft_ord" => col("t.__graft_ord")
-                case c if updateCols.contains(c) =>
-                  when(hitS, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-                case other => col(s"t.$other").as(other)
-              }: _*)),
-                Seq("update_preimage" -> pre, "update_postimage" -> post))
-            case MergeDeleteMatched =>
-              val pre = df.join(srcB, keys, "left_semi")
-              (if (m == f.rowCount) None
-               else Some(ordered.join(srcB, keys, "left_anti")),
-                Seq("delete" -> pre))
-          }
-          val cf = publishChangeFile(changeFrames, stagingSrc, gen, idx,
-            m * changeFrames.size)
-          Some((idx, f.path, m, cf, replacement.map(r =>
-            (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
-              publishRewriteFile(r.orderBy("__graft_ord").drop("__graft_ord"),
-                stagingSrc, gen, idx, f.partitionId)))))
+        // --- CDC rows for every matched file, one job
+        val nFrames = cdcFrames.size
+        val cdcAll = cdcFrames.zipWithIndex.map { case ((kind, d), fi) =>
+          d.select(outCols.map(col) ++ Seq(
+            lit(kind).as(TableChanges.ChangeTypeCol),
+            col("__graft_file"), lit(fi).as("__graft_frame"),
+            col("__graft_pos")): _*)
+        }.reduce(_ unionAll _)
+        val cdcOut = stagingSrc.resolve("cdcbatch")
+        cdcAll.repartition(col("__graft_file"))
+          .sortWithinPartitions(col("__graft_file"), col("__graft_frame"),
+            col("__graft_pos"))
+          .select(outCols.map(col) ++ Seq(col(TableChanges.ChangeTypeCol),
+            col("__graft_file")): _*)
+          .write.partitionBy("__graft_file").mode("overwrite")
+          .parquet(cdcOut.toString)
+        // --- replacement rows, one job (full drops contribute no
+        // survivors, so no partition directory appears for them)
+        val rwOut = stagingSrc.resolve("rwbatch")
+        val anyRewrite = mergeMatchedCands.exists { case ((f, _), _) =>
+          !dropNames(mergeNameOf(f.path)) }
+        if (anyRewrite) {
+          replacementAll.get
+            .filter(if (dropNames.isEmpty) lit(true)
+              else !col("__graft_file").isin(dropNames.toSeq: _*))
+            .repartition(col("__graft_file"))
+            .sortWithinPartitions(col("__graft_file"), col("__graft_pos"))
+            .select(outCols.map(col) :+ col("__graft_file"): _*)
+            .write.partitionBy("__graft_file").mode("overwrite")
+            .parquet(rwOut.toString)
         }
-      }.toIndexedSeq.sortBy(_._1)
+        // --- claim per-candidate outputs under deterministic names
+        import scala.collection.parallel.CollectionConverters._
+        def claimed(outDir: Path, dirName: String, dst: Path): Path = {
+          val src = listDir(outDir.resolve(dirName))(
+            _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+          claimFrom(src, dst, committed = Files.exists(deletePath(gen)))
+          Files.deleteIfExists(src)
+          dst
+        }
+        Files.createDirectories(dataDir)
+        Files.createDirectories(changesDir)
+        mergeMatchedCands.par.map { case ((f, _), idx) =>
+          val name = mergeNameOf(f.path)
+          val m = matchedOf(f)
+          val cdcName = f"cdc-$gen%04d-$idx%05d.parquet"
+          claimed(cdcOut, s"__graft_file=$name", changesDir.resolve(cdcName))
+          val cf = ChangeFileMeta(s"changes/$cdcName", m * nFrames)
+          val add: Option[(Long, Int, DataFileMeta)] =
+            if (dropNames(name)) None
+            else {
+              val rwName = f"part-d$gen%04d-$idx%05d.parquet"
+              val dst = claimed(rwOut, s"__graft_file=$name",
+                dataDir.resolve(rwName))
+              Some((srcEpoch.getOrElse(f.path, -1L),
+                bucketsOf.getOrElse(f.path, -1),
+                footerStats(dst, gen, f.partitionId, s"data/$rwName")))
+            }
+          (idx, f.path, m, cf, add)
+        }.toIndexedSeq.sortBy(_._1)
+      }
     val removes = results.map(_._2)
     val matchedRows = results.map(_._3).sum
     val mergeChangeFiles = results.map(_._4)
@@ -1268,17 +1331,23 @@ final class IcebergLite(val root: String) {
   }
 
   /** Shared copy-on-write core of [[deleteWhere]] / [[updateWhere]]:
-    * manifest-pruned candidates are probed with a column-pruned count
-    * (only the predicate's columns are decoded — a false-positive candidate
-    * never pays a text read); `rewrite` maps a matched file to its
-    * replacement rows (None = drop the file). Publishes one atomic
-    * `delete-<gen>.json` manifest; returns total matched rows. */
+    * manifest-pruned candidates are probed with ONE column-pruned batched
+    * count job (only the predicate's columns are decoded — a
+    * false-positive candidate never pays a text read); `rewriteAll` is a
+    * ROW-WISE transform (filter/projection) applied to the combined
+    * matched-file frame — it must preserve the `__graft_file` /
+    * `__graft_pos` bookkeeping columns, which both callers' transforms do
+    * by construction. `dropFullyMatched` = a file whose every survivor
+    * matched is dropped outright instead of rewritten (DELETE semantics).
+    * Publishes one atomic `delete-<gen>.json` manifest; returns total
+    * matched rows. */
   private def rewriteWhere(spark: SparkSession,
                            condition: org.apache.spark.sql.Column,
                            predicateText: String,
                            prune: Seq[FileSet] => Seq[DataFileMeta],
                            mor: Boolean = false)(
-      rewrite: (DataFrame, org.apache.spark.sql.Column, Long, DataFileMeta) => Option[DataFrame],
+      rewriteAll: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
+      dropFullyMatched: Boolean,
       changeRows: (DataFrame, org.apache.spark.sql.Column) => Seq[(String, DataFrame)]): Long =
     withMaintenanceLock {
       require(exists, s"IcebergLite table does not exist at $root")
@@ -1334,57 +1403,155 @@ final class IcebergLite(val root: String) {
         .groupBy(col("__graft_file")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-      // matched files are independent — rewrite them CONCURRENTLY (each is
-      // its own small Spark job; a serial loop over hundreds of candidates
-      // would be driver-latency-bound at scale). Rewrite names use the
-      // candidate INDEX, so the name↔content mapping stays deterministic
-      // under any completion order.
-      val results = candidates.zipWithIndex.par.flatMap { case (f, idx) =>
-        val matched = matchedByName.getOrElse(nameOf(f.path), 0L)
-        if (matched == 0L) None
+      // ---- batched writes (round-6 phase 2, guide §1.2): the round-5
+      // shape launched one CDC-write job and one rewrite/DV-write job PER
+      // matched file (measured: a fixture-wide DELETE was ~100 driver-
+      // planned 1-task jobs whose scheduling latency dominated the gate).
+      // All matched candidates are now read in ONE DV-masked job and their
+      // change rows / replacement rows / vector positions written by ONE
+      // dynamic-partitioned job each (partitioned by source file, each
+      // partition sorted by original row position so per-file content and
+      // order are byte-for-byte what the per-file writer produced); the
+      // driver then only claims each partition's single output file under
+      // its deterministic name and reads rewrite footers.
+      val matchedCands: Seq[(DataFileMeta, Int)] = candidates.zipWithIndex
+        .filter { case (f, _) => matchedByName.getOrElse(nameOf(f.path), 0L) > 0L }
+      val results: IndexedSeq[(Int, String, Long, ChangeFileMeta, Option[(Long, Int, DataFileMeta)])] =
+        if (matchedCands.isEmpty) IndexedSeq.empty
         else {
-        // DV-aware read: a prior deletion vector's rows are ALREADY
-        // deleted — they must be invisible to the CDC recording and to any
-        // rewrite (which folds the vector). Row positions are carried
-        // alongside for the MOR path (original-file coordinates: the
-        // anti-join filters rows, it never renumbers).
-        var df = spark.read.parquet(s"$root/${f.path}")
-          .withColumn("__graft_pos", col("_metadata.row_index"))
-        f.dvPath.foreach { dvp =>
-          val dead = spark.read.parquet(s"$root/$dvp").select(col("pos"))
-          df = df.join(broadcast(dead), df("__graft_pos") === dead("pos"),
-            "left_anti")
+          def matchedOf(f: DataFileMeta): Long = matchedByName(nameOf(f.path))
+          // classify each matched candidate ONCE: full drop (delete with
+          // every survivor matched), deletion vector (MOR, small
+          // fraction), copy-on-write rewrite — same rules as round 5
+          val dvSel = matchedCands.filter { case (f, _) =>
+            mor && matchedOf(f) < f.rowCount &&
+              matchedOf(f).toDouble / f.rowCount <= dvMaxFraction
+          }
+          val dvNames = dvSel.map { case (f, _) => nameOf(f.path) }.toSet
+          val dropNames = matchedCands.collect {
+            case (f, _) if dropFullyMatched && matchedOf(f) == f.rowCount =>
+              nameOf(f.path)
+          }.toSet
+          val rwSel = matchedCands.filter { case (f, _) =>
+            !dvNames(nameOf(f.path)) && !dropNames(nameOf(f.path))
+          }
+          // ONE combined DV-masked frame over the matched candidates (a
+          // prior vector's rows are ALREADY deleted — invisible to the
+          // CDC recording and to any rewrite, which folds the vector;
+          // __graft_pos keeps original-file coordinates)
+          var all = spark.read.schema(probeSchema)
+            .parquet(matchedCands.map { case (f, _) => s"$root/${f.path}" }: _*)
+            .withColumn("__graft_file",
+              element_at(split(col("_metadata.file_path"), "/"), -1))
+            .withColumn("__graft_pos", col("_metadata.row_index"))
+          val dvPrior = matchedCands.map(_._1).filter(_.dvPath.isDefined)
+          if (dvPrior.nonEmpty) {
+            val dead = spark.read
+              .parquet(dvPrior.flatMap(_.dvPath).distinct.map(p => s"$root/$p"): _*)
+              .select(element_at(split(col("file"), "/"), -1).as("__graft_file"),
+                col("pos").as("__graft_pos"))
+            all = all.join(dead, Seq("__graft_file", "__graft_pos"), "left_anti")
+          }
+          val outCols = probeSchema.fieldNames.toSeq
+          // --- CDC rows for every matched file, one job. Record BEFORE
+          // the manifest (crash in between leaves unreferenced change
+          // files; removeOrphans reclaims them once the gen is settled).
+          val cdcFrames = changeRows(all, hit)
+          val nFrames = cdcFrames.size
+          val cdcAll = cdcFrames.zipWithIndex.map { case ((kind, d), fi) =>
+            d.select(outCols.map(col) ++ Seq(
+              lit(kind).as(TableChanges.ChangeTypeCol),
+              col("__graft_file"), lit(fi).as("__graft_frame"),
+              col("__graft_pos")): _*)
+          }.reduce(_ unionAll _)
+          val cdcOut = staging.resolve("cdcbatch")
+          cdcAll.repartition(col("__graft_file"))
+            .sortWithinPartitions(col("__graft_file"), col("__graft_frame"),
+              col("__graft_pos"))
+            .select(outCols.map(col) ++ Seq(col(TableChanges.ChangeTypeCol),
+              col("__graft_file")): _*)
+            .write.partitionBy("__graft_file").mode("overwrite")
+            .parquet(cdcOut.toString)
+          // --- copy-on-write replacements, one job (original row order
+          // preserved by the per-partition (file, position) sort)
+          val rwNames = rwSel.map { case (f, _) => nameOf(f.path) }
+          val rwOut = staging.resolve("rwbatch")
+          if (rwSel.nonEmpty) {
+            rewriteAll(all.filter(col("__graft_file").isin(rwNames: _*)), hit)
+              .repartition(col("__graft_file"))
+              .sortWithinPartitions(col("__graft_file"), col("__graft_pos"))
+              .select(outCols.map(col) :+ col("__graft_file"): _*)
+              .write.partitionBy("__graft_file").mode("overwrite")
+              .parquet(rwOut.toString)
+          }
+          // --- deletion vectors, one job: each MOR file's cumulative
+          // vector (this delete's positions ∪ its prior vector), sorted
+          val dvOut = staging.resolve("dvbatch")
+          if (dvSel.nonEmpty) {
+            val dvSelNames = dvSel.map { case (f, _) => nameOf(f.path) }
+            var allPos = all
+              .filter(col("__graft_file").isin(dvSelNames: _*) && hit)
+              .select(col("__graft_file").as("__dvname"),
+                concat(lit("data/"), col("__graft_file")).as("file"),
+                col("__graft_pos").as("pos"))
+            val priors = dvSel.map(_._1).filter(_.dvPath.isDefined)
+            if (priors.nonEmpty) {
+              val old = spark.read
+                .parquet(priors.flatMap(_.dvPath).distinct.map(p => s"$root/$p"): _*)
+                .select(element_at(split(col("file"), "/"), -1).as("__dvname"),
+                  col("file"), col("pos"))
+              allPos = allPos.unionByName(old)
+            }
+            allPos.repartition(col("__dvname"))
+              .sortWithinPartitions(col("__dvname"), col("pos"))
+              .write.partitionBy("__dvname").mode("overwrite")
+              .parquet(dvOut.toString)
+          }
+          // --- claim each partition's single file under its deterministic
+          // per-candidate name (driver-side renames + footer stats only)
+          def claimed(outDir: Path, dirName: String, dst: Path): Path = {
+            val src = listDir(outDir.resolve(dirName))(
+              _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+            claimFrom(src, dst, committed = Files.exists(deletePath(gen)))
+            Files.deleteIfExists(src)
+            dst
+          }
+          Files.createDirectories(dataDir)
+          Files.createDirectories(changesDir)
+          matchedCands.par.map { case (f, idx) =>
+            val name = nameOf(f.path)
+            val matched = matchedOf(f)
+            val cdcName = f"cdc-$gen%04d-$idx%05d.parquet"
+            claimed(cdcOut, s"__graft_file=$name", changesDir.resolve(cdcName))
+            val cf = ChangeFileMeta(s"changes/$cdcName", matched * nFrames)
+            val add: Option[(Long, Int, DataFileMeta)] =
+              if (dropNames(name)) None
+              else if (dvNames(name)) {
+                val dvName = f"dv-$gen%04d-$idx%05d.parquet"
+                claimed(dvOut, s"__dvname=$name", dataDir.resolve(dvName))
+                // same MOR manifest entry as round 5's publishDvFile:
+                // SAME data path, exact survivor rowCount, conservative
+                // original stats, cumulative dvRows
+                val meta = f.copy(rowCount = f.rowCount - matched,
+                  convIdNulls = f.convIdNulls.filter(_ == 0L),
+                  dvPath = Some(s"data/$dvName"),
+                  dvRows = f.dvPath match {
+                    case None => Some(matched)
+                    case Some(_) => f.dvRows.map(_ + matched)
+                  })
+                Some((srcEpoch.getOrElse(f.path, -1L),
+                  bucketsOf.getOrElse(f.path, -1), meta))
+              } else {
+                val rwName = f"part-d$gen%04d-$idx%05d.parquet"
+                val dst = claimed(rwOut, s"__graft_file=$name",
+                  dataDir.resolve(rwName))
+                Some((srcEpoch.getOrElse(f.path, -1L),
+                  bucketsOf.getOrElse(f.path, -1),
+                  footerStats(dst, gen, f.partitionId, s"data/$rwName")))
+              }
+            (idx, f.path, matched, cf, add)
+          }.toIndexedSeq.sortBy(_._1)
         }
-        declared.fields.filterNot(c => df.columns.contains(c.name)).foreach { c =>
-          df = df.withColumn(c.name, lit(null).cast(c.dataType))
-        }
-          // record the CDC rows BEFORE the manifest (crash in between
-          // leaves unreferenced change files; removeOrphans reclaims them
-          // once the gen is settled). rowCount is exact by construction:
-          // every frame carries `matched` rows (delete = 1 frame,
-          // update = pre + post).
-          val rows = df.drop("__graft_pos")
-          val frames = changeRows(rows, hit)
-          val cf = publishChangeFile(frames, staging, gen, idx,
-            matched * frames.size)
-          // merge-on-read: record the matched positions as a deletion
-          // vector instead of rewriting the file — cost ∝ matched rows,
-          // never file size. Only for a genuine subset (full match drops
-          // the file via the rewrite callback; a large fraction rewrites).
-          val useDv = mor && matched < f.rowCount &&
-            matched.toDouble / f.rowCount <= dvMaxFraction
-          if (useDv) {
-            val newPos = df.filter(hit).select(col("__graft_pos").as("pos"))
-            Some((idx, f.path, matched, cf,
-              Some((srcEpoch.getOrElse(f.path, -1L),
-                bucketsOf.getOrElse(f.path, -1),
-                publishDvFile(f, newPos, staging, gen, idx, matched)))))
-          } else Some((idx, f.path, matched, cf,
-            rewrite(rows, hit, matched, f).map(replacement =>
-              (srcEpoch.getOrElse(f.path, -1L), bucketsOf.getOrElse(f.path, -1),
-                publishRewriteFile(replacement, staging, gen, idx, f.partitionId)))))
-        }
-      }.toIndexedSeq.sortBy(_._1)
       val removes = results.map(_._2)
       val matchedRows = results.map(_._3).sum
       val changeFiles = results.map(_._4)
