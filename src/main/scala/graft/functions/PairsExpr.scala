@@ -56,16 +56,24 @@ final case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
   * Janino (see [[ShinglesKernel]]). */
 object OrderedPairsKernel {
   def eval(arr: ArrayData): ArrayData = {
-    val xs = arr.toLongArray()
-    java.util.Arrays.sort(xs)
-    val m = xs.length
+    val raw = arr.toLongArray()
+    java.util.Arrays.sort(raw)
+    // dedupe in place: `a < b` is STRICT, exactly the old self-join's
+    // `a.doc_id < b.doc_id` predicate (q11's posting lists are distinct
+    // per shingle by construction, so this is defensive, not load-bearing)
+    var m = 0
+    var r = 0
+    while (r < raw.length) {
+      if (m == 0 || raw(r) != raw(m - 1)) { raw(m) = raw(r); m += 1 }
+      r += 1
+    }
     val out = new Array[Any](m * (m - 1) / 2)
     var k = 0
     var i = 0
     while (i < m) {
       var j = i + 1
       while (j < m) {
-        out(k) = new GenericInternalRow(Array[Any](xs(i), xs(j)))
+        out(k) = new GenericInternalRow(Array[Any](raw(i), raw(j)))
         k += 1
         j += 1
       }
