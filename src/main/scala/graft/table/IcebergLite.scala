@@ -785,7 +785,7 @@ final class IcebergLite(val root: String) {
     * manifest-pruned per-file machinery as [[deleteWhere]], but a file
     * whose matched fraction is at most `spark.sql.graft.dvMaxFraction`
     * (default 0.2) records its deleted ORIGINAL-ROW POSITIONS as a tiny
-    * parquet sidecar ([[publishDvFile]]) instead of being rewritten:
+    * parquet sidecar (the batched DV write in `rewriteWhere`) instead of being rewritten:
     * commit cost is O(matched rows), never O(file bytes). The manifest
     * entry keeps the SAME data path with the `dv` reference and the exact
     * survivor rowCount, so the whole manifest algebra — effective views,
@@ -869,93 +869,6 @@ final class IcebergLite(val root: String) {
       }: _*)
       Seq("update_preimage" -> pre, "update_postimage" -> post)
     })
-  }
-
-  /** One rewritten data file: written to staging single-part, moved into
-    * `data/` under the rewrite-generation name, stats recomputed from the
-    * parquet footer (ts ranges may have changed). */
-  private def publishRewriteFile(replacement: DataFrame, staging: Path,
-                                 gen: Long, seq: Int,
-                                 partitionId: Int): DataFileMeta = {
-    val out = staging.resolve(s"f$seq")
-    replacement.coalesce(1).write.mode("overwrite").parquet(out.toString)
-    val part = listDir(out)(
-      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
-    val name = f"part-d$gen%04d-$seq%05d.parquet"
-    val dst = dataDir.resolve(name)
-    claimFrom(part, dst, committed = Files.exists(deletePath(gen)))
-    Files.deleteIfExists(part)
-    footerStats(dst, gen, partitionId, s"data/$name")
-  }
-
-  /** Publish one DELETION VECTOR: the file's deleted original-row
-    * positions as `data/dv-<gen>-<idx>.parquet` with columns
-    * (`file`: manifest-relative data path, `pos`: long, sorted). A prior
-    * vector on the same entry is UNIONED in — vectors are cumulative, so
-    * every reader applies exactly ONE sidecar per file. Deterministic
-    * bytes under replay (sorted positions, same first-writer-wins claim
-    * as rewrite files). Returns the MOR manifest entry: SAME data path,
-    * survivor rowCount, original (conservative) stats, `dv` set. */
-  private def publishDvFile(f: DataFileMeta, newPos: DataFrame, staging: Path,
-                            gen: Long, seq: Int, matched: Long): DataFileMeta = {
-    val spark = newPos.sparkSession
-    val old = f.dvPath.map(p => spark.read.parquet(s"$root/$p").select(col("pos")))
-    val all = old.fold(newPos)(o => newPos.unionAll(o))
-      .select(lit(f.path).as("file"), col("pos")).sort("pos")
-    val out = staging.resolve(s"dv$seq")
-    all.coalesce(1).write.mode("overwrite").parquet(out.toString)
-    val part = listDir(out)(
-      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
-    val name = f"dv-$gen%04d-$seq%05d.parquet"
-    val dst = dataDir.resolve(name)
-    claimFrom(part, dst, committed = Files.exists(deletePath(gen)))
-    Files.deleteIfExists(part)
-    f.copy(rowCount = f.rowCount - matched,
-      // survivors of a zero-null file are zero-null (exact); any other
-      // original count no longer bounds the survivors exactly → unknown
-      convIdNulls = f.convIdNulls.filter(_ == 0L),
-      dvPath = Some(s"data/$name"),
-      // cumulative vector size: prior vector (if any) + this delete's
-      // positions — exact, both sides come from probe counts. A chained
-      // entry whose prior vector predates the dvRows field stays unknown
-      // (readers then decline the broadcast hint)
-      dvRows = f.dvPath match {
-        case None => Some(matched)
-        case Some(_) => f.dvRows.map(_ + matched)
-      })
-  }
-
-  /** One recorded change-data file for the CDC feed (the Delta-CDF design
-    * choice: mutations record their row-level changes AT COMMIT TIME, so
-    * the streaming change feed is pure file scans — no read-time diff
-    * join). `frames` are (change_type, rows) in the mutation's own terms
-    * (delete rows; update pre/post images); rows are normalized to the
-    * current full read schema (declared business columns + lineage) plus
-    * the baked-in `_change_type` column, written single-part to staging,
-    * then claimed into `changes/cdc-<gen>-<idx>.parquet` with the same
-    * first-writer-wins protocol as rewrite files. Cost is churn-
-    * proportional by construction: a mutation touching k rows records
-    * O(k) change rows, never the table. `rowCount` is known exactly from
-    * the probe counts (delete = matched, update = 2×matched), so no
-    * footer read is needed. */
-  private def publishChangeFile(frames: Seq[(String, DataFrame)],
-                                staging: Path, gen: Long, seq: Int,
-                                rowCount: Long): ChangeFileMeta = {
-    val schema = fullReadSchema
-    val cdc = frames.map { case (kind, d) =>
-      d.select(schema.fieldNames.toSeq.map(col) :+
-        lit(kind).as(TableChanges.ChangeTypeCol): _*)
-    }.reduce(_ unionAll _)
-    val out = staging.resolve(s"c$seq")
-    cdc.coalesce(1).write.mode("overwrite").parquet(out.toString)
-    val part = listDir(out)(
-      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
-    val name = f"cdc-$gen%04d-$seq%05d.parquet"
-    Files.createDirectories(changesDir)
-    val dst = changesDir.resolve(name)
-    claimFrom(part, dst, committed = Files.exists(deletePath(gen)))
-    Files.deleteIfExists(part)
-    ChangeFileMeta(s"changes/$name", rowCount)
   }
 
   /** SQL-MERGE-style upsert, keyed by the table's natural key
@@ -1366,7 +1279,6 @@ final class IcebergLite(val root: String) {
       val staging = Paths.get(root, "_staging", s"delete-$gen")
       deleteRecursively(staging)
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      val declared = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
       val hit = coalesce(condition, lit(false))
       // MOR threshold: a file whose matched fraction exceeds this is
       // rewritten copy-on-write even under mor=true (a vector holding most
@@ -3406,7 +3318,7 @@ final case class RestoreStats(gen: Long, removedFiles: Int,
 
 /** One recorded change-data file (`changes/cdc-<gen>-<idx>.parquet`): the
   * full read schema plus a baked-in `_change_type` column. Written at
-  * mutation commit time ([[IcebergLite.publishChangeFile]]) so the CDC
+  * mutation commit time (the batched CDC write in `rewriteWhere`/`merge`) so the CDC
   * feed is pure file scans — rowCount is exact, for feed-side task
   * packing without opening the file. */
 final case class ChangeFileMeta(path: String, rowCount: Long)
