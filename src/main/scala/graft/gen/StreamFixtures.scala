@@ -23,13 +23,27 @@ object StreamFixtures {
   /** Writes `slice-0000.parquet .. slice-<k+1>.parquet` (last = flush) into
     * `dir` with strictly increasing mtimes (file-source processing order).
     * Returns the number of slices written. Idempotent per directory. */
+  /** Slice-layout version, stamped into `_DONE`. v2 (round 6): slices are
+    * written with 4 MB parquet ROW GROUPS. Round ≤ 5 slices were one
+    * ~36 MB row group each, so no split setting could parallelize the
+    * per-batch scan — parquet assigns a row group to the one task whose
+    * split holds its midpoint, and the stage probe measured effective scan
+    * concurrency ≈ 1 (a 2.6 s serial scan inside every 4.4 s micro-batch;
+    * guide §2.5 "one huge unsplittable file — fix at the source"). A
+    * stamped dir with a different (or empty, pre-v2) version regenerates:
+    * same rows, same slice boundaries, splittable layout. */
+  private val SliceLayoutVersion = "v2"
+
   def writeSlices(spark: SparkSession, spec: GenSpec, dir: String, k: Int,
                   gapSec: Long = Defaults.SessionGapSec): Int = synchronized {
     val root = Paths.get(dir)
-    if (Files.exists(root.resolve("_DONE"))) {
+    val done = root.resolve("_DONE")
+    if (Files.exists(done) &&
+        new String(Files.readAllBytes(done), "UTF-8").trim == SliceLayoutVersion) {
       return Files.list(root).iterator().asScala
         .count(_.getFileName.toString.endsWith(".parquet"))
     }
+    deleteRecursively(root) // absent, stale or pre-v2 layout: rebuild
     Files.createDirectories(root)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     import spark.implicits._
@@ -41,7 +55,11 @@ object StreamFixtures {
       val tmp = root.resolve(".tmp-slices")
       all.repartitionByRange(k, col("ts"), col("conv_id"), col("turn_idx"))
         .sortWithinPartitions("ts", "conv_id", "turn_idx")
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // splittable row groups (see SliceLayoutVersion): the slice file
+        // stands in for "one epoch of a 100 TB table", which is never a
+        // single parquet row group
+        .write.option("parquet.block.size", 4 * 1024 * 1024)
+        .mode(SaveMode.Overwrite).parquet(tmp.toString)
       val parts = Files.list(tmp).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .toSeq.sortBy(_.getFileName.toString)
@@ -65,7 +83,8 @@ object StreamFixtures {
         .getOrElse(throw new IllegalStateException(s"no parquet in $tmpF"))
       publish(part, root, f"slice-$k%04d.parquet", k)
       deleteRecursively(tmpF)
-      Files.write(root.resolve("_DONE"), Array.emptyByteArray)
+      Files.write(root.resolve("_DONE"),
+        (SliceLayoutVersion + "\n").getBytes("UTF-8"))
       k + 1
     } catch {
       case e: Throwable => deleteRecursively(root); throw e
